@@ -1,0 +1,95 @@
+"""Multi-dimensional file search (reference P1/P2/P3/P5/P7, O1/O2).
+
+Mirrors the reference's dynamic conjunctive filter builders
+(file_indexer/indexer.py:697-749 and
+api_backend/file_indexer_api/database.py:56-108) as chained DataFrame
+filters. Every predicate is a Catalyst expression, so LIKE /
+range / null-state filters push down into the parquet scan and
+column pruning applies — at 100 TB the scan only reads the
+row groups whose min/max stats can match.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def search_files(
+    files: DataFrame,
+    filename_pattern: str | None = None,
+    path_pattern: str | None = None,
+    checksum: str | None = None,
+    has_checksum: bool | None = None,
+    min_file_size: int | None = None,
+    max_file_size: int | None = None,
+    modified_after: datetime | str | None = None,
+    modified_before: datetime | str | None = None,
+    order_by_recency: bool = False,
+    limit: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """All search dimensions of the reference, AND-combined.
+
+    Ordering: ``path, filename`` (reference indexer.py:737) or, for the
+    API's recency-ranked page, ``modification_datetime DESC, path,
+    filename`` (database.py:118-128) — both total orders, so LIMIT/
+    OFFSET pages are deterministic.
+    """
+    out = files
+    if filename_pattern is not None:
+        out = out.filter(F.col("filename").like(filename_pattern))
+    if path_pattern is not None:
+        out = out.filter(F.col("path").like(path_pattern))
+    if checksum is not None:
+        out = out.filter(F.col("checksum") == checksum)
+    if has_checksum is True:
+        out = out.filter(F.col("checksum").isNotNull())
+    elif has_checksum is False:
+        out = out.filter(F.col("checksum").isNull())
+    if min_file_size is not None:
+        out = out.filter(F.col("file_size") >= min_file_size)
+    if max_file_size is not None:
+        out = out.filter(F.col("file_size") <= max_file_size)
+    if modified_after is not None:
+        out = out.filter(F.col("modification_datetime") >= F.lit(modified_after))
+    if modified_before is not None:
+        out = out.filter(F.col("modification_datetime") <= F.lit(modified_before))
+
+    if order_by_recency:
+        out = out.orderBy(F.desc("modification_datetime"), "path", "filename")
+    else:
+        out = out.orderBy("path", "filename")
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def search_substring(files: DataFrame, query: str) -> DataFrame:
+    """Case-insensitive substring search over filename OR path
+    (reference Go P3, file_indexer_go/db/database.go:116-127:
+    ILIKE '%q%' ... ORDER BY filename)."""
+    pattern = f"%{query}%"
+    return files.filter(
+        F.col("filename").ilike(pattern) | F.col("path").ilike(pattern)
+    ).orderBy("filename", "path")
+
+
+def point_lookup(files: DataFrame, path: str, filename: str) -> DataFrame:
+    """PK point lookup (reference P5, indexer.py:618-625)."""
+    return files.filter((F.col("path") == path) & (F.col("filename") == filename))
+
+
+def batch_probe(files: DataFrame, keys: DataFrame) -> DataFrame:
+    """Batch PK probe (reference P6, indexer.py:228-266: row-value IN).
+
+    The reference builds a 1000-pair ``(path, filename) IN ((?,?),...)``
+    literal per batch to avoid N+1 point queries. In Spark the batch IS
+    a DataFrame; a broadcast hash join is the native bulk probe and
+    scales past any literal-size limit.
+    """
+    return files.join(F.broadcast(keys.select("path", "filename")), ["path", "filename"], "inner")

@@ -1,0 +1,422 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) ->
+DataFrame callable, paired with an equivalent DuckDB oracle SQL string.
+
+This is the driver contract (see /root/repo/__spark_entry__.py) and the
+coverage ledger for SURVEY.md §2 — keys are prefixed with the survey
+operator IDs they implement.
+
+Determinism rules (oracle hash-matches are order-insensitive but value-
+and schema-sensitive):
+  * every LIMIT/top-k query sorts by a TOTAL order first;
+  * aggregate outputs are aliased identically in Spark and SQL;
+  * DuckDB SUM(BIGINT) returns HUGEINT — oracles cast back to BIGINT
+    to match Spark's LongType;
+  * no CURRENT_DATE / now() — fixed timestamps only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_indexer_spark.operators import duplicates as dup
+from file_indexer_spark.operators import search as srch
+from file_indexer_spark.operators import stats as st
+from file_indexer_spark.session import tune_session
+from file_indexer_spark.tables import files_df, with_files_cte
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return files_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- S5/O1
+
+@register(
+    "s5_files_scan",
+    with_files_cte("SELECT * FROM files ORDER BY path, filename"),
+)
+def s5_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _files(spark, sf_dir).orderBy("path", "filename")
+
+
+# ---------------------------------------------------------------- P1/P2
+
+@register(
+    "p1_search_multidim",
+    with_files_cte(
+        """
+        SELECT * FROM files
+        WHERE filename LIKE '%.en'
+          AND checksum IS NOT NULL
+          AND file_size >= 100 AND file_size <= 450
+          AND modification_datetime >= TIMESTAMP '2024-03-01 00:00:00'
+        ORDER BY path, filename
+        """
+    ),
+)
+def p1_search_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srch.search_files(
+        _files(spark, sf_dir),
+        filename_pattern="%.en",
+        has_checksum=True,
+        min_file_size=100,
+        max_file_size=450,
+        modified_after="2024-03-01 00:00:00",
+    )
+
+
+@register(
+    "p2_search_recency_page",
+    with_files_cte(
+        """
+        SELECT * FROM files
+        WHERE path LIKE '/src1%'
+        ORDER BY modification_datetime DESC, path, filename
+        LIMIT 50 OFFSET 10
+        """
+    ),
+)
+def p2_search_recency_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srch.search_files(
+        _files(spark, sf_dir), path_pattern="/src1%", order_by_recency=True, limit=50, offset=10
+    )
+
+
+@register(
+    "p3_search_ilike",
+    with_files_cte(
+        """
+        SELECT * FROM files
+        WHERE filename ILIKE '%DOC_1%' OR path ILIKE '%SRC2%'
+        ORDER BY filename, path
+        """
+    ),
+)
+def p3_search_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _files(spark, sf_dir)
+    return files.filter(
+        F.col("filename").ilike("%DOC_1%") | F.col("path").ilike("%SRC2%")
+    ).orderBy("filename", "path")
+
+
+@register(
+    "p5_point_lookup",
+    with_files_cte("SELECT * FROM files WHERE path = '/src0' AND filename LIKE 'doc_0.%'"),
+)
+def p5_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _files(spark, sf_dir)
+    return files.filter((F.col("path") == "/src0") & (F.col("filename").like("doc_0.%")))
+
+
+# ---------------------------------------------------------------- J1-J3
+
+@register(
+    "j1_duplicate_files",
+    with_files_cte(
+        """
+        SELECT checksum, path, filename, file_size, modification_datetime, indexed_at
+        FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY checksum) AS group_count
+            FROM files WHERE checksum IS NOT NULL
+        ) t
+        WHERE group_count > 1
+        ORDER BY checksum, path, filename
+        """
+    ),
+)
+def j1_duplicate_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup.duplicate_files(_files(spark, sf_dir)).select(
+        "checksum", "path", "filename", "file_size", "modification_datetime", "indexed_at"
+    )
+
+
+@register(
+    "j2_duplicate_groups",
+    with_files_cte(
+        """
+        , duplicate_checksums AS (
+            SELECT checksum, file_size, COUNT(*) AS file_count
+            FROM files
+            WHERE checksum IS NOT NULL
+            GROUP BY checksum, file_size
+            HAVING COUNT(*) >= 2
+            ORDER BY file_count DESC, file_size DESC, checksum
+            LIMIT 100
+        )
+        SELECT f.checksum, f.file_size, dc.file_count, f.path, f.filename,
+               f.modification_datetime, f.indexed_at
+        FROM files f
+        JOIN duplicate_checksums dc
+          ON f.checksum = dc.checksum AND f.file_size = dc.file_size
+        ORDER BY dc.file_count DESC, f.checksum, f.path, f.filename
+        """
+    ),
+)
+def j2_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup.duplicate_groups(_files(spark, sf_dir), min_group_size=2, limit=100)
+
+
+@register(
+    "j3_duplicate_groups_pattern",
+    with_files_cte(
+        """
+        , target AS (
+            SELECT DISTINCT checksum FROM files
+            WHERE checksum IS NOT NULL AND filename LIKE '%.fr'
+        ),
+        scope AS (
+            SELECT f.* FROM files f WHERE f.checksum IN (SELECT checksum FROM target)
+        ),
+        groups AS (
+            SELECT checksum, file_size, COUNT(*) AS file_count
+            FROM scope GROUP BY checksum, file_size HAVING COUNT(*) >= 2
+        )
+        SELECT s.checksum, s.file_size, g.file_count, s.path, s.filename,
+               s.modification_datetime, s.indexed_at
+        FROM scope s
+        JOIN groups g ON s.checksum = g.checksum AND s.file_size = g.file_size
+        ORDER BY g.file_count DESC, s.checksum, s.path, s.filename
+        """
+    ),
+)
+def j3_duplicate_groups_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup.duplicate_groups(_files(spark, sf_dir), min_group_size=2, filename_pattern="%.fr")
+
+
+@register(
+    "d5_duplicates_report",
+    with_files_cte(
+        """
+        SELECT checksum, path, filename, file_size, file_count,
+               CASE WHEN rn = 1 THEN 'ORIGINAL' ELSE 'DUPLICATE' END AS role,
+               CASE WHEN rn = 1 THEN 0 ELSE file_size END AS wasted_space
+        FROM (
+            SELECT *,
+                   COUNT(*) OVER (PARTITION BY checksum) AS file_count,
+                   ROW_NUMBER() OVER (PARTITION BY checksum ORDER BY path, filename) AS rn
+            FROM files WHERE checksum IS NOT NULL
+        ) t
+        WHERE file_count > 1
+        ORDER BY checksum, path, filename
+        """
+    ),
+)
+def d5_duplicates_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup.duplicates_report(_files(spark, sf_dir))
+
+
+@register(
+    "a12_duplicate_groups_nested",
+    with_files_cte(
+        """
+        SELECT checksum, file_size, COUNT(*) AS file_count,
+               list(struct_pack(path := path, filename := filename) ORDER BY path, filename) AS files,
+               file_size * (COUNT(*) - 1) AS wasted_space
+        FROM files
+        WHERE checksum IS NOT NULL
+        GROUP BY checksum, file_size
+        HAVING COUNT(*) >= 2
+        ORDER BY file_count DESC, file_size DESC, checksum
+        """
+    ),
+)
+def a12_duplicate_groups_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup.duplicate_groups_nested(_files(spark, sf_dir))
+
+
+@register(
+    "a8_duplicate_stats",
+    with_files_cte(
+        """
+        SELECT COALESCE(COUNT(*), 0) AS duplicate_groups,
+               CAST(COALESCE(SUM(file_count), 0) AS BIGINT) AS duplicate_files
+        FROM (
+            SELECT checksum, COUNT(*) AS file_count FROM files
+            WHERE checksum IS NOT NULL GROUP BY checksum HAVING COUNT(*) > 1
+        ) g
+        """
+    ),
+)
+def a8_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup.duplicate_stats(_files(spark, sf_dir))
+
+
+@register(
+    "a13_total_wasted_space",
+    with_files_cte(
+        """
+        SELECT CAST(COALESCE(SUM(file_size * (file_count - 1)), 0) AS BIGINT) AS total_wasted_space
+        FROM (
+            SELECT checksum, file_size, COUNT(*) AS file_count FROM files
+            WHERE checksum IS NOT NULL GROUP BY checksum, file_size HAVING COUNT(*) > 1
+        ) g
+        """
+    ),
+)
+def a13_total_wasted_space(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup.total_wasted_space(_files(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- A1-A11
+
+@register(
+    "a1_database_stats",
+    with_files_cte(
+        """
+        , basic AS (
+            SELECT COUNT(*) AS total_files,
+                   CAST(COALESCE(SUM(file_size), 0) AS BIGINT) AS total_size,
+                   COUNT(checksum) AS files_with_checksums,
+                   COUNT(*) - COUNT(checksum) AS files_without_checksums,
+                   AVG(file_size) AS average_file_size,
+                   MAX(file_size) AS largest_file_size,
+                   MIN(file_size) AS smallest_file_size,
+                   MAX(modification_datetime) AS most_recent_modification,
+                   MIN(modification_datetime) AS oldest_modification,
+                   COUNT(DISTINCT path) AS unique_directories,
+                   COUNT(DISTINCT checksum) AS unique_checksums
+            FROM files
+        ),
+        dups AS (
+            SELECT COALESCE(COUNT(*), 0) AS duplicate_groups,
+                   CAST(COALESCE(SUM(n), 0) AS BIGINT) AS duplicate_files
+            FROM (
+                SELECT checksum, COUNT(*) AS n FROM files
+                WHERE checksum IS NOT NULL GROUP BY checksum HAVING COUNT(*) > 1
+            ) g
+        )
+        SELECT * FROM basic CROSS JOIN dups
+        """
+    ),
+)
+def a1_database_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return st.database_stats(_files(spark, sf_dir))
+
+
+@register(
+    "a9_size_histogram",
+    with_files_cte(
+        """
+        SELECT size_range, sort_order, COUNT(*) AS count,
+               CAST(SUM(file_size) AS BIGINT) AS total_size
+        FROM (
+            SELECT file_size,
+                   CASE WHEN file_size = 0 THEN '0 bytes'
+                        WHEN file_size < 1024 THEN '< 1KB'
+                        WHEN file_size < 1048576 THEN '1KB - 1MB'
+                        WHEN file_size < 1073741824 THEN '1MB - 1GB'
+                        ELSE '> 1GB' END AS size_range,
+                   CASE WHEN file_size = 0 THEN 1
+                        WHEN file_size < 1024 THEN 2
+                        WHEN file_size < 1048576 THEN 3
+                        WHEN file_size < 1073741824 THEN 4
+                        ELSE 5 END AS sort_order
+            FROM files
+        ) sub
+        GROUP BY size_range, sort_order
+        ORDER BY sort_order
+        """
+    ),
+)
+def a9_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return st.size_histogram(_files(spark, sf_dir))
+
+
+@register(
+    "a10_extension_stats",
+    with_files_cte(
+        """
+        SELECT extension, COUNT(*) AS count,
+               CAST(SUM(file_size) AS BIGINT) AS total_size,
+               AVG(file_size) AS average_size
+        FROM (
+            SELECT CASE WHEN filename LIKE '%.%'
+                        THEN LOWER(regexp_extract(filename, '\\.([^.]*)$', 1))
+                        ELSE '(no extension)' END AS extension,
+                   file_size
+            FROM files
+        ) e
+        GROUP BY extension
+        ORDER BY count DESC, extension
+        LIMIT 20
+        """
+    ),
+)
+def a10_extension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return st.extension_stats(_files(spark, sf_dir))
+
+
+@register(
+    "a11_modification_timeline",
+    with_files_cte(
+        """
+        SELECT CAST(DATE_TRUNC('month', modification_datetime) AS TIMESTAMP) AS month,
+               COUNT(*) AS count,
+               CAST(SUM(file_size) AS BIGINT) AS total_size
+        FROM files
+        WHERE modification_datetime >=
+              CAST(CAST(TIMESTAMP '2025-06-01 00:00:00' AS DATE) - INTERVAL 12 MONTH AS TIMESTAMP)
+        GROUP BY 1
+        ORDER BY month
+        """
+    ),
+)
+def a11_modification_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return st.modification_timeline(_files(spark, sf_dir))
+
+
+@register(
+    "a7_phase2_work_selection",
+    with_files_cte(
+        """
+        SELECT file_size, COUNT(*) AS file_count,
+               CAST(SUM(CASE WHEN checksum IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_without_checksum
+        FROM files
+        WHERE file_size > 0
+        GROUP BY file_size
+        HAVING COUNT(*) > 1 AND SUM(CASE WHEN checksum IS NULL THEN 1 ELSE 0 END) > 0
+        ORDER BY file_size
+        """
+    ),
+)
+def a7_phase2_work_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return st.phase2_work_selection(_files(spark, sf_dir))
+
+
+@register(
+    "a7b_phase2_files_to_hash",
+    with_files_cte(
+        """
+        , sizes AS (
+            SELECT file_size FROM files WHERE file_size > 0
+            GROUP BY file_size
+            HAVING COUNT(*) > 1 AND SUM(CASE WHEN checksum IS NULL THEN 1 ELSE 0 END) > 0
+        )
+        SELECT path, filename, file_size FROM files
+        WHERE checksum IS NULL AND file_size IN (SELECT file_size FROM sizes)
+        ORDER BY path, filename
+        """
+    ),
+)
+def a7b_phase2_files_to_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return st.phase2_files_to_hash(_files(spark, sf_dir))
