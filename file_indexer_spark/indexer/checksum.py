@@ -33,11 +33,13 @@ def checksum_eligible_expr(
 ) -> Column:
     col = F.col(file_size) if isinstance(file_size, str) else file_size
     if max_checksum_size is not None and max_checksum_size < 0:
-        return F.lit(False)
+        return F.lit(False)  # negative => never hash (reference :1452-1476 phase 1)
     expr = F.lit(True)
     if skip_empty_files:
         expr = expr & (col > 0)
-    if max_checksum_size is not None:
+    # 0 or None => no size cap (reference cli.py:69-70 "0 for no limit";
+    # _should_calculate_checksum only caps when max > 0)
+    if max_checksum_size:
         expr = expr & (col <= max_checksum_size)
     return expr
 

@@ -93,8 +93,16 @@ def update_index(
     """
     scanned = scanned if scanned is not None else scan_directory(spark, root, recursive)
     merged = _classified_merge(scanned, table.read()).cache()
+    hashed = None
     try:
-        counts = {r["fate"]: r["n"] for r in merged.groupBy("fate").agg(F.count("*").alias("n")).collect()}
+        # one pass: fate counts + reuse (reference indexer.py:~303 only
+        # counts a reuse when the stored checksum was actually non-NULL)
+        counts = {
+            r["fate"]: (r["n"], r["with_checksum"])
+            for r in merged.groupBy("fate")
+            .agg(F.count("*").alias("n"), F.count("old_checksum").alias("with_checksum"))
+            .collect()
+        }
 
         changed = merged.filter(F.col("fate").isin("insert", "update")).select(
             "path",
@@ -102,12 +110,13 @@ def update_index(
             F.col("new_mtime").alias("modification_datetime"),
             F.col("new_size").alias("file_size"),
         )
-        eligible = checksum_eligible_expr(
-            -1 if max_checksum_size is None else max_checksum_size, skip_empty_files
-        )
+        eligible = checksum_eligible_expr(max_checksum_size, skip_empty_files)
         to_hash = changed.filter(eligible)
         no_hash = changed.filter(~eligible).withColumn("checksum", F.lit(None).cast("string"))
-        hashed = add_checksums(to_hash, algorithm)
+        # cache: count() and upsert() both consume it — without the cache
+        # every changed file would be opened and hashed twice (and could
+        # even hash differently between the two executions)
+        hashed = add_checksums(to_hash, algorithm).cache()
         n_hashed = hashed.count()
 
         upserts = (
@@ -116,17 +125,18 @@ def update_index(
         )
         table.upsert(upserts)
 
-        n_unchanged = counts.get("unchanged", 0)
         return IndexStats(
-            files_inserted=counts.get("insert", 0),
-            files_updated=counts.get("update", 0),
-            files_unchanged=n_unchanged,
+            files_inserted=counts.get("insert", (0, 0))[0],
+            files_updated=counts.get("update", (0, 0))[0],
+            files_unchanged=counts.get("unchanged", (0, 0))[0],
             checksums_calculated=n_hashed,
-            checksums_reused=n_unchanged,
-            extra={"missing_from_disk": counts.get("missing", 0)},
+            checksums_reused=counts.get("unchanged", (0, 0))[1],
+            extra={"missing_from_disk": counts.get("missing", (0, 0))[0]},
         )
     finally:
         merged.unpersist()
+        if hashed is not None:
+            hashed.unpersist()
 
 
 def phase2_checksums(

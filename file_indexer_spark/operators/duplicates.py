@@ -83,15 +83,22 @@ def duplicate_groups(
         scope.groupBy("checksum", "file_size")
         .agg(F.count("*").alias("file_count"))
         .filter(F.col("file_count") >= min_group_size)
-        .orderBy(F.desc("file_count"), F.desc("file_size"), "checksum")
     )
-    if offset:
-        groups = groups.offset(offset)
-    if limit is not None:
-        groups = groups.limit(limit)
+    # Sort + broadcast ONLY when paginating: a page is <= 1000 groups by
+    # API contract (reference models.py:83-88) so the broadcast is tiny;
+    # the unpaginated path (J3) can be millions of groups at 100 TB —
+    # no forced sort (the join discards order) and join strategy left
+    # to AQE / autoBroadcastJoinThreshold.
+    if limit is not None or offset:
+        groups = groups.orderBy(F.desc("file_count"), F.desc("file_size"), "checksum")
+        if offset:
+            groups = groups.offset(offset)
+        if limit is not None:
+            groups = groups.limit(limit)
+        groups = F.broadcast(groups)
 
     return (
-        scope.join(F.broadcast(groups.select("checksum", "file_size", "file_count")), ["checksum", "file_size"])
+        scope.join(groups.select("checksum", "file_size", "file_count"), ["checksum", "file_size"])
         .select(
             "checksum",
             "file_size",

@@ -229,7 +229,8 @@ def d5_duplicates_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_files_cte(
         """
         SELECT checksum, file_size, COUNT(*) AS file_count,
-               list(struct_pack(path := path, filename := filename) ORDER BY path, filename) AS files,
+               to_json(list(struct_pack(path := path, filename := filename)
+                            ORDER BY path, filename)) AS files,
                file_size * (COUNT(*) - 1) AS wasted_space
         FROM files
         WHERE checksum IS NOT NULL
@@ -240,7 +241,14 @@ def d5_duplicates_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def a12_duplicate_groups_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dup.duplicate_groups_nested(_files(spark, sf_dir))
+    # The nested ArrayType(Struct) result stays available via
+    # dup.duplicate_groups_nested; the gate-registered variant serializes
+    # the sorted array to one deterministic JSON string per group so the
+    # driver's canonicalizer can hash it (both engines emit compact
+    # [{"path":...,"filename":...}] with identical key order).
+    return dup.duplicate_groups_nested(_files(spark, sf_dir)).withColumn(
+        "files", F.to_json("files")
+    )
 
 
 @register(
