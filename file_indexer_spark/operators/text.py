@@ -1,0 +1,168 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The LLM-data-pipeline pillar: token counting, quality scoring,
+language identification, and document fingerprinting — the text
+preprocessing a large-scale training-data pipeline runs before dedup
+and filtering. The reference has no text operators (its corpus is file
+metadata); these extend SURVEY.md §2 as first-class components over the
+driver's ``documents(doc_id, text, lang, source, n_chars)`` table.
+
+Every operator is a pure Catalyst expression program (split / lambda
+higher-order functions / window aggregation) — no Python UDFs, so the
+whole plan stays inside whole-stage codegen and scales linearly with
+the corpus: per-document expressions are map-side only; the only
+shuffles are the final aggregations on low-cardinality keys.
+
+Determinism: token math is integer-only where possible; every emitted
+double is computed by an identical expression tree in the DuckDB oracle
+and rounded, so results hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Closed-class marker words used for the stopword-ratio quality signal.
+# (The synthetic corpus vocabulary contains 'the' and 'a'.)
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+def _tokens():
+    # built lazily: Column construction requires an active SparkContext
+    return F.split(F.col("text"), " ")
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    """Whitespace tokenization (the BPE-ish regex split is t2's job)."""
+    return docs.withColumn("tokens", _tokens())
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """t1: corpus token/char statistics per (source, lang).
+
+    Map-side per-doc expressions + one hash aggregation on a ~100-key
+    grouping — at 100 TB the shuffle carries only partial aggregates.
+    """
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(_tokens()).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_doc_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def quality_scores(docs: DataFrame, min_score: float = 0.5) -> DataFrame:
+    """t2: per-document quality signals + a composite score.
+
+    Signals (all JVM-side lambda expressions over the token array):
+      * type-token ratio (vocabulary diversity),
+      * stopword ratio,
+      * mean token length,
+      * length credit (saturating at 300 tokens).
+    ``low_quality`` flags docs under ``min_score`` — the filter a
+    training-data pipeline applies before ingestion.
+    """
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens()).alias("n_tokens"),
+        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct_tokens"),
+        F.expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))").alias(
+            "total_token_chars"
+        ),
+        F.expr(f"size(filter(split(text, ' '), t -> t in ({stop_list})))").alias("n_stopwords"),
+    )
+    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
+    length_credit = F.least(F.col("n_tokens").cast("double") / 300.0, F.lit(1.0))
+    score = 0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_credit
+    return (
+        d.withColumn("avg_token_len", F.round(F.col("total_token_chars").cast("double") / F.col("n_tokens").cast("double"), 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+        .withColumn("low_quality", score < F.lit(min_score))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_distinct_tokens",
+            "avg_token_len",
+            "stopword_ratio",
+            "quality_score",
+            "low_quality",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def language_confusion(docs: DataFrame) -> DataFrame:
+    """t3: n-gram (bag-of-words) language identification, evaluated as
+    a confusion matrix against the labeled ``lang`` column.
+
+    Classic profile-based language ID: build per-language word-frequency
+    profiles from the corpus, score each document against every profile
+    (sum of profile counts over the doc's token instances — integer
+    arithmetic, fully deterministic), predict the argmax (ties broken by
+    language code). Scale shape: the profile is tiny (vocab × #langs) and
+    broadcast; the doc-side explode is map-local; the score aggregation
+    shuffles on (doc_id, lang) then reduces to the confusion matrix.
+    """
+    words = docs.select("doc_id", F.col("lang").alias("actual_lang"), F.explode(_tokens()).alias("word"))
+    profile = (
+        words.groupBy(F.col("actual_lang").alias("profile_lang"), "word")
+        .agg(F.count("*").alias("profile_count"))
+    )
+    scores = (
+        words.join(F.broadcast(profile), "word")
+        .groupBy("doc_id", "actual_lang", "profile_lang")
+        .agg(F.sum("profile_count").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "profile_lang")
+    predicted = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "actual_lang", F.col("profile_lang").alias("predicted_lang"))
+    )
+    return (
+        predicted.groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+def fingerprints(docs: DataFrame, k: int = 5) -> DataFrame:
+    """t4: per-document fingerprints — exact content hash plus a k-min
+    sketch of word 4-gram hashes (winnowing-style selection: the k
+    smallest shingle hashes form a robust near-dup fingerprint).
+
+    All expression-level: the shingle set never leaves the executor;
+    output is O(1) per document.
+    """
+    shingle_hashes = (
+        "array_distinct(transform("
+        "  sequence(1, greatest(size(split(text,' ')) - 3, 1)),"
+        "  i -> cast(conv(substr(md5(array_join(slice(split(text,' '), i, 4), ' ')), 1, 15), 16, 10) as bigint)"
+        "))"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_hash"),
+        F.expr(f"size({shingle_hashes})").alias("n_shingles"),
+        F.expr(f"array_min({shingle_hashes})").alias("min_shingle_hash"),
+        F.md5(
+            F.expr(f"array_join(transform(slice(array_sort({shingle_hashes}), 1, {k}), h -> cast(h as string)), '-')")
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")

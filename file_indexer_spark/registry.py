@@ -22,10 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_indexer_spark.operators import duplicates as dup
+from file_indexer_spark.operators import events as ev
 from file_indexer_spark.operators import search as srch
 from file_indexer_spark.operators import stats as st
+from file_indexer_spark.operators import text as tx
 from file_indexer_spark.session import tune_session
-from file_indexer_spark.tables import files_df, with_files_cte
+from file_indexer_spark.tables import events_df, files_df, load_table, with_files_cte
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -46,6 +48,16 @@ def register(name: str, oracle: str | None = None):
 def _files(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     return files_df(spark, sf_dir)
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return events_df(spark, sf_dir)
 
 
 # ---------------------------------------------------------------- S5/O1
@@ -428,3 +440,223 @@ def a7_phase2_work_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a7b_phase2_files_to_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.phase2_files_to_hash(_files(spark, sf_dir))
+
+
+# ------------------------------------------------------- LLM pillar: text
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+@register(
+    "t1_token_stats",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_doc_tokens
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t2_quality_scores",
+    f"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+               CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT)
+                   AS total_token_chars,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS INTEGER)
+                   AS n_stopwords
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_distinct_tokens,
+           round(CAST(total_token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+           round(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+           round(0.5 * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0), 6) AS quality_score,
+           (0.5 * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0)) < 0.5 AS low_quality
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_scores(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t3_language_confusion",
+    """
+    WITH words AS (
+        SELECT doc_id, lang AS actual_lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    profile AS (
+        SELECT actual_lang AS profile_lang, word, COUNT(*) AS profile_count
+        FROM words GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT w.doc_id, w.actual_lang, p.profile_lang,
+               CAST(SUM(p.profile_count) AS BIGINT) AS score
+        FROM words w JOIN profile p USING (word)
+        GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT doc_id, actual_lang, profile_lang AS predicted_lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
+        FROM scores
+    )
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def t3_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.language_confusion(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t4_fingerprints",
+    """
+    WITH s AS (
+        SELECT doc_id, md5(text) AS content_hash,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+                   i -> ('0x' || substring(md5(array_to_string(
+                            string_split(text, ' ')[i:i+3], ' ')), 1, 15))::BIGINT
+               )) AS hashes
+        FROM documents
+    )
+    SELECT doc_id, content_hash,
+           CAST(len(hashes) AS INTEGER) AS n_shingles,
+           list_min(hashes) AS min_shingle_hash,
+           md5(array_to_string(list_transform(list_sort(hashes)[1:5], h -> h::VARCHAR), '-'))
+               AS fingerprint
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprints(_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------- LLM pillar: events
+
+@register(
+    "e1_sessionization",
+    f"""
+    WITH flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {ev.SESSION_GAP_MINUTES} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           round(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def e1_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionize(_events(spark, sf_dir))
+
+
+@register(
+    "e2_tumbling_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def e2_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.tumbling_counts(_events(spark, sf_dir))
+
+
+@register(
+    "e3_funnel",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase IS NOT NULL AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+    FROM per_user
+    """,
+)
+def e3_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.funnel(_events(spark, sf_dir))
+
+
+@register(
+    "e4_top_users",
+    """
+    WITH totals AS (
+        SELECT user_id, COUNT(*) AS n_events, round(SUM(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY total_value DESC, user_id) AS INTEGER) AS rank,
+           user_id, n_events, total_value
+    FROM totals
+    ORDER BY total_value DESC, user_id
+    LIMIT 20
+    """,
+)
+def e4_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.top_users(_events(spark, sf_dir))
+
+
+@register(
+    "e5_props_stats",
+    """
+    WITH parsed AS (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           round(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE), 6) AS avg_k
+    FROM parsed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def e5_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.props_stats(_events(spark, sf_dir))

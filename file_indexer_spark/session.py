@@ -52,6 +52,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # events.parquet stores TIMESTAMP(NANOS); surface as long nanos
+        # (events_df converts to microsecond timestamps)
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
             spark.conf.set(key, value)

@@ -66,6 +66,21 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` as a proper TimestampType.
+
+    The driver's events parquet stores TIMESTAMP(NANOS), which Spark's
+    vectorized reader only surfaces as nanosecond longs (via
+    ``spark.sql.legacy.parquet.nanosAsLong``, set in ``tune_session``);
+    truncate to microseconds exactly as DuckDB's TIMESTAMP_NS → TIMESTAMP
+    cast does so both engines see identical values.
+    """
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical ``files`` fact table, derived from ``documents``.
 
