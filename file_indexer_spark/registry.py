@@ -660,3 +660,106 @@ def e4_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e5_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.props_stats(_events(spark, sf_dir))
+
+
+# ------------------------------------------------------ LLM pillar: dedup
+
+from file_indexer_spark.functions import hashing as H  # noqa: E402
+from file_indexer_spark.operators import dedup as dd  # noqa: E402
+
+@register(
+    "dd1_exact_dedup",
+    """
+    SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id,
+           array_to_string(list_transform(list_sort(list(doc_id)), x -> x::VARCHAR), ',')
+               AS doc_ids
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents) t
+    GROUP BY content_hash
+    HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicates(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd2_ngram_jaccard",
+    f"""
+    WITH sets AS (SELECT doc_id, {H.duck_shingle_hashes()} AS shingles FROM documents),
+    expl AS (SELECT doc_id, unnest(shingles) AS h FROM sets),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM expl GROUP BY h),
+    kept AS (SELECT e.doc_id, e.h, d.df FROM expl e JOIN dfreq d USING (h)
+             WHERE d.df <= {dd.MAX_DF}),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM kept GROUP BY doc_id),
+    pair_gen AS (SELECT doc_id, h FROM kept WHERE df >= 2),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
+        FROM pair_gen a JOIN pair_gen b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, common_shingles, sa.set_size AS n_a, sb.set_size AS n_b,
+           round(CAST(common_shingles AS DOUBLE)
+                 / CAST(sa.set_size + sb.set_size - common_shingles AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common_shingles AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - common_shingles AS DOUBLE)
+          >= {dd.JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd3_minhash_lsh",
+    f"""
+    WITH sets AS (SELECT doc_id, {H.duck_shingle_hashes()} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, shingles, {H.duck_minhash_sig("shingles")} AS sig FROM sets),
+    bands AS (SELECT doc_id, j AS band, {H.duck_band_hash("sig", "j")} AS digest
+              FROM sigs, range(0, {H.LSH_BANDS}) t(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb
+        FROM cand
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+    FROM verified
+    WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {dd.JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd4_simhash",
+    f"""
+    WITH fp AS (SELECT doc_id, {H.duck_simhash(H.duck_shingle_hashes())} AS simhash
+                FROM documents),
+    bands AS (SELECT doc_id, simhash, j AS band,
+                     (simhash >> (j * {H.SIMHASH_BAND_WIDTH}))
+                     & {(1 << H.SIMHASH_BAND_WIDTH) - 1} AS band_value
+              FROM fp, range(0, {H.SIMHASH_BANDS}) t(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sh_a, b.simhash AS sh_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_value = b.band_value
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {H.HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(_table(spark, sf_dir, "documents"))
