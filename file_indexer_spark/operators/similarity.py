@@ -1,0 +1,166 @@
+"""Similarity search over the ``embeddings`` table
+(``vec_id BIGINT, embedding FLOAT[64], label INT``).
+
+Two operators, the baseline and the scale path:
+
+  sim1 brute-force cosine top-k — exact. The query set is broadcast;
+       per-(query, candidate) cosine is map-side expression work over
+       the corpus scan; only (query x corpus) score rows shuffle into
+       the per-query top-k. The reference engine has no vector ops —
+       this extends SURVEY.md §2 for the LLM-pipeline pillar.
+
+  sim2 IVF (inverted-file) ANN — the 100 TB shape. A deterministic
+       centroid subset partitions the corpus (build: broadcast
+       centroids, argmax-cosine assignment, one narrow table); a query
+       probes only its ``nprobe`` nearest centroid lists, turning
+       full-corpus scans into ~nprobe/n_centroids of the data. Recall
+       is traded for that pruning; tests assert it against sim1.
+
+Determinism (the oracle hash-matches bit-for-bit): float32 values cast
+to double, dot products accumulated in a strict left-to-right fold —
+Spark ``aggregate(zip_with(...))`` and DuckDB ``list_reduce`` produce
+the identical IEEE sum — ties in top-k ranking broken by vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOP_K = 10
+N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
+NPROBE = 3
+
+# strict left-to-right double fold => same IEEE result in both engines
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.expr(f"sqrt({_DOT.format(a=vec, b=vec)})"))
+
+
+def _cosine(a_vec: str, a_norm: str, b_vec: str, b_norm: str) -> F.Column:
+    return F.expr(f"{_DOT.format(a=a_vec, b=b_vec)} / ({a_norm} * {b_norm})")
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = TOP_K,
+) -> DataFrame:
+    """sim1: exact top-k nearest neighbors by cosine similarity.
+
+    ``queries`` defaults to the vec_id < N_QUERIES slice of the corpus.
+    Self-matches are excluded. Output: (query_id, neighbor_id, rank,
+    cosine) with rank 1..k per query.
+    """
+    corpus = _with_norm(embeddings).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    if queries is None:
+        queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    q = _with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine("q_emb", "q_norm", "n_emb", "n_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _centroids(embeddings: DataFrame) -> DataFrame:
+    """Deterministic centroid set: one representative vector per label
+    (the min vec_id). A replayable stand-in for k-means "training" that
+    both engines compute identically — on real data, swap in
+    ``pyspark.ml.clustering.KMeans`` centers; the build/search path is
+    unchanged (nearest-centroid assignment + nprobe search)."""
+    reps = embeddings.groupBy("label").agg(F.min("vec_id").alias("vec_id")).select("vec_id")
+    return embeddings.join(reps, "vec_id")
+
+
+def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+    """IVF build: assign every vector to its nearest centroid
+    (argmax cosine, ties to the smaller centroid id). Centroids are
+    broadcast; assignment is one map-side scored pass + a per-vector
+    argmax — the narrow (vec_id, centroid_id) table is the index.
+    """
+    cents = _with_norm(_centroids(embeddings)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    vecs = _with_norm(embeddings).select(
+        "vec_id", F.col("embedding").alias("v_emb"), F.col("norm").alias("v_norm")
+    )
+    scored = vecs.join(F.broadcast(cents)).withColumn(
+        "cosine", _cosine("v_emb", "v_norm", "c_emb", "c_norm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """sim2: IVF ANN — each query searches only its ``nprobe`` nearest
+    centroid lists. Same output contract as sim1 (ranks may differ where
+    the true neighbor lives in an unprobed list — that's the trade)."""
+    assign = ivf_assignments(embeddings)
+    corpus = _with_norm(embeddings).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+
+    queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    cents = _with_norm(_centroids(embeddings)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    q = _with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_cosine"), "centroid_id")
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("c_cosine", _cosine("q_emb", "q_norm", "c_emb", "c_norm"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "centroid_id")
+    )
+    scored = (
+        corpus.join(probes, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine("q_emb", "q_norm", "n_emb", "n_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )

@@ -763,3 +763,96 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- LLM pillar: similarity
+
+from file_indexer_spark.operators import similarity as sim  # noqa: E402
+
+# DuckDB rendition of the strict left-to-right double fold used by
+# operators/similarity.py — list_reduce folds (p1+p2)+p3..., Spark's
+# aggregate folds (0.0+p1)+p2...: identical IEEE sums.
+_DUCK_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+_DUCK_NORMS = f"""
+    SELECT vec_id, embedding,
+           sqrt({_DUCK_DOT.format(a="embedding", b="embedding")}) AS norm
+    FROM embeddings
+"""
+
+
+@register(
+    "sim1_cosine_topk",
+    f"""
+    WITH c AS ({_DUCK_NORMS}),
+    q AS (SELECT * FROM c WHERE vec_id < {sim.N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} / (q.norm * c.norm)
+                   AS cosine
+        FROM q, c
+        WHERE c.vec_id != q.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+               cosine
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= {sim.TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim2_ivf_ann",
+    f"""
+    WITH c AS ({_DUCK_NORMS}),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
+                ON c.vec_id = reps.vec_id),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                        / (v.norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM c v, cents) t
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+          FROM c WHERE vec_id < {sim.N_QUERIES}),
+    probes AS (
+        SELECT query_id, q_emb, q_norm, centroid_id FROM (
+            SELECT q.query_id, q.q_emb, q.q_norm, cents.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                        {_DUCK_DOT.format(a="q.q_emb", b="cents.c_emb")}
+                        / (q.q_norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM q, cents) t
+        WHERE rn <= {sim.NPROBE}),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="p.q_emb", b="c.embedding")} / (p.q_norm * c.norm)
+                   AS cosine
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN c ON c.vec_id = a.vec_id
+        WHERE c.vec_id != p.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+               cosine
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= {sim.TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def sim2_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_topk(_table(spark, sf_dir, "embeddings"))

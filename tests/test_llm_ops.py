@@ -1,0 +1,85 @@
+"""Semantic tests for the LLM-pipeline operators — properties the
+oracle diff can't express (recall of approximate methods vs their
+exact baselines, invariants of scores and sessions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from file_indexer_spark.operators import dedup as dd
+from file_indexer_spark.operators import events as ev
+from file_indexer_spark.operators import similarity as sim
+from file_indexer_spark.operators import text as tx
+from file_indexer_spark.tables import events_df, load_table
+from file_indexer_spark.session import tune_session
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_oracle):
+    tune_session(spark)
+    return load_table(spark, sf_oracle, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_oracle):
+    tune_session(spark)
+    return load_table(spark, sf_oracle, "embeddings").cache()
+
+
+def test_ivf_recall_vs_exact(embeddings):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(embeddings).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in sim.ivf_topk(embeddings).collect()
+    }
+    assert len(exact) == sim.N_QUERIES * sim.TOP_K
+    recall = len(exact & approx) / len(exact)
+    # nprobe=3 over ~14 lists: most true neighbors should be found
+    assert recall >= 0.7, f"IVF recall {recall:.2f} too low"
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    # the synthetic corpus plants ~25 pairs with Jaccard >= 0.8
+    lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in dd.minhash_lsh_pairs(docs).collect()}
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.ngram_jaccard_pairs(docs).collect()
+    }
+    assert len(exact_pairs) >= 20
+    # LSH candidates are verified with exact Jaccard on unpruned sets,
+    # dd2 uses pruned sets — they must agree on the planted dups
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} vs exact Jaccard"
+
+
+def test_simhash_agrees_with_jaccard(docs):
+    sim_pairs = {(r["doc_a"], r["doc_b"]) for r in dd.simhash_pairs(docs).collect()}
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.ngram_jaccard_pairs(docs).collect()
+    }
+    # hamming <= 3 on 60 bits is a tighter notion than Jaccard 0.8;
+    # everything SimHash flags should be a true near-dup
+    assert sim_pairs, "SimHash found no pairs"
+    assert sim_pairs <= exact_pairs
+
+
+def test_quality_scores_bounded(docs):
+    rows = tx.quality_scores(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_sessions_partition_events(spark, sf_oracle):
+    events = events_df(spark, sf_oracle)
+    sessions = ev.sessionize(events)
+    assert sessions.groupBy().sum("n_events").collect()[0][0] == events.count()
+
+
+def test_funnel_monotone(spark, sf_oracle):
+    row = ev.funnel(events_df(spark, sf_oracle)).collect()[0]
+    assert row["n_users"] >= row["n_viewed"] >= row["n_clicked_after_view"] >= row[
+        "n_purchased_after_click"
+    ] >= 0
