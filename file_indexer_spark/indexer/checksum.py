@@ -21,6 +21,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 CHUNK_SIZE = 64 * 1024  # reference indexer.py:38
 DEFAULT_MAX_CHECKSUM_SIZE = 100 * 1024 * 1024  # reference cli.py:69-70
@@ -66,7 +67,15 @@ def add_checksums(files: DataFrame, algorithm: str = "sha256") -> DataFrame:
     runs fully parallel across executor tasks. Input partitioning is
     preserved — repartition upstream if hash work is skewed by size.
     """
-    schema = files.schema.add("checksum", "string") if "checksum" not in files.columns else files.schema
+    # build a NEW StructType: StructType.add mutates in place, and
+    # df.schema is cached on the DataFrame — mutating it corrupts the
+    # input's own column resolution (mapInPandas resolves self.columns)
+    if "checksum" not in files.columns:
+        schema = T.StructType(
+            list(files.schema.fields) + [T.StructField("checksum", T.StringType(), True)]
+        )
+    else:
+        schema = files.schema
     out_cols = [f.name for f in schema.fields]
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

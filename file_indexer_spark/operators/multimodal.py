@@ -1,0 +1,165 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads with typed
+metadata, decoded/transformed by Arrow-batched pandas stages.
+
+Design (the piece that must be right at 100 TB):
+  * media travels as an opaque BinaryType column + a typed metadata
+    struct — never decoded until a stage needs pixels/samples;
+  * decode / feature-extract / frame-sample are ``mapInPandas`` stages:
+    Arrow moves each batch across the Python boundary once, the UDF is
+    vectorized over the batch, and output schemas are declared up front
+    so downstream Catalyst stages stay fully typed;
+  * partitioning: blobs are processed where they sit — no shuffle is
+    introduced by any stage here; size-skew is handled upstream by
+    ``repartitionByRange`` on byte_len if needed.
+
+This container has no image/audio codecs, so the real decoders are
+import-gated stubs (``NotImplementedError`` outside test fakes) and the
+tested path uses FAKE_MEDIA_FORMAT — a deterministic 12-byte header
+(width, height, channels, little-endian u32) + payload — which keeps
+every Spark-side contract (schemas, batch shapes, null handling for
+corrupt blobs) real and testable.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FAKE_HEADER = struct.Struct("<III")  # width, height, channels
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("payload_bytes", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def encode_fake_media(width: int, height: int, channels: int, payload: bytes) -> bytes:
+    """Build a FAKE_MEDIA_FORMAT blob (test fixture helper)."""
+    return FAKE_HEADER.pack(width, height, channels) + payload
+
+
+def _decode_fake(content: bytes | None) -> tuple:
+    if content is None:
+        return (None, None, None, None, "null content")
+    if len(content) < FAKE_HEADER.size:
+        return (None, None, None, None, "truncated header")
+    w, h, c = FAKE_HEADER.unpack_from(content)
+    return (int(w), int(h), int(c), len(content) - FAKE_HEADER.size, None)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode stage: (media_id, media_type, content) → typed metadata.
+
+    Corrupt/missing blobs yield a ``decode_error`` row instead of
+    failing the task (the D6 error-isolation pattern, executor-side).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_decode_fake(c) for c in pdf["content"]]
+            out = pd.DataFrame(
+                decoded,
+                columns=["width", "height", "channels", "payload_bytes", "decode_error"],
+            )
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
+    """Real-image decode stage. STUB: this container ships no codecs.
+
+    On a cluster with Pillow installed the body is identical to
+    ``decode_media`` with ``PIL.Image.open(io.BytesIO(content))``
+    supplying (width, height, mode) — the Spark-side contract
+    (mapInPandas, DECODED_SCHEMA, error column) does not change.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "use decode_media (FAKE_MEDIA_FORMAT) for the tested path"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here on a codec-equipped cluster")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int, every_k: int = 2) -> DataFrame:
+    """Frame-sampling stage: treat the payload as fixed-size frames,
+    emit every k-th frame as its own row (1→N mapInPandas — the batch
+    shape a video pipeline uses; no shuffle, frames stay partition-local).
+    """
+
+    header_size = FAKE_HEADER.size  # plain int: Struct objects can't pickle
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                payload = content[header_size:]
+                n = len(payload) // frame_size
+                for i in range(0, n, every_k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * frame_size:(i + 1) * frame_size]))
+            yield pd.DataFrame({"media_id": ids, "frame_index": idxs, "frame": frames})
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def binary_metadata(docs: DataFrame) -> DataFrame:
+    """m1: treat each document's text as an opaque binary blob and
+    aggregate blob metadata per source — the metadata-over-binary query
+    shape (content hash, byte sizes) computed entirely JVM-side
+    (``sha2``/``encode``), no Python in the loop."""
+    blobs = docs.select(
+        "source",
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    ).select(
+        "source",
+        F.length("content").cast("long").alias("byte_len"),
+        F.sha2(F.col("content"), 256).alias("digest"),
+    )
+    return (
+        blobs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum("byte_len").cast("long").alias("total_bytes"),
+            F.max("byte_len").cast("long").alias("max_bytes"),
+            F.countDistinct("digest").alias("distinct_digests"),
+        )
+        .orderBy("source")
+    )

@@ -856,3 +856,23 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim2_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------ LLM pillar: multimodal
+
+from file_indexer_spark.operators import multimodal as mm  # noqa: E402
+
+@register(
+    "m1_binary_metadata",
+    """
+    SELECT source, COUNT(*) AS n_blobs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS distinct_digests
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def m1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.binary_metadata(_table(spark, sf_dir, "documents"))

@@ -1,0 +1,72 @@
+"""Watermarked windowed aggregation over a streaming ``events`` source.
+
+The streaming rendition of ``operators.events.tumbling_counts``: read
+event files as they land, aggregate per (1-hour tumbling window,
+event_type) with a watermark bounding both state size and late-data
+acceptance. State shape at scale: one row per open (window, type) —
+the watermark lets Spark drop windows older than the threshold, so
+state is O(active windows), not O(stream length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str, fmt: str = "parquet") -> DataFrame:
+    """File-source stream: every new file in ``source_dir`` becomes a
+    micro-batch (schema must be declared for streaming reads)."""
+    return spark.readStream.format(fmt).schema(EVENTS_STREAM_SCHEMA).load(source_dir)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts with late-data tolerance. Works on both a
+    streaming DataFrame (stateful, watermark-bounded) and a batch one
+    (degenerates to a plain groupBy) — the tests pin both to the same
+    answer as the batch operator."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, table_name: str):
+    """Drain everything currently available into an in-memory table and
+    stop — the deterministic test harness for streaming queries."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1,0 +1,52 @@
+"""Plan-shape assertions: the properties that matter at 100 TB.
+
+Correct answers at sf0.01 are necessary, not sufficient — these tests
+pin pushdown, pruning, forced-broadcast discipline and shuffle counts
+so a regression shows up as a failing test, not a cluster incident."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from file_indexer_spark.operators import duplicates as dup
+from file_indexer_spark.plans import inspect as pi
+from file_indexer_spark.tables import files_df, load_table
+
+
+def test_files_derivation_prunes_text_column(spark, sf_smoke):
+    """documents.text is wide; the files derivation must not read it."""
+    cols = pi.scan_columns(files_df(spark, sf_smoke))
+    assert "text" not in cols
+    assert {"doc_id", "source", "lang", "n_chars"} <= cols
+
+
+def test_search_filters_push_into_scan(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "documents").filter(
+        (F.col("n_chars") > 100) & (F.col("lang") == "en")
+    ).select("doc_id")
+    pushed = pi.pushed_filters(df)
+    assert any("n_chars" in f for f in pushed), pushed
+    assert any("lang" in f for f in pushed), pushed
+    assert pi.scan_columns(df) == {"doc_id", "n_chars", "lang"}
+
+
+def test_unbounded_duplicate_groups_has_no_forced_broadcast(spark, sf_smoke):
+    """The J3 path (limit=None) must leave join strategy to AQE — a
+    forced broadcast of an unbounded group set OOMs at scale."""
+    files = files_df(spark, sf_smoke)
+    unbounded = dup.duplicate_groups(files, min_group_size=2, filename_pattern="%.fr")
+    assert not pi.has_broadcast_hint(unbounded)
+    paged = dup.duplicate_groups(files, min_group_size=2, limit=100)
+    assert pi.has_broadcast_hint(paged)
+
+
+def test_duplicate_files_single_shuffle(spark, sf_smoke):
+    """Window-count dedup needs exactly one hash exchange (on checksum)
+    before the final sort — no self-join, no extra shuffles."""
+    df = dup.duplicate_files(files_df(spark, sf_smoke))
+    assert pi.count_exchanges(df) <= 2  # hash on checksum + range for sort
+
+
+def test_codegen_covers_files_pipeline(spark, sf_smoke):
+    df = files_df(spark, sf_smoke).filter(F.col("file_size") > 10)
+    assert pi.codegen_stage_count(df) >= 1
