@@ -89,3 +89,18 @@ class FilesTable:
         """Directory-level delete (reference indexer.py:1762-1787)."""
         current = self.read()
         self.overwrite(current.join(paths.select("path").distinct(), ["path"], "left_anti"))
+
+    # -- JSON interchange (S11, reference indexer.go:294-338) ----------
+    # default JSON timestamps are millisecond-precision; stat() mtimes
+    # carry microseconds — pin a lossless format on both sides
+    _JSON_TS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+    def export_json(self, dest: str) -> None:
+        """Whole-index JSON export (newline-delimited, partitioned —
+        the distributed analogue of the Go engine's single JSON doc)."""
+        self.read().write.mode("overwrite").option("timestampFormat", self._JSON_TS).json(dest)
+
+    def import_json(self, src: str) -> None:
+        """Replace the table from a JSON export."""
+        df = self.spark.read.schema(FILES_SCHEMA).option("timestampFormat", self._JSON_TS).json(src)
+        self.overwrite(df)

@@ -876,3 +876,26 @@ from file_indexer_spark.operators import multimodal as mm  # noqa: E402
 )
 def m1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.binary_metadata(_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------- S12 raw SQL
+
+from file_indexer_spark.sql import register_views, run_sql  # noqa: E402
+
+_S12_SQL = """
+    SELECT path, COUNT(*) AS n_files,
+           CAST(SUM(file_size) AS BIGINT) AS total_size,
+           COUNT(checksum) AS with_checksum
+    FROM files
+    GROUP BY path
+    ORDER BY path
+"""
+
+
+@register("s12_raw_sql", with_files_cte(_S12_SQL))
+def s12_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL passthrough: the SAME SQL text a user would type runs via
+    spark.sql over the registered views (reference database.go:269-317)."""
+    tune_session(spark)
+    register_views(spark, sf_dir)
+    return run_sql(spark, _S12_SQL)

@@ -1,0 +1,139 @@
+"""CLI + serving-layer tests (reference tests/test_cli.py semantics for
+parse_size/format_size; api_backend pagination math for has_more)."""
+
+from __future__ import annotations
+
+import pytest
+
+from file_indexer_spark.cli import format_size, main, parse_size
+from file_indexer_spark.serving import paginate
+from file_indexer_spark.tables import files_df
+
+
+# ---------------------------------------------------------- parse_size
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("0", 0),
+        ("123", 123),
+        ("1B", 1),
+        ("1KB", 1024),
+        ("100MB", 100 * 1024**2),
+        ("2GB", 2 * 1024**3),
+        ("1TB", 1024**4),
+        ("1.5KB", 1536),
+        ("100mb", 100 * 1024**2),
+        (" 10 KB ", 10240),
+        ("-1", -1),
+    ],
+)
+def test_parse_size(text, expected):
+    assert parse_size(text) == expected
+
+
+@pytest.mark.parametrize("bad", ["", "abc", "10XB", "MB", "1..2KB"])
+def test_parse_size_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_size(bad)
+
+
+@pytest.mark.parametrize(
+    "num,expected",
+    [
+        (0, "0.0 B"),
+        (512, "512.0 B"),
+        (1024, "1.0 KB"),
+        (1536, "1.5 KB"),
+        (1024**2, "1.0 MB"),
+        (5 * 1024**3, "5.0 GB"),
+        (1024**5, "1.0 PB"),
+    ],
+)
+def test_format_size(num, expected):
+    assert format_size(num) == expected
+
+
+# ------------------------------------------------------------ commands
+
+@pytest.fixture()
+def tree(tmp_path):
+    root = tmp_path / "tree"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("hello world")
+    (root / "b.txt").write_text("hello world")  # duplicate content
+    (root / "c.bin").write_text("unique content")
+    (root / "sub" / "d.txt").write_text("deep file")
+    (root / "empty.txt").write_text("")
+    return root
+
+
+def test_cli_index_search_duplicates_stats(spark, tree, tmp_path, capsys):
+    db = str(tmp_path / "db")
+    assert main(["index", str(tree), "--db", db, "--two-phase"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "5 new" in out
+    # two-phase: only the duplicate-size group (a.txt/b.txt) gets hashed
+    assert "2 checksums calculated" in out
+
+    assert main(["search", "--db", db, "--filename", "%.txt"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "4 file(s)" in out
+
+    assert main(["duplicates", "--db", db], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "1 duplicate group(s)" in out
+    assert "a.txt" in out and "b.txt" in out
+
+    assert main(["stats", "--db", db], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "total_files: 5" in out
+
+    # raw SQL over the indexed table
+    assert main(["sql", "--db", db, "SELECT COUNT(*) AS n FROM files"], spark=spark) == 0
+    assert "5" in capsys.readouterr().out
+
+
+def test_cli_cleanup_removes_deleted(spark, tree, tmp_path, capsys):
+    db = str(tmp_path / "db")
+    main(["index", str(tree), "--db", db], spark=spark)
+    capsys.readouterr()
+    (tree / "c.bin").unlink()
+    assert main(["cleanup", "--db", db], spark=spark) == 0
+    assert "removed 1 stale file row(s)" in capsys.readouterr().out
+    main(["stats", "--db", db], spark=spark)
+    assert "total_files: 4" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------- O6 / S11
+
+def test_paginate_has_more(spark, sf_smoke):
+    files = files_df(spark, sf_smoke)
+    total = files.count()
+    first = paginate(files, ["path", "filename"], limit=10)
+    assert first.total_count == total
+    assert len(first.rows) == 10
+    assert first.has_more
+    last = paginate(files, ["path", "filename"], limit=10, offset=total - 5)
+    assert len(last.rows) == 5
+    assert not last.has_more
+    # pages are disjoint and ordered
+    second = paginate(files, ["path", "filename"], limit=10, offset=10)
+    k = lambda r: (r["path"], r["filename"])
+    assert {k(r) for r in first.rows}.isdisjoint({k(r) for r in second.rows})
+
+
+def test_json_round_trip(spark, tree, tmp_path):
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.indexer.two_phase import update_index
+
+    db = FilesTable(spark, str(tmp_path / "db"))
+    update_index(spark, db, str(tree))
+    before = {tuple(r) for r in db.read().collect()}
+
+    dest = str(tmp_path / "export.json")
+    db.export_json(dest)
+    db2 = FilesTable(spark, str(tmp_path / "db2"))
+    db2.import_json(dest)
+    after = {tuple(r) for r in db2.read().collect()}
+    assert before == after and len(before) == 5
