@@ -8,14 +8,19 @@ the equivalent is Delta/Iceberg ``MERGE INTO``; this container has
 plain Parquet, so MERGE is emulated as anti-join + union + atomic
 directory swap — the same shape a MERGE executes physically (join on
 the PK, rewrite touched files), with the swap standing in for the
-transaction log. The public API (upsert / delete / overwrite) is
-storage-agnostic so a Delta backend can slot in unchanged.
+transaction log.
 
-Scale note: emulated MERGE rewrites the whole table; Delta/Iceberg
-rewrite only matched files. For 100 TB, partition the table (e.g. by
-a path prefix / bucket of the PK) so the anti-join and rewrite touch
-only affected partitions — the API takes an optional partition column
-for exactly that.
+Scale: an UNPARTITIONED emulated MERGE rewrites the whole table —
+a non-starter at 100 TB. Pass ``buckets=N`` to hash-partition the
+table by ``xxhash64(path) % N``: upsert/delete then (a) compute the
+buckets its keys touch, (b) read ONLY those partition directories
+(partition pruning on the directory layout), and (c) swap only those
+directories — I/O proportional to the touched slice, not the table.
+Bucketing on ``path`` alone keeps directory-level deletes prunable
+too; a pathological single-directory table degenerates to one bucket,
+which is exactly the Hive partition-by-prefix trade. The public API
+(upsert / delete / overwrite) is storage-agnostic so a Delta backend
+can slot in unchanged.
 """
 
 from __future__ import annotations
@@ -40,29 +45,50 @@ FILES_SCHEMA = T.StructType(
 )
 
 PK = ["path", "filename"]
+_COLS = [f.name for f in FILES_SCHEMA.fields]
+BUCKET_COL = "pk_bucket"
 
 
 class FilesTable:
-    def __init__(self, spark: SparkSession, location: str):
+    def __init__(self, spark: SparkSession, location: str, buckets: int | None = None):
         self.spark = spark
         self.location = os.path.abspath(location)
+        self.buckets = buckets
+
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col("path")), F.lit(self.buckets)).cast("int")
 
     # -- read ---------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.isdir(self.location) and any(
-            name.endswith(".parquet") for name in os.listdir(self.location)
-        )
+        if not os.path.isdir(self.location):
+            return False
+        for _, _, names in os.walk(self.location):
+            if any(n.endswith(".parquet") for n in names):
+                return True
+        return False
+
+    def _read_raw(self) -> DataFrame:
+        """Table including the partition column (bucketed layout)."""
+        if not self.exists():
+            empty = self.spark.createDataFrame([], FILES_SCHEMA)
+            return empty.withColumn(BUCKET_COL, F.lit(None).cast("int")) if self.buckets else empty
+        if self.buckets:
+            return self.spark.read.parquet(self.location).select(*_COLS, BUCKET_COL)
+        return self.spark.read.schema(FILES_SCHEMA).parquet(self.location)
 
     def read(self) -> DataFrame:
-        if not self.exists():
-            return self.spark.createDataFrame([], FILES_SCHEMA)
-        return self.spark.read.schema(FILES_SCHEMA).parquet(self.location)
+        return self._read_raw().select(*_COLS)
 
     # -- write --------------------------------------------------------
     def overwrite(self, df: DataFrame) -> None:
         """Full replace via write-to-temp + atomic swap (S10)."""
         tmp = f"{self.location}.tmp-{uuid.uuid4().hex[:8]}"
-        df.select([f.name for f in FILES_SCHEMA.fields]).write.mode("overwrite").parquet(tmp)
+        writer = df.select(*_COLS)
+        if self.buckets:
+            writer = writer.withColumn(BUCKET_COL, self._bucket_expr())
+            writer.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        else:
+            writer.write.mode("overwrite").parquet(tmp)
         old = f"{self.location}.old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.location):
             os.rename(self.location, old)
@@ -70,25 +96,74 @@ class FilesTable:
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
+    def _swap_partitions(self, out: DataFrame, touched: list[int]) -> None:
+        """Rewrite ONLY the touched bucket directories: write the new
+        slice to a temp dir, then swap each ``pk_bucket=N`` directory
+        into place. Untouched buckets are never read or written."""
+        tmp = f"{self.location}.tmp-{uuid.uuid4().hex[:8]}"
+        out.withColumn(BUCKET_COL, self._bucket_expr()).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(tmp)
+        try:
+            os.makedirs(self.location, exist_ok=True)
+            for b in touched:
+                src = os.path.join(tmp, f"{BUCKET_COL}={b}")
+                dst = os.path.join(self.location, f"{BUCKET_COL}={b}")
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def _touched_buckets(self, keys: DataFrame) -> list[int]:
+        rows = keys.select(self._bucket_expr().alias("b")).distinct().collect()
+        return [r["b"] for r in rows]
+
     def upsert(self, updates: DataFrame) -> None:
         """MERGE: update matched PKs, insert the rest (S7/S8).
 
-        updates must carry the full files schema. Emulated as
-        current ANTI-JOIN updates-keys UNION updates.
+        Bucketed: touches only the partitions the update keys hash to.
         """
-        current = self.read()
-        kept = current.join(updates.select(*PK), PK, "left_anti")
-        self.overwrite(kept.unionByName(updates.select(current.columns)))
+        if not self.buckets or not self.exists():
+            current = self.read()
+            kept = current.join(updates.select(*PK), PK, "left_anti")
+            self.overwrite(kept.unionByName(updates.select(*_COLS)))
+            return
+        touched = self._touched_buckets(updates)
+        slice_df = self._read_raw().filter(F.col(BUCKET_COL).isin(touched)).select(*_COLS)
+        kept = slice_df.join(updates.select(*PK), PK, "left_anti")
+        self._swap_partitions(kept.unionByName(updates.select(*_COLS)), touched)
 
     def delete(self, keys: DataFrame) -> None:
-        """MERGE ... WHEN MATCHED DELETE (S9): anti-join rewrite."""
-        current = self.read()
-        self.overwrite(current.join(keys.select(*PK).distinct(), PK, "left_anti"))
+        """MERGE ... WHEN MATCHED DELETE (S9): anti-join rewrite of the
+        touched buckets only (bucketed) or the table (plain)."""
+        if not self.exists():
+            return
+        if not self.buckets:
+            current = self.read()
+            self.overwrite(current.join(keys.select(*PK).distinct(), PK, "left_anti"))
+            return
+        touched = self._touched_buckets(keys)
+        slice_df = self._read_raw().filter(F.col(BUCKET_COL).isin(touched)).select(*_COLS)
+        self._swap_partitions(
+            slice_df.join(keys.select(*PK).distinct(), PK, "left_anti"), touched
+        )
 
     def delete_paths(self, paths: DataFrame) -> None:
-        """Directory-level delete (reference indexer.py:1762-1787)."""
-        current = self.read()
-        self.overwrite(current.join(paths.select("path").distinct(), ["path"], "left_anti"))
+        """Directory-level delete (reference indexer.py:1762-1787) —
+        prunable because bucketing hashes ``path`` only."""
+        if not self.exists():
+            return
+        if not self.buckets:
+            current = self.read()
+            self.overwrite(current.join(paths.select("path").distinct(), ["path"], "left_anti"))
+            return
+        touched = self._touched_buckets(paths)
+        slice_df = self._read_raw().filter(F.col(BUCKET_COL).isin(touched)).select(*_COLS)
+        self._swap_partitions(
+            slice_df.join(paths.select("path").distinct(), ["path"], "left_anti"), touched
+        )
 
     # -- JSON interchange (S11, reference indexer.go:294-338) ----------
     # default JSON timestamps are millisecond-precision; stat() mtimes

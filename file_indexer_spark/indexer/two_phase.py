@@ -28,7 +28,7 @@ from file_indexer_spark.indexer.checksum import (
     checksum_eligible_expr,
 )
 from file_indexer_spark.indexer.files_table import PK, FilesTable
-from file_indexer_spark.indexer.scan import scan_directory
+from file_indexer_spark.indexer.scan import scan_with_counters
 from file_indexer_spark.operators.stats import phase2_work_selection
 
 
@@ -91,7 +91,9 @@ def update_index(
     are left in place — deletion is cleanup's job (D3), as in the
     reference.
     """
-    scanned = scanned if scanned is not None else scan_directory(spark, root, recursive)
+    scan_counters: dict[str, int] = {}
+    if scanned is None:
+        scanned, scan_counters = scan_with_counters(spark, root, recursive)
     merged = _classified_merge(scanned, table.read()).cache()
     hashed = None
     try:
@@ -118,6 +120,10 @@ def update_index(
         # even hash differently between the two executions)
         hashed = add_checksums(to_hash, algorithm).cache()
         n_hashed = hashed.count()
+        # every to_hash row was eligible, so a NULL checksum here means
+        # the executor could not read the file (reference D6 counts
+        # permission errors without failing the run, indexer.py:343-351)
+        n_hash_errors = hashed.filter(F.col("checksum").isNull()).count()
 
         upserts = (
             hashed.unionByName(no_hash.select(hashed.columns))
@@ -129,9 +135,13 @@ def update_index(
             files_inserted=counts.get("insert", (0, 0))[0],
             files_updated=counts.get("update", (0, 0))[0],
             files_unchanged=counts.get("unchanged", (0, 0))[0],
-            checksums_calculated=n_hashed,
+            checksums_calculated=n_hashed - n_hash_errors,
             checksums_reused=counts.get("unchanged", (0, 0))[1],
-            extra={"missing_from_disk": counts.get("missing", (0, 0))[0]},
+            extra={
+                "missing_from_disk": counts.get("missing", (0, 0))[0],
+                "hash_errors": n_hash_errors,
+                **scan_counters,
+            },
         )
     finally:
         merged.unpersist()

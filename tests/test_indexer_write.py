@@ -1,0 +1,297 @@
+"""Write-path tests: scanning, incremental + two-phase indexing,
+checksum semantics, cleanup, and the bucketed table.
+
+Ports the semantics of the reference's test suite
+(/root/reference/tests/test_indexer.py — canonical tree at :37-55,
+incremental/reuse at :260-349, two-phase at :495-786, cleanup at
+:1112-1497) and the phase-2 work-selection regression test
+(/root/reference/tests/test_script_checksum_validation.py:30-152).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_indexer_spark.indexer.checksum import add_checksums
+from file_indexer_spark.indexer.cleanup import (
+    cleanup_deleted_files,
+    cleanup_empty_directories,
+    probe_deleted_files,
+)
+from file_indexer_spark.indexer.files_table import BUCKET_COL, FilesTable
+from file_indexer_spark.indexer.scan import scan_directory, scan_with_counters
+from file_indexer_spark.indexer.two_phase import phase2_checksums, two_phase_index, update_index
+from file_indexer_spark.operators.stats import phase2_work_selection
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    """The reference's canonical tree (test_indexer.py:37-55): two files
+    sharing content, one unique, one in a subdir, one empty."""
+    root = tmp_path / "tree"
+    (root / "subdir").mkdir(parents=True)
+    (root / "file1.txt").write_text("Hello World")
+    (root / "file2.txt").write_text("Hello World")
+    (root / "file3.txt").write_text("different content")
+    (root / "subdir" / "file4.txt").write_text("nested file data")
+    (root / "empty.txt").write_text("")
+    return root
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return FilesTable(spark, str(tmp_path / "files_db"))
+
+
+# ------------------------------------------------------------- scanning
+
+def test_scan_finds_regular_files(spark, tree):
+    rows = scan_directory(spark, str(tree)).collect()
+    assert {r["filename"] for r in rows} == {
+        "file1.txt", "file2.txt", "file3.txt", "file4.txt", "empty.txt"
+    }
+    by_name = {r["filename"]: r for r in rows}
+    assert by_name["file1.txt"]["file_size"] == 11
+    assert by_name["empty.txt"]["file_size"] == 0
+    assert by_name["file4.txt"]["path"].endswith("subdir")
+
+
+def test_scan_non_recursive(spark, tree):
+    rows = scan_directory(spark, str(tree), recursive=False).collect()
+    assert {r["filename"] for r in rows} == {
+        "file1.txt", "file2.txt", "file3.txt", "empty.txt"
+    }
+
+
+def test_scan_counts_symlinks_and_special_files(spark, tree):
+    os.symlink(str(tree / "file1.txt"), str(tree / "link.txt"))
+    os.mkfifo(str(tree / "pipe.fifo"))
+    files, counters = scan_with_counters(spark, str(tree))
+    assert counters["symlinks_skipped"] == 1
+    assert counters["special_files_skipped"] == 1
+    assert counters["files_found"] == 5
+    assert counters["scan_errors"] == 0
+    assert files.count() == 5
+
+
+# ----------------------------------------------------------- checksums
+
+def test_checksums_match_hashlib(spark, tree, table):
+    update_index(spark, table, str(tree))
+    got = {r["filename"]: r["checksum"] for r in table.read().collect()}
+    assert got["file1.txt"] == hashlib.sha256(b"Hello World").hexdigest()
+    assert got["file1.txt"] == got["file2.txt"]
+    assert got["file3.txt"] != got["file1.txt"]
+    assert got["empty.txt"] is None  # skip_empty_files default
+
+
+def test_max_checksum_size_cap(spark, tree, table):
+    stats = update_index(spark, table, str(tree), max_checksum_size=12)
+    # only the 11-byte twins fit under the cap
+    assert stats.checksums_calculated == 2
+    got = {r["filename"]: r["checksum"] for r in table.read().collect()}
+    assert got["file1.txt"] is not None and got["file3.txt"] is None
+
+
+def test_zero_means_no_cap(spark, tree, table):
+    stats = update_index(spark, table, str(tree), max_checksum_size=0)
+    assert stats.checksums_calculated == 4  # everything non-empty
+
+
+# ----------------------------------------------- incremental (D1 / D7)
+
+def test_update_index_counts(spark, tree, table):
+    stats = update_index(spark, table, str(tree))
+    assert stats.files_inserted == 5
+    assert stats.files_updated == 0
+    assert stats.checksums_calculated == 4
+    assert stats.extra["hash_errors"] == 0
+
+
+def test_rerun_reuses_checksums(spark, tree, table):
+    update_index(spark, table, str(tree))
+    stats = update_index(spark, table, str(tree))
+    assert stats.files_inserted == 0
+    assert stats.files_unchanged == 5
+    assert stats.checksums_calculated == 0
+    # reference indexer.py:~303: only non-NULL stored checksums count as
+    # reuse — the empty file's NULL must not inflate the counter
+    assert stats.checksums_reused == 4
+
+
+def test_modified_file_is_rehashed(spark, tree, table):
+    update_index(spark, table, str(tree))
+    (tree / "file3.txt").write_text("changed content!!")
+    os.utime(tree / "file3.txt", (2000000000, 2000000000))
+    stats = update_index(spark, table, str(tree))
+    assert stats.files_updated == 1
+    assert stats.files_unchanged == 4
+    assert stats.checksums_calculated == 1
+    got = {r["filename"]: r["checksum"] for r in table.read().collect()}
+    assert got["file3.txt"] == hashlib.sha256(b"changed content!!").hexdigest()
+
+
+# ------------------------------------------------- two-phase (D2 / A7)
+
+def test_two_phase_hashes_only_duplicate_sizes(spark, tree, table):
+    stats = two_phase_index(spark, table, str(tree))
+    assert stats.files_inserted == 5
+    # phase 2 hashes only the same-size group (the 11-byte twins)
+    assert stats.checksums_calculated == 2
+    got = {r["filename"]: r["checksum"] for r in table.read().collect()}
+    assert got["file1.txt"] == got["file2.txt"] is not None
+    assert got["file3.txt"] is None  # unique size: never hashed
+    assert got["empty.txt"] is None
+
+
+def test_phase2_work_selection_semantics(spark):
+    """Port of the reference's SQL-logic regression test
+    (test_script_checksum_validation.py:80-115): sizes qualify only with
+    >1 file AND >=1 missing checksum; empty files are excluded."""
+    rows = [
+        # size 100: two files, one missing checksum -> selected
+        ("/d", "a1", None, 100),
+        ("/d", "a2", "c1", 100),
+        # size 200: two files, both have checksums -> NOT selected
+        ("/d", "b1", "c2", 200),
+        ("/d", "b2", "c2", 200),
+        # size 300: single file missing checksum -> NOT selected
+        ("/d", "c1", None, 300),
+        # size 0: two empty files missing checksums -> excluded
+        ("/d", "e1", None, 0),
+        ("/d", "e2", None, 0),
+        # size 400: three files, two missing -> selected
+        ("/d", "f1", None, 400),
+        ("/d", "f2", None, 400),
+        ("/d", "f3", "c3", 400),
+    ]
+    files = spark.createDataFrame(
+        [(p, f, c, s) for p, f, c, s in rows],
+        "path string, filename string, checksum string, file_size long",
+    ).withColumn("modification_datetime", F.lit("2024-01-01").cast("timestamp")) \
+     .withColumn("indexed_at", F.lit("2024-01-01").cast("timestamp"))
+    got = {
+        (r["file_size"], r["file_count"], r["files_without_checksum"])
+        for r in phase2_work_selection(files).collect()
+    }
+    assert got == {(100, 2, 1), (400, 3, 2)}
+
+
+def test_phase2_checksums_fills_only_selected(spark, tree, table):
+    update_index(spark, table, str(tree), max_checksum_size=-1)  # phase-1 style
+    assert table.read().filter(F.col("checksum").isNotNull()).count() == 0
+    n = phase2_checksums(spark, table)
+    assert n == 2  # the twins
+
+
+# --------------------------------------------------- cleanup (D3 / D4)
+
+def test_cleanup_deleted_files(spark, tree, table):
+    update_index(spark, table, str(tree))
+    (tree / "file3.txt").unlink()
+    n = cleanup_deleted_files(spark, table, str(tree))
+    assert n == 1
+    assert table.read().count() == 4
+
+
+def test_probe_mode_detects_deletions(spark, tree, table):
+    update_index(spark, table, str(tree))
+    (tree / "file1.txt").unlink()
+    import shutil
+
+    shutil.rmtree(tree / "subdir")  # whole-dir deletion: no per-file stat
+    stale = {(r["path"], r["filename"]) for r in probe_deleted_files(table).collect()}
+    assert stale == {
+        (str(tree), "file1.txt"),
+        (str(tree / "subdir"), "file4.txt"),
+    }
+
+
+def test_cleanup_empty_directories(spark, tree, table):
+    update_index(spark, table, str(tree))
+    import shutil
+
+    shutil.rmtree(tree / "subdir")
+    n = cleanup_empty_directories(spark, table)
+    assert n == 1
+    assert table.read().filter(F.col("filename") == "file4.txt").count() == 0
+
+
+# ------------------------------------------------- hash-error handling
+
+def test_unreadable_file_yields_null_checksum(spark):
+    df = spark.createDataFrame(
+        [("/nonexistent-dir", "ghost.txt", 10)],
+        "path string, filename string, file_size long",
+    )
+    rows = add_checksums(df).collect()
+    assert rows[0]["checksum"] is None  # D6: error -> NULL, not a crash
+
+
+# ------------------------------------------- bucketed table (scale fix)
+
+@pytest.fixture()
+def bucketed(spark, tmp_path):
+    return FilesTable(spark, str(tmp_path / "bucketed_db"), buckets=8)
+
+
+def _mk_rows(spark, rows):
+    return spark.createDataFrame(
+        [(p, f, c, "2024-01-01 00:00:00", s, "2024-06-01 00:00:00") for p, f, c, s in rows],
+        "path string, filename string, checksum string, mtime string, file_size long, ia string",
+    ).select(
+        "path",
+        "filename",
+        "checksum",
+        F.col("mtime").cast("timestamp").alias("modification_datetime"),
+        "file_size",
+        F.col("ia").cast("timestamp").alias("indexed_at"),
+    )
+
+
+def test_bucketed_upsert_rewrites_only_touched_partitions(spark, bucketed):
+    initial = _mk_rows(
+        spark, [(f"/dir{i}", f"f{j}", f"c{i}{j}", 10 * i + j) for i in range(20) for j in range(3)]
+    )
+    bucketed.overwrite(initial)
+    assert bucketed.read().count() == 60
+
+    loc = bucketed.location
+    before = {
+        d: sorted(os.listdir(os.path.join(loc, d)))
+        for d in os.listdir(loc)
+        if d.startswith(BUCKET_COL)
+    }
+    assert len(before) > 1  # paths actually spread over buckets
+
+    updates = _mk_rows(spark, [("/dir3", "f0", "NEW", 999), ("/dir3", "fX", "ins", 1)])
+    bucketed.upsert(updates)
+
+    after = {
+        d: sorted(os.listdir(os.path.join(loc, d)))
+        for d in os.listdir(loc)
+        if d.startswith(BUCKET_COL)
+    }
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1  # exactly the bucket /dir3 hashes to
+
+    got = {(r["path"], r["filename"]): (r["checksum"], r["file_size"]) for r in bucketed.read().collect()}
+    assert len(got) == 61
+    assert got[("/dir3", "f0")] == ("NEW", 999)
+    assert got[("/dir3", "fX")] == ("ins", 1)
+    assert got[("/dir0", "f0")] == ("c00", 0)
+
+
+def test_bucketed_delete_and_delete_paths(spark, bucketed):
+    bucketed.overwrite(
+        _mk_rows(spark, [(f"/dir{i}", f"f{j}", None, i + j) for i in range(5) for j in range(2)])
+    )
+    bucketed.delete(_mk_rows(spark, [("/dir1", "f0", None, 0)]))
+    assert bucketed.read().count() == 9
+    bucketed.delete_paths(_mk_rows(spark, [("/dir2", "x", None, 0)]))
+    got = {(r["path"], r["filename"]) for r in bucketed.read().collect()}
+    assert len(got) == 7 and ("/dir2", "f0") not in got
