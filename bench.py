@@ -25,6 +25,7 @@ from file_indexer_spark.session import get_spark  # noqa: E402
 # Headline set: one per operator family — full-table scan+sort excluded
 # (pure I/O), the rest cover window dedup, grouped join, multi-agg
 # stats, top-k, timeline, semi-join work selection, search pushdown.
+# (= the round-1 set; kept stable for round-over-round comparability.)
 HEADLINE = [
     "d5_duplicates_report",
     "j2_duplicate_groups",
@@ -37,6 +38,28 @@ HEADLINE = [
     "a7b_phase2_files_to_hash",
     "p1_search_multidim",
     "p2_search_recency_page",
+]
+
+# LLM-data-pipeline extension (added round 2): dedup, similarity
+# search, text analysis, event analytics, multimodal metadata. Reported
+# in the same JSON with a separate subtotal so the r1-comparable
+# headline number stays visible.
+LLM_EXTENSION = [
+    "dd1_exact_dedup",
+    "dd2_ngram_jaccard",
+    "dd3_minhash_lsh",
+    "dd4_simhash",
+    "sim1_cosine_topk",
+    "sim2_ivf_ann",
+    "t1_token_stats",
+    "t2_quality_scores",
+    "t3_language_confusion",
+    "t4_fingerprints",
+    "e1_sessionization",
+    "e2_tumbling_counts",
+    "e5_props_stats",
+    "m1_binary_metadata",
+    "s12_raw_sql",
 ]
 
 
@@ -54,9 +77,7 @@ def main() -> None:
 
     spark = get_spark("file_indexer_spark_bench")
 
-    names = [n for n in HEADLINE if n in registry.QUERIES]
-    extra = [n for n in sorted(registry.QUERIES) if n not in HEADLINE and registry.QUERIES[n].__dict__.get("bench", False)]
-    names += extra
+    names = [n for n in HEADLINE + LLM_EXTENSION if n in registry.QUERIES]
 
     # warm-up pass: JVM JIT / codegen / parquet-footer caches, not
     # counted — we measure steady-state engine throughput
@@ -76,6 +97,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "subtotals": {
+                    "r1_headline": round(sum(timings[n] for n in HEADLINE if n in timings), 4),
+                    "llm_extension": round(
+                        sum(timings[n] for n in LLM_EXTENSION if n in timings), 4
+                    ),
+                },
             }
         )
     )

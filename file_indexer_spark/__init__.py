@@ -13,13 +13,17 @@ search, text analysis, multimodal plumbing).
 Layout:
     session.py    SparkSession factory tuned for the workload
     tables.py     test-table catalog + canonical ``files`` derivation
+    registry.py   driver contract: every query + its DuckDB oracle SQL
+    sql.py        S12 raw-SQL passthrough over catalog temp views
+    serving.py    pagination contract (page / total / has_more)
+    cli.py        ``python -m file_indexer_spark`` entry point
     operators/    query operators (search, duplicates, stats, dedup,
-                  similarity, text, events)
+                  similarity, text, events, multimodal)
     functions/    reusable column expressions (extension parse, size
-                  bands, shingles, vector math)
-    indexer/      the write path: filesystem scan, two-phase checksum,
-                  upsert/merge, cleanup (anti-join deletion detection)
-    streaming/    structured-streaming incremental indexing
+                  bands, shingle/minhash/simhash primitives)
+    indexer/      the write path: distributed scan, two-phase checksum,
+                  bucketed upsert/merge, cleanup (anti-join deletion)
+    streaming/    watermarked windows + foreachBatch incremental index
     plans/        plan-inspection helpers (pushdown / join assertions)
 """
 

@@ -2,10 +2,10 @@
 
 The reference walks the tree with a single-process generator
 (file_indexer/indexer.py:184-220) and stats files in batches of 1000
-(:281-289). Here the DIRECTORY list is discovered on the driver (cheap:
-one os.walk touching only dirents), then fanned out so executors stat
-the files of each directory in parallel — the stat() syscalls, not the
-walk, are the I/O cost at scale.
+(:281-289). Here BOTH stages are distributed: directory discovery is an
+iterative BFS of DataFrame expansions (each level's subdirectory listing
+runs on executors; the driver never holds the directory list), and the
+stat stage is an Arrow-batched mapInPandas over the directory frame.
 
 Filter semantics (reference _should_process_file, indexer.py:112-156):
 skip symlinks and non-regular files; empty files are INDEXED but not
@@ -56,20 +56,61 @@ KIND_SPECIAL = "special"
 KIND_ERROR = "error"
 
 
-def _list_dirs(root: str, recursive: bool) -> list[str]:
-    """Directory inventory only — O(#dirs) driver work, no file stats."""
-    root = os.path.abspath(root)
-    if not recursive:
-        return [root]
+MAX_TREE_DEPTH = 256  # runaway-symlink/cycle backstop
+
+
+def _list_subdirs(dirs: "pd.DataFrame"):
+    """One BFS expansion step, executor-side: dir → immediate child
+    dirs (symlinked dirs are not descended, matching the reference)."""
     out = []
-    for dirpath, dirnames, _ in os.walk(root):
-        # don't descend through symlinked dirs (reference skips symlinks)
-        dirnames[:] = [d for d in dirnames if not os.path.islink(os.path.join(dirpath, d))]
-        out.append(dirpath)
+    for d in dirs["dir"]:
+        try:
+            with os.scandir(d) as entries:
+                for e in entries:
+                    try:
+                        if e.is_dir(follow_symlinks=False) and not e.is_symlink():
+                            out.append(e.path)
+                    except OSError:
+                        continue
+        except OSError:
+            continue
     return out
 
 
-def _stat_dir(dirs: Iterator[str]):
+def _dirs_df(spark: SparkSession, root: str, recursive: bool) -> DataFrame:
+    """Distributed directory discovery: iterative BFS where each level
+    is a mapInPandas expansion of the previous level's DataFrame. The
+    driver never materializes the directory list — it only checks each
+    level's count — so billions of files / millions of directories cost
+    O(depth) small jobs, not driver memory. (Replaces the round-1
+    driver-side os.walk; the same shape works against an object-store
+    prefix manifest.)"""
+    import pandas as pd  # noqa: F401  (executor-side type only)
+
+    root = os.path.abspath(root)
+    level = spark.createDataFrame([(root,)], "dir string")
+    if not recursive:
+        return level
+    levels = [level]
+
+    def expand(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"dir": _list_subdirs(pdf)})
+
+    for _ in range(MAX_TREE_DEPTH):
+        level = level.mapInPandas(expand, schema="dir string").cache()
+        if level.isEmpty():
+            break
+        levels.append(level)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def _stat_entries(dirs: Iterator[str]):
     """Executor task: stat every entry in each directory, tagging skips
     and errors instead of dropping them (reference indexer.py:343-351
     counts permission errors; :112-156 skips symlinks/special files)."""
@@ -109,13 +150,31 @@ def scan_raw(
     recursive: bool = True,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """All scan records including skips/errors (RAW_SCAN_SCHEMA)."""
-    dirs = _list_dirs(root, recursive)
-    if not dirs:
-        return spark.createDataFrame([], RAW_SCAN_SCHEMA)
-    n = parallelism or min(len(dirs), spark.sparkContext.defaultParallelism * 2)
-    rdd = spark.sparkContext.parallelize(dirs, n).mapPartitions(_stat_dir)
-    return spark.createDataFrame(rdd, RAW_SCAN_SCHEMA)
+    """All scan records including skips/errors (RAW_SCAN_SCHEMA).
+
+    Fully distributed: directory discovery is an iterative DataFrame
+    expansion (no driver-side walk) and the stat stage is an
+    Arrow-batched mapInPandas over the directory DataFrame (no
+    row-at-a-time Python-RDD pickling)."""
+    import pandas as pd  # noqa: F401
+
+    dirs = _dirs_df(spark, root, recursive)
+    n = parallelism or spark.sparkContext.defaultParallelism * 2
+    cols = [f.name for f in RAW_SCAN_SCHEMA.fields]
+
+    def stat_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = list(_stat_entries(iter(pdf["dir"])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = dirs.repartition(n).mapInPandas(
+        stat_batches,
+        schema="path string, filename string, modification_datetime timestamp, "
+        "file_size long, kind string",
+    )
+    return raw
 
 
 def scan_directory(

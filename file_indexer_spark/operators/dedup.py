@@ -31,7 +31,14 @@ from pyspark.sql import functions as F
 
 from file_indexer_spark.functions import hashing as H
 
-MAX_DF = 100  # document-frequency cap for dd2 candidate generation
+# Document-frequency cap for dd2 candidate generation. Pruned-set
+# Jaccard drops shingles in > MAX_DF docs from every set: a shingle
+# that common carries no near-dup signal but contributes O(df^2)
+# candidate pairs. The synthetic corpus has a 31-word vocabulary, so
+# shingles collide far more than natural text (median df ~ dozens) —
+# 8 keeps the pair join ~200k rows at sf0.1; on natural corpora the
+# typical cap is ~100+.
+MAX_DF = 8
 JACCARD_THRESHOLD = 0.8
 
 
@@ -58,6 +65,15 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(H.spark_shingle_hashes()).alias("shingles"))
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Truncate lineage for a subtree consumed by several downstream
+    branches: without this, every consumer re-runs the md5 shingle
+    hashing (the dominant map cost). localCheckpoint stores the rows on
+    executors once; on a cluster with unreliable executors, swap for
+    ``checkpoint()`` against reliable storage."""
+    return df.localCheckpoint(eager=False)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -67,10 +83,10 @@ def ngram_jaccard_pairs(
     shingle inverted index (exact w.r.t. the pruned sets).
     """
     sets = _shingle_sets(docs)
-    exploded = sets.select("doc_id", F.explode("shingles").alias("h"))
+    exploded = _materialize(sets.select("doc_id", F.explode("shingles").alias("h")))
     dfreq = exploded.groupBy("h").agg(F.count("*").alias("df"))
     # pruned universe: shingles kept in every doc's set
-    kept = exploded.join(dfreq.filter(F.col("df") <= max_df), "h")
+    kept = _materialize(exploded.join(dfreq.filter(F.col("df") <= max_df), "h"))
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     # pair-generating shingles: df >= 2 (singletons cannot form a pair)
     pair_gen = kept.filter(F.col("df") >= 2).select("doc_id", "h")
@@ -107,7 +123,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     aggregation with map-side partials, rather than nested lambda
     expressions (which Catalyst interprets row-at-a-time, ~10x slower).
     """
-    sets = _shingle_sets(docs)
+    sets = _materialize(_shingle_sets(docs))
     exploded = sets.select(
         "doc_id", F.explode(F.expr(f"transform(shingles, h -> h % {H.MERSENNE_P})")).alias("hm")
     )
@@ -172,7 +188,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = H.HAMMING_MAX) -> DataFram
     pack = " + ".join(
         f"shiftleft(CASE WHEN v{b} > 0 THEN 1L ELSE 0L END, {b})" for b in range(H.SIMHASH_BITS)
     )
-    fp = (
+    fp = _materialize(
         exploded.groupBy("doc_id")
         .agg(*vote_aggs)
         .select("doc_id", F.expr(pack).alias("simhash"))

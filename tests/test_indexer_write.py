@@ -295,3 +295,18 @@ def test_bucketed_delete_and_delete_paths(spark, bucketed):
     bucketed.delete_paths(_mk_rows(spark, [("/dir2", "x", None, 0)]))
     got = {(r["path"], r["filename"]) for r in bucketed.read().collect()}
     assert len(got) == 7 and ("/dir2", "f0") not in got
+
+
+def test_scan_wide_tree_distributed(spark, tmp_path):
+    """Distributed BFS listing: many dirs across several levels, no
+    driver-side walk (VERDICT r1 #9). Output must equal a local walk."""
+    root = tmp_path / "wide"
+    expected = set()
+    for i in range(40):
+        for j in range(10):
+            d = root / f"top{i}" / f"mid{j}"
+            d.mkdir(parents=True)
+            (d / "f.txt").write_text(f"{i}-{j}")
+            expected.add((str(d), "f.txt"))
+    got = {(r["path"], r["filename"]) for r in scan_directory(spark, str(root)).collect()}
+    assert got == expected  # 400 dirs x 1 file, depth 3
