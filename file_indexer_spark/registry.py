@@ -899,3 +899,50 @@ def s12_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     register_views(spark, sf_dir)
     return run_sql(spark, _S12_SQL)
+
+
+# ------------------------------------------- W1: write-path round-trip
+
+@register(
+    "w1_index_roundtrip",
+    """
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+           CAST(octet_length(encode(text)) AS BIGINT) AS file_size,
+           sha256(text) AS checksum
+    FROM documents
+    ORDER BY filename
+    """,
+)
+def w1_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end write path under the correctness gate: materialize
+    every document as a real file, run the full distributed pipeline
+    (BFS scan -> stat -> mapInPandas sha256 -> merge into a FilesTable),
+    and emit (filename, file_size, checksum) — which the DuckDB oracle
+    recomputes independently as octet_length/sha256 of the same text.
+
+    The driver-side collect is bounded test plumbing (it writes the
+    fixture tree); the indexing itself is the production path.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.indexer.two_phase import update_index
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w1_{tag}")
+    tree = os.path.join(base, "tree")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(tree)
+    for r in docs:
+        with open(os.path.join(tree, f"doc_{r['doc_id']}.txt"), "w", encoding="utf-8") as fh:
+            fh.write(r["text"])
+
+    table = FilesTable(spark, os.path.join(base, "files_db"))
+    update_index(spark, table, tree, max_checksum_size=0)  # 0 = no size cap
+    return table.read().select("filename", "file_size", "checksum").orderBy("filename")
