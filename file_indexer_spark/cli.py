@@ -18,6 +18,7 @@ argument plumbing and console formatting.
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 
@@ -123,6 +124,21 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession) -> int:
         )
         fn = two_phase_index if args.two_phase else update_index
         stats = fn(spark, table, args.root, **kwargs)
+        # Go-parity index_metadata (database.go:47-50): root + timestamp
+        import datetime as _dt
+
+        from file_indexer_spark.indexer.metadata import (
+            KEY_INDEXED_AT,
+            KEY_ROOT_PATH,
+            IndexMetadata,
+        )
+
+        IndexMetadata(spark, args.db + "_meta").set_many(
+            {
+                KEY_ROOT_PATH: os.path.abspath(args.root),
+                KEY_INDEXED_AT: _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            }
+        )
         print(
             f"indexed: {stats.files_inserted} new, {stats.files_updated} updated, "
             f"{stats.files_unchanged} unchanged, "

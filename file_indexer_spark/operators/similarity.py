@@ -164,3 +164,40 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+NEARDUP_COSINE = 0.4
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_COSINE) -> DataFrame:
+    """dd5: embedding-cosine near-duplicate pairs, IVF-bucketed.
+
+    Candidates are pairs assigned to the SAME centroid list (never
+    all-pairs: with k centroids the pair space shrinks ~k-fold; scale k
+    with the corpus). Verification is the exact cosine. Pairs split
+    across neighboring lists are the recall trade — mitigate with
+    multi-assignment (assign to top-2 centroids) when recall matters
+    more than cost.
+    """
+    assign = ivf_assignments(embeddings)
+    vecs = _with_norm(embeddings).select(
+        "vec_id", F.col("embedding").alias("emb"), F.col("norm").alias("nrm")
+    ).join(assign, "vec_id")
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    cos = _cosine("a.emb", "a.nrm", "b.emb", "b.nrm")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -79,6 +79,9 @@ def quality_scores(docs: DataFrame, min_score: float = 0.5) -> DataFrame:
         "doc_id",
         "lang",
         F.size(_tokens()).alias("n_tokens"),
+        # BPE-ish subword proxy: alnum runs, ignoring whitespace/punct —
+        # a second tokenizer path (regex, not split)
+        F.expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").alias("n_regex_tokens"),
         F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct_tokens"),
         F.expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))").alias(
             "total_token_chars"
@@ -98,6 +101,7 @@ def quality_scores(docs: DataFrame, min_score: float = 0.5) -> DataFrame:
             "doc_id",
             "lang",
             "n_tokens",
+            "n_regex_tokens",
             "n_distinct_tokens",
             "avg_token_len",
             "stopword_ratio",

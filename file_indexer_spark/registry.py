@@ -469,6 +469,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT doc_id, lang,
                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_regex_tokens,
                CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
                CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT)
                    AS total_token_chars,
@@ -476,7 +477,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_stopwords
         FROM documents
     )
-    SELECT doc_id, lang, n_tokens, n_distinct_tokens,
+    SELECT doc_id, lang, n_tokens, n_regex_tokens, n_distinct_tokens,
            round(CAST(total_token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
            round(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
            round(0.5 * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
@@ -946,3 +947,35 @@ def w1_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = FilesTable(spark, os.path.join(base, "files_db"))
     update_index(spark, table, tree, max_checksum_size=0)  # 0 = no size cap
     return table.read().select("filename", "file_size", "checksum").orderBy("filename")
+
+
+@register(
+    "dd5_embedding_neardup",
+    f"""
+    WITH c AS ({_DUCK_NORMS}),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
+                ON c.vec_id = reps.vec_id),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                        / (v.norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM c v, cents) t
+        WHERE rn = 1),
+    vecs AS (SELECT c.vec_id, c.embedding AS emb, c.norm AS nrm, a.centroid_id
+             FROM c JOIN assign a ON a.vec_id = c.vec_id),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DUCK_DOT.format(a="a.emb", b="b.emb")} / (a.nrm * b.nrm) AS cosine
+        FROM vecs a JOIN vecs b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= {sim.NEARDUP_COSINE}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_neardup_pairs(_table(spark, sf_dir, "embeddings"))

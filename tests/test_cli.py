@@ -137,3 +137,21 @@ def test_json_round_trip(spark, tree, tmp_path):
     db2.import_json(dest)
     after = {tuple(r) for r in db2.read().collect()}
     assert before == after and len(before) == 5
+
+
+def test_index_metadata_roundtrip(spark, tree, tmp_path, capsys):
+    from file_indexer_spark.indexer.metadata import IndexMetadata
+
+    db = str(tmp_path / "db")
+    main(["index", str(tree), "--db", db], spark=spark)
+    capsys.readouterr()
+    meta = IndexMetadata(spark, db + "_meta").read_all()
+    assert meta["root_path"] == str(tree)
+    assert "indexed" in meta
+    # set/get update semantics
+    m = IndexMetadata(spark, str(tmp_path / "meta2"))
+    m.set("a", "1")
+    m.set("b", "2")
+    m.set("a", "3")
+    assert m.read_all() == {"a": "3", "b": "2"}
+    assert m.get("missing") is None
