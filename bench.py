@@ -51,6 +51,7 @@ LLM_EXTENSION = [
     "dd4_simhash",
     "sim1_cosine_topk",
     "sim2_ivf_ann",
+    "dd5_embedding_neardup",
     "t1_token_stats",
     "t2_quality_scores",
     "t3_language_confusion",

@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator: continuous sessionization via
+``applyInPandasWithState``.
+
+The batch gaps-and-islands sessionizer (operators/events.py e1) needs
+the whole history per user; a stream can't re-window the past, so this
+keeps per-user state — (current session number, its running aggregates,
+last-seen timestamp) — and emits the updated session row whenever a
+micro-batch touches it. State is O(users), not O(events); a production
+deployment adds a timeout (GroupStateTimeout) to finalize and drop idle
+users' state.
+
+Semantics contract (pinned by tests/test_streaming.py): when events
+arrive in timestamp order, the LAST emitted row per (user_id,
+session_seq) equals the batch sessionizer's row exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from file_indexer_spark.operators.events import SESSION_GAP_MINUTES
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_seq", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+
+# (session_seq, session_start_us, last_ts_us, n_events, total_value)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_seq", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+
+_GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+
+def _sessionize_group(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        seq, start_us, last_us, n_events, total_value = state.get
+    else:
+        seq, start_us, last_us, n_events, total_value = 0, 0, None, 0, 0.0
+
+    touched: dict[int, Any] = {}
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ts_us = int(ts.value // 1_000)  # pandas ns -> us
+            if last_us is None or ts_us - last_us > _GAP_US:
+                seq += 1
+                start_us = ts_us
+                n_events = 0
+                total_value = 0.0
+            last_us = ts_us
+            n_events += 1
+            total_value += float(value)
+            touched[seq] = (start_us, last_us, n_events, total_value)
+
+    state.update((seq, start_us, last_us if last_us is not None else 0, n_events, total_value))
+    if touched:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(touched),
+                "session_seq": list(touched),
+                "session_start": [pd.Timestamp(v[0], unit="us") for v in touched.values()],
+                "session_end": [pd.Timestamp(v[1], unit="us") for v in touched.values()],
+                "n_events": [v[2] for v in touched.values()],
+                "total_value": [round(v[3], 4) for v in touched.values()],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Streaming sessionization: one state row per user, updated rows
+    emitted per micro-batch (output mode ``update``)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

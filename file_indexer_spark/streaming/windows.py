@@ -26,10 +26,18 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, source_dir: str, fmt: str = "parquet") -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream: every new file in ``source_dir`` becomes a
     micro-batch (schema must be declared for streaming reads)."""
-    return spark.readStream.format(fmt).schema(EVENTS_STREAM_SCHEMA).load(source_dir)
+    reader = spark.readStream.format(fmt).schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(source_dir)
 
 
 def windowed_counts(

@@ -67,3 +67,48 @@ def test_stream_index_matches_batch_merge(spark, tmp_path):
     )
     got = {(r["path"], r["filename"]): r["file_size"] for r in table.read().collect()}
     assert got == {("/a", "f1"): 10, ("/a", "f2"): 25, ("/b", "f3"): 30}
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState sessionizer: last emitted row per session
+    equals the batch gaps-and-islands sessionizer."""
+    from file_indexer_spark.operators import events as ev
+    from file_indexer_spark.streaming import sessions as ss
+
+    src = str(tmp_path / "events_chrono")
+    all_events = events_df(spark, sf_smoke)
+    median = all_events.approxQuantile("event_id", [0.5], 0.0)[0]
+    # two chronological arrivals (event_id order == ts order in testdata)
+    all_events.filter(F.col("event_id") <= median).coalesce(1).write.mode("append").parquet(src)
+    all_events.filter(F.col("event_id") > median).coalesce(1).write.mode("append").parquet(src)
+
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = ss.sessionize_stream(stream)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    emitted = spark.sql("SELECT * FROM stateful_sessions").collect()
+    # a session may be emitted in several batches; n_events only grows,
+    # so the max-n_events row per key is the final state
+    final = {}
+    for r in emitted:
+        key = (r["user_id"], r["session_seq"])
+        if key not in final or r["n_events"] > final[key]["n_events"]:
+            final[key] = r
+    got = {
+        k: (v["session_start"], v["session_end"], v["n_events"], v["total_value"])
+        for k, v in final.items()
+    }
+    want = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["total_value"],
+        )
+        for r in ev.sessionize(all_events).collect()
+    }
+    assert got == want
