@@ -37,3 +37,163 @@ def paginate(df: DataFrame, order_by: list[str], limit: int, offset: int = 0) ->
         offset=offset,
         has_more=offset + len(rows) < total,
     )
+
+
+# --------------------------------------------------------------------
+# API-backend service contracts (reference api_backend/file_indexer_api:
+# routers.py:121-184 duplicates, :28-118 search; models.py:61-100).
+# Framework-free: the service layer returns plain dataclasses a FastAPI
+# (or any) frontend can serialize 1:1; ``create_app`` wires it up when
+# fastapi is installed (not shipped in this container).
+
+
+@dataclass
+class SearchRequest:
+    """models.py:24-58 — validated query surface."""
+
+    filename_pattern: str | None = None
+    path_pattern: str | None = None
+    has_checksum: bool | None = None
+    min_file_size: int | None = None
+    max_file_size: int | None = None
+    limit: int = 100
+    offset: int = 0
+
+    def __post_init__(self):
+        if not 1 <= self.limit <= 1000:
+            raise ValueError("limit must be in 1..1000")
+        if self.offset < 0:
+            raise ValueError("offset must be >= 0")
+
+
+@dataclass
+class DuplicatesRequest:
+    """models.py:61-88 — limit 1..1000, min_group_size >= 2."""
+
+    min_group_size: int = 2
+    filename_pattern: str | None = None
+    path_pattern: str | None = None
+    limit: int = 100
+    offset: int = 0
+
+    def __post_init__(self):
+        if not 1 <= self.limit <= 1000:
+            raise ValueError("limit must be in 1..1000")
+        if self.min_group_size < 2:
+            raise ValueError("min_group_size must be >= 2")
+        if self.offset < 0:
+            raise ValueError("offset must be >= 0")
+
+
+@dataclass
+class DuplicatesResponse:
+    """routers.py:121-145 — groups page + aggregate fields."""
+
+    groups: list
+    total_groups: int
+    total_wasted_space: int
+    limit: int
+    offset: int
+    has_more: bool
+
+
+class FileIndexService:
+    """Read-side service over a ``files`` DataFrame (cache it for
+    interactive serving — immutable snapshots make concurrent reads
+    safe, the reference's read-only-connection trick for free)."""
+
+    def __init__(self, files: DataFrame):
+        self.files = files
+
+    def search(self, req: SearchRequest) -> Page:
+        from file_indexer_spark.operators.search import search_files
+
+        matches = search_files(
+            self.files,
+            filename_pattern=req.filename_pattern,
+            path_pattern=req.path_pattern,
+            has_checksum=req.has_checksum,
+            min_file_size=req.min_file_size,
+            max_file_size=req.max_file_size,
+        )
+        return paginate(matches, ["path", "filename"], req.limit, req.offset)
+
+    def duplicates(self, req: DuplicatesRequest) -> DuplicatesResponse:
+        from pyspark.sql import functions as F
+
+        from file_indexer_spark.operators.duplicates import (
+            duplicate_groups_nested,
+            total_wasted_space,
+        )
+
+        base = self.files
+        if req.filename_pattern or req.path_pattern:
+            matching = base
+            if req.filename_pattern:
+                matching = matching.filter(F.col("filename").like(req.filename_pattern))
+            if req.path_pattern:
+                matching = matching.filter(F.col("path").like(req.path_pattern))
+            target = matching.filter(F.col("checksum").isNotNull()).select("checksum").distinct()
+            base = base.join(target, "checksum", "left_semi")
+        groups = duplicate_groups_nested(base, req.min_group_size)
+        total = groups.count()
+        wasted = total_wasted_space(base).collect()[0]["total_wasted_space"]
+        page = groups
+        if req.offset:
+            page = page.offset(req.offset)
+        rows = page.limit(req.limit).collect()
+        return DuplicatesResponse(
+            groups=rows,
+            total_groups=total,
+            total_wasted_space=wasted,
+            limit=req.limit,
+            offset=req.offset,
+            has_more=req.offset + len(rows) < total,
+        )
+
+    def stats(self):
+        from file_indexer_spark.operators.stats import database_stats
+
+        return database_stats(self.files).collect()[0].asDict()
+
+
+def create_app(files: DataFrame):  # pragma: no cover - fastapi not shipped
+    """FastAPI wiring (reference main.py:77-100) — import-gated; the
+    service layer above is the tested surface."""
+    try:
+        from fastapi import FastAPI
+    except ImportError as exc:
+        raise NotImplementedError(
+            "fastapi is not installed in this environment; "
+            "use FileIndexService directly"
+        ) from exc
+    app = FastAPI(title="file_indexer_spark")
+    svc = FileIndexService(files)
+
+    @app.get("/search/")
+    def search(filename_pattern: str | None = None, path_pattern: str | None = None,
+               limit: int = 100, offset: int = 0):
+        page = svc.search(SearchRequest(filename_pattern=filename_pattern,
+                                        path_pattern=path_pattern, limit=limit, offset=offset))
+        return {
+            "files": [r.asDict() for r in page.rows],
+            "total_count": page.total_count,
+            "has_more": page.has_more,
+        }
+
+    @app.get("/duplicates/")
+    def duplicates(min_group_size: int = 2, limit: int = 100, offset: int = 0):
+        resp = svc.duplicates(DuplicatesRequest(min_group_size=min_group_size,
+                                                limit=limit, offset=offset))
+        return {
+            "groups": [r.asDict() for r in resp.groups],
+            "total_groups": resp.total_groups,
+            "total_wasted_space": resp.total_wasted_space,
+            "has_more": resp.has_more,
+        }
+
+    @app.get("/stats/")
+    def stats():
+        return svc.stats()
+
+    return app

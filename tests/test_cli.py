@@ -155,3 +155,49 @@ def test_index_metadata_roundtrip(spark, tree, tmp_path, capsys):
     m.set("a", "3")
     assert m.read_all() == {"a": "3", "b": "2"}
     assert m.get("missing") is None
+
+
+def test_service_contracts(spark, sf_smoke):
+    """API-service layer (reference api_backend/tests/test_api.py
+    :196-260 pagination math, :288-316 validation bounds)."""
+    import pytest as _pytest
+
+    from file_indexer_spark.serving import (
+        DuplicatesRequest,
+        FileIndexService,
+        SearchRequest,
+    )
+
+    svc = FileIndexService(files_df(spark, sf_smoke).cache())
+
+    page = svc.search(SearchRequest(filename_pattern="%.en", limit=5))
+    assert len(page.rows) == 5 and page.has_more
+    assert all(r["filename"].endswith(".en") for r in page.rows)
+
+    resp = svc.duplicates(DuplicatesRequest(min_group_size=2, limit=3))
+    assert resp.total_groups >= len(resp.groups)
+    assert resp.has_more == (3 < resp.total_groups)
+    assert resp.total_wasted_space == sum(
+        g["wasted_space"] for g in svc.duplicates(DuplicatesRequest(limit=1000)).groups
+    )
+
+    # pattern-scoped duplicates return ALL copies of matched checksums
+    scoped = svc.duplicates(DuplicatesRequest(filename_pattern="%.fr", limit=1000))
+    assert scoped.total_groups <= resp.total_groups
+
+    st = svc.stats()
+    assert st["total_files"] == 500
+
+    for bad in (
+        lambda: SearchRequest(limit=0),
+        lambda: SearchRequest(limit=1001),
+        lambda: SearchRequest(offset=-1),
+        lambda: DuplicatesRequest(min_group_size=1),
+    ):
+        with _pytest.raises(ValueError):
+            bad()
+
+    from file_indexer_spark.serving import create_app
+
+    with _pytest.raises(NotImplementedError):
+        create_app(files_df(spark, sf_smoke))
