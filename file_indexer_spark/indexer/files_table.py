@@ -54,6 +54,34 @@ class FilesTable:
         self.spark = spark
         self.location = os.path.abspath(location)
         self.buckets = buckets
+        self._validate_layout()
+
+    _BUCKET_MARKER = "_buckets"
+
+    def _validate_layout(self) -> None:
+        """The bucket count is part of the on-disk layout: a marker file
+        records it, and reopening with a different value is rejected —
+        a mismatched modulus would prune the wrong partitions and
+        silently duplicate or miss primary keys."""
+        marker = os.path.join(self.location, self._BUCKET_MARKER)
+        disk: int | None = None
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                disk = int(fh.read().strip())
+        elif self.exists():
+            disk = None  # pre-existing unbucketed layout
+        else:
+            return  # fresh table: any configuration is fine
+        if disk != self.buckets:
+            raise ValueError(
+                f"table at {self.location} was written with buckets={disk}; "
+                f"reopening with buckets={self.buckets} would corrupt it"
+            )
+
+    def _write_marker(self, root: str) -> None:
+        if self.buckets:
+            with open(os.path.join(root, self._BUCKET_MARKER), "w") as fh:
+                fh.write(str(self.buckets))
 
     def _bucket_expr(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("path")), F.lit(self.buckets)).cast("int")
@@ -89,6 +117,7 @@ class FilesTable:
             writer.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         else:
             writer.write.mode("overwrite").parquet(tmp)
+        self._write_marker(tmp)
         old = f"{self.location}.old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.location):
             os.rename(self.location, old)
@@ -104,17 +133,23 @@ class FilesTable:
         out.withColumn(BUCKET_COL, self._bucket_expr()).write.mode("overwrite").partitionBy(
             BUCKET_COL
         ).parquet(tmp)
+        old = f"{self.location}.old-{uuid.uuid4().hex[:8]}"
+        os.makedirs(old, exist_ok=True)
         try:
             os.makedirs(self.location, exist_ok=True)
+            self._write_marker(self.location)
             for b in touched:
                 src = os.path.join(tmp, f"{BUCKET_COL}={b}")
                 dst = os.path.join(self.location, f"{BUCKET_COL}={b}")
+                # move the live copy ASIDE (recoverable), never delete it
+                # before its replacement is in place
                 if os.path.exists(dst):
-                    shutil.rmtree(dst)
+                    os.rename(dst, os.path.join(old, f"{BUCKET_COL}={b}"))
                 if os.path.exists(src):
                     os.rename(src, dst)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _touched_buckets(self, keys: DataFrame) -> list[int]:
         rows = keys.select(self._bucket_expr().alias("b")).distinct().collect()

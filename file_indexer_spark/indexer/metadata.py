@@ -40,15 +40,22 @@ class IndexMetadata:
         return self.read_all().get(key)
 
     def set_many(self, items: dict[str, str]) -> None:
+        """Unique-tmp + move-aside swap (same pattern as
+        FilesTable.overwrite): the live copy is never deleted before its
+        replacement is in place, and concurrent writers don't share a
+        tmp path."""
+        import shutil
+        import uuid
+
         merged = {**self.read_all(), **items}
         df = self.spark.createDataFrame(sorted(merged.items()), META_SCHEMA)
-        tmp = f"{self.location}.tmp"
+        tmp = f"{self.location}.tmp-{uuid.uuid4().hex[:8]}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import shutil
-
+        old = f"{self.location}.old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.location):
-            shutil.rmtree(self.location)
+            os.rename(self.location, old)
         os.rename(tmp, self.location)
+        shutil.rmtree(old, ignore_errors=True)
 
     def set(self, key: str, value: str) -> None:
         self.set_many({key: value})

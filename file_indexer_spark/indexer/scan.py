@@ -92,6 +92,7 @@ def _dirs_df(spark: SparkSession, root: str, recursive: bool) -> DataFrame:
     if not recursive:
         return level
     levels = [level]
+    width = max(2, spark.sparkContext.defaultParallelism)
 
     def expand(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -100,7 +101,16 @@ def _dirs_df(spark: SparkSession, root: str, recursive: bool) -> DataFrame:
             yield pd.DataFrame({"dir": _list_subdirs(pdf)})
 
     for _ in range(MAX_TREE_DEPTH):
-        level = level.mapInPandas(expand, schema="dir string").cache()
+        # repartition each level: mapInPandas is a narrow transform, so
+        # without the shuffle the whole BFS would stay in the seed's
+        # single partition and each level's listing would run serially.
+        # localCheckpoint (not cache) so the materialized level is GC'd
+        # with the DataFrame instead of pinning executor storage.
+        level = (
+            level.repartition(width)
+            .mapInPandas(expand, schema="dir string")
+            .localCheckpoint(eager=False)
+        )
         if level.isEmpty():
             break
         levels.append(level)
@@ -198,8 +208,11 @@ def scan_with_counters(
 ) -> tuple[DataFrame, dict[str, int]]:
     """(files DataFrame, skip/error counters) — D7's session counters
     computed distributedly from the tagged scan, one extra aggregation
-    over the cached raw scan instead of mutable in-memory state."""
-    raw = scan_raw(spark, root, recursive, parallelism).cache()
+    over the materialized raw scan instead of mutable in-memory state.
+    localCheckpoint (not cache): the stored partitions are released when
+    the DataFrame is garbage-collected, so repeated incremental runs in
+    one session don't pin executor storage."""
+    raw = scan_raw(spark, root, recursive, parallelism).localCheckpoint(eager=False)
     counts = {r["kind"]: r["n"] for r in raw.groupBy("kind").agg(F.count("*").alias("n")).collect()}
     files = raw.filter(F.col("kind") == KIND_FILE).drop("kind")
     counters = {

@@ -37,6 +37,33 @@ def duplicate_files(files: DataFrame) -> DataFrame:
     )
 
 
+def scope_to_pattern(
+    files: DataFrame,
+    filename_pattern: str | None = None,
+    path_pattern: str | None = None,
+    min_file_size: int | None = None,
+    max_file_size: int | None = None,
+) -> DataFrame:
+    """J3 scoping (database.py:225-292): find the checksums of files
+    MATCHING the pattern, then return ALL copies of those checksums —
+    even copies that don't match. No pattern => plain non-null-checksum
+    scope. Shared by the grouped query and the serving layer."""
+    base = files.filter(F.col("checksum").isNotNull())
+    if min_file_size is not None:
+        base = base.filter(F.col("file_size") >= min_file_size)
+    if max_file_size is not None:
+        base = base.filter(F.col("file_size") <= max_file_size)
+    if filename_pattern is None and path_pattern is None:
+        return base
+    matching = base
+    if filename_pattern is not None:
+        matching = matching.filter(F.col("filename").like(filename_pattern))
+    if path_pattern is not None:
+        matching = matching.filter(F.col("path").like(path_pattern))
+    target = matching.select("checksum").distinct()
+    return files.filter(F.col("checksum").isNotNull()).join(target, "checksum", "left_semi")
+
+
 def duplicate_groups(
     files: DataFrame,
     min_group_size: int = 2,
@@ -61,23 +88,7 @@ def duplicate_groups(
     LIMIT pages are deterministic. Final row order:
     (file_count DESC, checksum, path, filename) (database.py:338).
     """
-    base = files.filter(F.col("checksum").isNotNull())
-    if min_file_size is not None:
-        base = base.filter(F.col("file_size") >= min_file_size)
-    if max_file_size is not None:
-        base = base.filter(F.col("file_size") <= max_file_size)
-
-    if filename_pattern is not None or path_pattern is not None:
-        matching = base
-        if filename_pattern is not None:
-            matching = matching.filter(F.col("filename").like(filename_pattern))
-        if path_pattern is not None:
-            matching = matching.filter(F.col("path").like(path_pattern))
-        target = matching.select("checksum").distinct()
-        # all copies of any targeted checksum, across the whole table
-        scope = files.filter(F.col("checksum").isNotNull()).join(target, "checksum", "left_semi")
-    else:
-        scope = base
+    scope = scope_to_pattern(files, filename_pattern, path_pattern, min_file_size, max_file_size)
 
     groups = (
         scope.groupBy("checksum", "file_size")

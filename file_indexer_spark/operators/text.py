@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 # (The synthetic corpus vocabulary contains 'the' and 'a'.)
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
+# Per-language profile size for language ID — bounds the broadcast.
+PROFILE_TOP_K = 1000
+
 def _tokens():
     # built lazily: Column construction requires an active SparkContext
     return F.split(F.col("text"), " ")
@@ -120,14 +123,25 @@ def language_confusion(docs: DataFrame) -> DataFrame:
     profiles from the corpus, score each document against every profile
     (sum of profile counts over the doc's token instances — integer
     arithmetic, fully deterministic), predict the argmax (ties broken by
-    language code). Scale shape: the profile is tiny (vocab × #langs) and
-    broadcast; the doc-side explode is map-local; the score aggregation
-    shuffles on (doc_id, lang) then reduces to the confusion matrix.
+    language code). Scale shape: the profile is BOUNDED to the top
+    PROFILE_TOP_K words per language (natural-text vocabularies are
+    unbounded — an unbounded forced broadcast is the r1 J3 bug class),
+    so the broadcast is at most #langs × K rows; the doc-side explode is
+    map-local; the score aggregation shuffles on (doc_id, lang) then
+    reduces to the confusion matrix.
     """
     words = docs.select("doc_id", F.col("lang").alias("actual_lang"), F.explode(_tokens()).alias("word"))
-    profile = (
+    counts = (
         words.groupBy(F.col("actual_lang").alias("profile_lang"), "word")
         .agg(F.count("*").alias("profile_count"))
+    )
+    top_w = Window.partitionBy("profile_lang").orderBy(
+        F.desc("profile_count"), "word"
+    )
+    profile = (
+        counts.withColumn("prof_rn", F.row_number().over(top_w))
+        .filter(F.col("prof_rn") <= PROFILE_TOP_K)
+        .drop("prof_rn")
     )
     scores = (
         words.join(F.broadcast(profile), "word")

@@ -45,9 +45,13 @@ def scan_columns(df: DataFrame) -> set[str]:
 
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle boundaries in the physical plan (AQE may later coalesce
-    them, but each is a full data movement at scale)."""
-    return simple_plan(df).count("Exchange hashpartitioning") + simple_plan(df).count(
-        "Exchange rangepartitioning"
+    them, but each is a full data movement at scale). Counts hash, range
+    AND single-partition exchanges — a global agg/limit shuffles too."""
+    plan = simple_plan(df)
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
     )
 
 

@@ -501,9 +501,16 @@ def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang AS actual_lang, unnest(string_split(text, ' ')) AS word
         FROM documents
     ),
-    profile AS (
+    counts AS (
         SELECT actual_lang AS profile_lang, word, COUNT(*) AS profile_count
         FROM words GROUP BY 1, 2
+    ),
+    profile AS (
+        SELECT profile_lang, word, profile_count FROM (
+            SELECT *, row_number() OVER (PARTITION BY profile_lang
+                        ORDER BY profile_count DESC, word) AS prof_rn
+            FROM counts) t
+        WHERE prof_rn <= 1000
     ),
     scores AS (
         SELECT w.doc_id, w.actual_lang, p.profile_lang,

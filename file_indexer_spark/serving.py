@@ -123,21 +123,17 @@ class FileIndexService:
 
         from file_indexer_spark.operators.duplicates import (
             duplicate_groups_nested,
-            total_wasted_space,
+            scope_to_pattern,
         )
 
-        base = self.files
-        if req.filename_pattern or req.path_pattern:
-            matching = base
-            if req.filename_pattern:
-                matching = matching.filter(F.col("filename").like(req.filename_pattern))
-            if req.path_pattern:
-                matching = matching.filter(F.col("path").like(req.path_pattern))
-            target = matching.filter(F.col("checksum").isNotNull()).select("checksum").distinct()
-            base = base.join(target, "checksum", "left_semi")
-        groups = duplicate_groups_nested(base, req.min_group_size)
+        base = scope_to_pattern(self.files, req.filename_pattern, req.path_pattern)
+        groups = duplicate_groups_nested(base, req.min_group_size).localCheckpoint(eager=False)
         total = groups.count()
-        wasted = total_wasted_space(base).collect()[0]["total_wasted_space"]
+        # wasted space over the SAME group set the response describes
+        # (min_group_size respected), not all size-2 groups
+        wasted = int(
+            groups.agg(F.coalesce(F.sum("wasted_space"), F.lit(0)).cast("long")).collect()[0][0]
+        )
         page = groups
         if req.offset:
             page = page.offset(req.offset)

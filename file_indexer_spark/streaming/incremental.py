@@ -59,7 +59,22 @@ def stream_index(
     def merge_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        update_index(spark, table, root="<stream>", scanned=batch, **index_kwargs)
+        # a micro-batch may span several scan snapshots and thus carry
+        # two versions of one (path, filename); keep only the newest —
+        # the merge's anti-join would otherwise insert BOTH rows and
+        # permanently duplicate the primary key
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("path", "filename").orderBy(
+            F.desc("modification_datetime"), F.desc("file_size")
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        update_index(spark, table, root="<stream>", scanned=latest, **index_kwargs)
 
     query = (
         scan_stream.writeStream.foreachBatch(merge_batch)

@@ -310,3 +310,20 @@ def test_scan_wide_tree_distributed(spark, tmp_path):
             expected.add((str(d), "f.txt"))
     got = {(r["path"], r["filename"]) for r in scan_directory(spark, str(root)).collect()}
     assert got == expected  # 400 dirs x 1 file, depth 3
+
+
+def test_bucket_mismatch_rejected(spark, tmp_path):
+    loc = str(tmp_path / "bdb")
+    t8 = FilesTable(spark, loc, buckets=8)
+    t8.overwrite(_mk_rows(spark, [("/d", "f", None, 1)]))
+    with pytest.raises(ValueError, match="buckets=8"):
+        FilesTable(spark, loc, buckets=16)
+    with pytest.raises(ValueError, match="buckets=8"):
+        FilesTable(spark, loc)  # unbucketed open of a bucketed table
+    # correct reopen works
+    assert FilesTable(spark, loc, buckets=8).read().count() == 1
+    # bucketed open of a plain table also rejected
+    plain = FilesTable(spark, str(tmp_path / "plain"))
+    plain.overwrite(_mk_rows(spark, [("/d", "f", None, 1)]))
+    with pytest.raises(ValueError, match="buckets=None"):
+        FilesTable(spark, str(tmp_path / "plain"), buckets=4)
