@@ -30,20 +30,39 @@ from pyspark.sql import functions as F
 TOP_K = 10
 N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
 NPROBE = 3
+EMB_DIM = 64  # embeddings table schema: FLOAT[64]
 
-# strict left-to-right double fold => same IEEE result in both engines
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-    "0D, (acc, v) -> acc + v)"
-)
+
+def _dot(a: str, b: str) -> str:
+    """Strict left-to-right double fold => same IEEE result in both
+    engines (measured: the HOF fold beats a 64-term unrolled
+    ``a[0]*b[0] + ...`` sum ~3x on Spark 4.1, so this IS the fast path;
+    the real scoring-throughput lever is partition parallelism, handled
+    at the call sites with an explicit repartition before the join)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "0D, (acc, v) -> acc + v)"
+    )
 
 
 def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    return df.withColumn("norm", F.expr(f"sqrt({_DOT.format(a=vec, b=vec)})"))
+    return df.withColumn("norm", F.expr(f"sqrt({_dot(vec, vec)})"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread the corpus side of a broadcast-joined scoring pass across
+    all cores. The embeddings parquet arrives as few (often 1) input
+    splits, and a broadcast join never reshuffles the probe side — so
+    without this every pair score runs in one task. Round-robin
+    repartition costs one narrow shuffle of the (small) corpus and buys
+    full-cluster parallelism for the O(corpus x queries) scoring work.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
 
 
 def _cosine(a_vec: str, a_norm: str, b_vec: str, b_norm: str) -> F.Column:
-    return F.expr(f"{_DOT.format(a=a_vec, b=b_vec)} / ({a_norm} * {b_norm})")
+    return F.expr(f"({_dot(a_vec, b_vec)}) / ({a_norm} * {b_norm})")
 
 
 def cosine_topk(
@@ -57,7 +76,7 @@ def cosine_topk(
     Self-matches are excluded. Output: (query_id, neighbor_id, rank,
     cosine) with rank 1..k per query.
     """
-    corpus = _with_norm(embeddings).select(
+    corpus = _with_norm(_spread(embeddings)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         F.col("norm").alias("n_norm"),
@@ -104,17 +123,18 @@ def ivf_assignments(embeddings: DataFrame) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
-    vecs = _with_norm(embeddings).select(
+    vecs = _with_norm(_spread(embeddings)).select(
         "vec_id", F.col("embedding").alias("v_emb"), F.col("norm").alias("v_norm")
     )
     scored = vecs.join(F.broadcast(cents)).withColumn(
         "cosine", _cosine("v_emb", "v_norm", "c_emb", "c_norm")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    # argmax via max_by: a hash aggregate with map-side partials — one
+    # narrow shuffle of (vec_id, best) pairs, vs. a window's full sort
+    # of every (vec_id, centroid) scored row. Ties break to the
+    # smaller centroid_id (max of -centroid_id).
+    return scored.groupBy("vec_id").agg(
+        F.expr("max_by(centroid_id, struct(cosine, -centroid_id))").alias("centroid_id")
     )
 
 
@@ -127,7 +147,7 @@ def ivf_topk(
     centroid lists. Same output contract as sim1 (ranks may differ where
     the true neighbor lives in an unprobed list — that's the trade)."""
     assign = ivf_assignments(embeddings)
-    corpus = _with_norm(embeddings).select(
+    corpus = _with_norm(_spread(embeddings)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         F.col("norm").alias("n_norm"),
@@ -152,8 +172,11 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_emb", "q_norm", "centroid_id")
     )
+    # broadcast the tiny probe set (n_queries x nprobe rows) so the
+    # corpus keeps its partitioning instead of reshuffling onto the
+    # low-cardinality centroid key (<= n_centroids busy tasks)
     scored = (
-        corpus.join(probes, "centroid_id")
+        corpus.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _cosine("q_emb", "q_norm", "n_emb", "n_norm"))
     )
@@ -167,6 +190,7 @@ def ivf_topk(
 
 
 NEARDUP_COSINE = 0.4
+NEARDUP_SALTS = 8  # sub-buckets per centroid list for the pair join
 
 
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_COSINE) -> DataFrame:
@@ -178,18 +202,35 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_CO
     across neighboring lists are the recall trade — mitigate with
     multi-assignment (assign to top-2 centroids) when recall matters
     more than cost.
+
+    The within-bucket self-join is SALTED: side B carries salt
+    ``vec_id % S``; side A is replicated S times, once per target salt.
+    The join key becomes (centroid, salt) — cardinality k x S instead
+    of k — so a skewed/giant centroid list spreads its O(n^2) pair
+    scoring over S tasks instead of hot-spotting one. Each pair is
+    produced exactly once (A meets B only at B's salt).
     """
     assign = ivf_assignments(embeddings)
-    vecs = _with_norm(embeddings).select(
+    vecs = _with_norm(_spread(embeddings)).select(
         "vec_id", F.col("embedding").alias("emb"), F.col("norm").alias("nrm")
     ).join(assign, "vec_id")
-    a = vecs.alias("a")
-    b = vecs.alias("b")
+    s = NEARDUP_SALTS
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # explicit numbered repartition on the join key: AQE honors it, so
+    # the compute-heavy scoring stage keeps full parallelism instead of
+    # being coalesced down to match its (tiny) shuffle byte size
+    a = (
+        vecs.withColumn("salt", F.explode(F.expr(f"sequence(0L, {s - 1}L)")))
+        .repartition(par, "centroid_id", "salt")
+        .alias("a")
+    )
+    b = vecs.withColumn("salt", F.col("vec_id") % s).alias("b")
     cos = _cosine("a.emb", "a.nrm", "b.emb", "b.nrm")
     return (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn("cosine", cos)
