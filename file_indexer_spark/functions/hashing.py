@@ -51,6 +51,20 @@ def spark_shingle_hashes(text_expr: str = "text", n: int = SHINGLE_N) -> str:
     )
 
 
+def spark_shingle_hashes_from_words(words_col: str = "words", n: int = SHINGLE_N) -> str:
+    """Same as :func:`spark_shingle_hashes`, but over a pre-split word
+    array column. Hoisting ``split(text)`` into its own projection
+    evaluates it once per document instead of once per shingle (lambda
+    bodies get no common-subexpression elimination), and CollapseProject
+    won't inline a non-cheap expression referenced more than once."""
+    shingle = f"array_join(slice({words_col}, i, {n}), ' ')"
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({words_col}) - {n - 1}, 1)), "
+        f"i -> {spark_hash60(shingle)}))"
+    )
+
+
 def duck_shingle_hashes(text_expr: str = "text", n: int = SHINGLE_N) -> str:
     """Identical shingle hash set in DuckDB SQL (1-indexed slices)."""
     shingle = f"array_to_string(string_split({text_expr}, ' ')[i:i+{n - 1}], ' ')"

@@ -59,12 +59,6 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles) with shingles = distinct hash60 of word
-    3-grams — computed map-side, never leaves the executor as text."""
-    return docs.select("doc_id", F.expr(H.spark_shingle_hashes()).alias("shingles"))
-
-
 def _materialize(df: DataFrame) -> DataFrame:
     """Truncate lineage for a subtree consumed by several downstream
     branches: without this, every consumer re-runs the md5 shingle
@@ -72,6 +66,29 @@ def _materialize(df: DataFrame) -> DataFrame:
     executors once; on a cluster with unreliable executors, swap for
     ``checkpoint()`` against reliable storage."""
     return df.localCheckpoint(eager=False)
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) with shingles = distinct hash60 of word
+    3-grams — computed map-side, never leaves the executor as text.
+
+    Three measured performance rules shape this:
+      * repartition first — the documents table often arrives as one
+        input split, and shingle hashing is the dominant map cost;
+        the explicit numbered repartition (which AQE honors) spreads it;
+      * split(text) is hoisted into its own projection — inside the
+        shingle lambda it would be re-evaluated once per shingle;
+      * the result is checkpointed — every consumer explodes this
+        array, and Spark fuses a Generate with its child projection,
+        re-evaluating the (expensive) array expression inside the
+        generator loop (~17x slower than exploding materialized rows).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return _materialize(
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.expr(H.spark_shingle_hashes_from_words()).alias("shingles"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -83,18 +100,33 @@ def ngram_jaccard_pairs(
     shingle inverted index (exact w.r.t. the pruned sets).
     """
     sets = _shingle_sets(docs)
-    exploded = _materialize(sets.select("doc_id", F.explode("shingles").alias("h")))
-    dfreq = exploded.groupBy("h").agg(F.count("*").alias("df"))
+    exploded = sets.select("doc_id", F.explode("shingles").alias("h"))
+    # one shuffle: group the inverted index by shingle, keeping the
+    # (bounded, <= max_df) posting list per shingle. Replaces the
+    # previous dfreq + join-back + self-join plan (3 shuffles of the
+    # full posting stream) with a single grouped pass; pairs are then
+    # generated MAP-SIDE from each posting list (<= C(max_df, 2) per
+    # shingle, bounded by construction).
+    grouped = _materialize(
+        exploded.groupBy("h")
+        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ids"), F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
     # pruned universe: shingles kept in every doc's set
-    kept = _materialize(exploded.join(dfreq.filter(F.col("df") <= max_df), "h"))
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    sizes = (
+        grouped.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("set_size"))
+    )
     # pair-generating shingles: df >= 2 (singletons cannot form a pair)
-    pair_gen = kept.filter(F.col("df") >= 2).select("doc_id", "h")
-    a = pair_gen.alias("a")
-    b = pair_gen.alias("b")
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+    )
     common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.filter(F.col("df") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("common_shingles"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("n_a"))
@@ -123,9 +155,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     aggregation with map-side partials, rather than nested lambda
     expressions (which Catalyst interprets row-at-a-time, ~10x slower).
     """
-    sets = _materialize(_shingle_sets(docs))
-    exploded = sets.select(
-        "doc_id", F.explode(F.expr(f"transform(shingles, h -> h % {H.MERSENNE_P})")).alias("hm")
+    sets = _shingle_sets(docs)
+    exploded = sets.select("doc_id", F.explode("shingles").alias("h")).select(
+        "doc_id", (F.col("h") % H.MERSENNE_P).alias("hm")
     )
     sig_aggs = [
         F.expr(f"min(({a} * hm + {b}) % {H.MERSENNE_P})").alias(f"s{i}")

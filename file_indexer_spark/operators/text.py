@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from file_indexer_spark.functions import hashing as H
+
 # Closed-class marker words used for the stopword-ratio quality signal.
 # (The synthetic corpus vocabulary contains 'the' and 'a'.)
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
@@ -130,7 +132,13 @@ def language_confusion(docs: DataFrame) -> DataFrame:
     map-local; the score aggregation shuffles on (doc_id, lang) then
     reduces to the confusion matrix.
     """
-    words = docs.select("doc_id", F.col("lang").alias("actual_lang"), F.explode(_tokens()).alias("word"))
+    # tokenize once, checkpoint, then explode: ``words`` feeds both the
+    # profile build and the scoring join, and exploding a materialized
+    # array avoids re-running split inside the generator loop
+    tokenized = docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"), _tokens().alias("tokens")
+    ).localCheckpoint(eager=False)
+    words = tokenized.select("doc_id", "actual_lang", F.explode("tokens").alias("word"))
     counts = (
         words.groupBy(F.col("actual_lang").alias("profile_lang"), "word")
         .agg(F.count("*").alias("profile_count"))
@@ -171,13 +179,17 @@ def fingerprints(docs: DataFrame, k: int = 5) -> DataFrame:
     via sorted collect) — the nested-lambda formulation re-evaluates the
     shingle array per output column, interpreted, ~3x slower.
     """
-    shingle_hashes = (
-        "array_distinct(transform("
-        "  sequence(1, greatest(size(split(text,' ')) - 3, 1)),"
-        "  i -> cast(conv(substr(md5(array_join(slice(split(text,' '), i, 4), ' ')), 1, 15), 16, 10) as bigint)"
-        "))"
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # split hoisted out of the lambda + checkpoint before explode (a
+    # Generate fused with an expensive child projection re-evaluates it
+    # inside the generator loop) — see dedup._shingle_sets
+    arrays = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.expr(H.spark_shingle_hashes_from_words(n=4)).alias("shingles"))
+        .localCheckpoint(eager=False)
     )
-    exploded = docs.select("doc_id", F.explode(F.expr(shingle_hashes)).alias("h"))
+    exploded = arrays.select("doc_id", F.explode("shingles").alias("h"))
     sketch = exploded.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_shingles"),
         F.min("h").alias("min_shingle_hash"),
