@@ -71,6 +71,24 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+def _reap(spark) -> None:
+    """Release leftover localCheckpoint RDDs between measurements.
+
+    The dedup/text operators checkpoint intermediate frames; the JVM
+    only frees them after ContextCleaner processes the weak references,
+    which requires a JVM GC. Without this, storage from earlier queries
+    piles up across the run and inflates later timings (observed ~2x
+    run-to-run variance).
+    """
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([\d.]+)", sf_dir)
@@ -84,10 +102,12 @@ def main() -> None:
     # counted — we measure steady-state engine throughput
     for name in names:
         run_query(registry.QUERIES[name], spark, sf_dir)
+    _reap(spark)
 
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(run_query(registry.QUERIES[name], spark, sf_dir), 4)
+        _reap(spark)
 
     total = round(sum(timings.values()), 4)
     print(
