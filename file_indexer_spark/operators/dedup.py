@@ -202,6 +202,59 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     )
 
 
+def minhash_lsh_ml_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hash_tables: int = H.LSH_BANDS,
+) -> DataFrame:
+    """dd6: MLlib-native MinHash-LSH near-dup pairs.
+
+    The ``pyspark.ml.feature`` formulation of dd3: word 3-gram shingles
+    → ``HashingTF`` (binary, fixed feature space — no vocabulary fit,
+    so the pipeline is a single pass) → ``MinHashLSH`` with a fixed
+    seed → ``approxSimilarityJoin`` at Jaccard distance
+    ``1 - threshold``. MLlib's join is the same band-bucket-join shape
+    as dd3 under the hood (OR-amplified across hash tables).
+
+    Estimator internals (hash seeds, feature indices) aren't
+    replicable in an external SQL engine, so this registers as a
+    rows-only driver check; tests assert pair-set parity against the
+    exactly-verified dd3 output instead. HashingTF collisions can
+    slightly inflate the estimated similarity — pairs are re-verified
+    with exact shingle-set Jaccard before emission, as dd3 does.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sets = _shingle_sets(docs)
+    shingle_strs = sets.select(
+        "doc_id",
+        "shingles",
+        F.expr("transform(shingles, h -> cast(h as string))").alias("tokens"),
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
+    featurized = tf.transform(shingle_strs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=20240813)
+    model = lsh.fit(featurized)
+    joined = model.approxSimilarityJoin(
+        featurized, featurized, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    pairs = joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.col("datasetA.shingles").alias("sh_a"),
+        F.col("datasetB.shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = H.HAMMING_MAX) -> DataFrame:
     """dd4: SimHash near-dup pairs with hamming distance <= max_hamming.
 

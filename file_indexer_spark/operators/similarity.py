@@ -189,6 +189,54 @@ def ivf_topk(
     )
 
 
+def brp_lsh_neighbors(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """sim3: MLlib BucketedRandomProjectionLSH ANN (euclidean).
+
+    The ``pyspark.ml``-native scale path: random-projection bucketing
+    with OR-amplification across ``num_hash_tables`` tables, then
+    ``approxSimilarityJoin`` between the query slice and the corpus —
+    only same-bucket pairs are scored, the LSH analogue of sim2's IVF
+    probing. Ranked per query by euclidean distance (ties → vec_id).
+
+    LSH hash seeds aren't replicable in an external SQL engine →
+    rows-only driver check; pytest asserts recall against sim1's exact
+    top-k instead.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _spread(embeddings).select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=20240813,
+    )
+    model = lsh.fit(vecs)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES)
+    joined = model.approxSimilarityJoin(queries, vecs, float("inf"), distCol="distance")
+    pairs = joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round("distance", 6).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "distance")
+        .orderBy("query_id", "rank")
+    )
+
+
 NEARDUP_COSINE = 0.4
 NEARDUP_SALTS = 8  # sub-buckets per centroid list for the pair join
 

