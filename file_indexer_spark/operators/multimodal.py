@@ -140,6 +140,112 @@ def sample_frames(media: DataFrame, frame_size: int, every_k: int = 2) -> DataFr
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+def resize_media(media: DataFrame, target_width: int, target_height: int) -> DataFrame:
+    """Resize stage: nearest-neighbor downsample of FAKE_MEDIA_FORMAT
+    blobs to (target_width, target_height), emitting re-encoded blobs.
+
+    The Spark contract is the real thing — mapInPandas, binary in /
+    binary out, corrupt blobs pass through as nulls with the error
+    recorded — only the pixel math is the fake codec's (payload treated
+    as a row-major width*height*channels byte grid; real clusters swap
+    in PIL/libvips inside the same batch function).
+    """
+
+    header_size = FAKE_HEADER.size
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        hdr = _struct.Struct("<III")  # rebuilt per worker: Struct objects can't pickle
+        out_ids, out_types, out_content, out_err = [], [], [], []
+        for pdf in it:
+            for mid, mtype, content in zip(pdf["media_id"], pdf["media_type"], pdf["content"]):
+                err = None
+                blob = None
+                if content is None or len(content) < header_size:
+                    err = "undecodable"
+                else:
+                    w, h, c = hdr.unpack_from(content)
+                    payload = content[header_size:]
+                    if len(payload) < w * h * c or w == 0 or h == 0:
+                        err = "payload/geometry mismatch"
+                    else:
+                        rows = []
+                        for ty in range(target_height):
+                            sy = ty * h // target_height
+                            for tx in range(target_width):
+                                sx = tx * w // target_width
+                                base = (sy * w + sx) * c
+                                rows.append(payload[base:base + c])
+                        blob = hdr.pack(target_width, target_height, c) + b"".join(rows)
+                out_ids.append(mid)
+                out_types.append(mtype)
+                out_content.append(blob)
+                out_err.append(err)
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "media_type": out_types,
+                    "content": out_content,
+                    "resize_error": out_err,
+                }
+            )
+            out_ids, out_types, out_content, out_err = [], [], [], []
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("resize_error", T.StringType(), True),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
+FEATURE_DIM = 64
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stage: blob → fixed-dim float vector.
+
+    Deterministic fake featurizer (chunked byte means over the payload,
+    L2-normalized) standing in for a real image/audio encoder — the
+    output column is schema-compatible with the ``embeddings`` table
+    (``array<float>``), so extracted features flow straight into
+    sim1/sim2/dd5. Vectorized numpy over each Arrow batch; a model-
+    backed encoder slots into the same mapInPandas signature (load the
+    model once per python worker, outside the loop).
+    """
+    header_size = FAKE_HEADER.size
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, vecs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                if content is None or len(content) <= header_size:
+                    vecs.append(None)
+                    continue
+                payload = np.frombuffer(content, dtype=np.uint8, offset=header_size)
+                chunks = np.array_split(payload.astype(np.float32), dim)
+                v = np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+                norm = float(np.linalg.norm(v))
+                vecs.append((v / norm if norm else v).tolist())
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
 def binary_metadata(docs: DataFrame) -> DataFrame:
     """m1: treat each document's text as an opaque binary blob and
     aggregate blob metadata per source — the metadata-over-binary query

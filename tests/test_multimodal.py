@@ -54,3 +54,57 @@ def test_real_decoder_is_gated():
 
     with pytest.raises(NotImplementedError):
         m.decode_image_real(None)
+
+
+def test_resize_media_geometry_and_errors(spark):
+    # 4x4x1 image with payload 0..15: nearest-neighbor to 2x2 picks
+    # pixels (0,0),(0,2),(2,0),(2,2) = bytes 0,2,8,10
+    src = spark.createDataFrame(
+        [
+            (1, "image/fake", mm.encode_fake_media(4, 4, 1, bytes(range(16)))),
+            (2, "image/fake", b"\x00"),  # undecodable
+            (3, "image/fake", mm.encode_fake_media(4, 4, 3, b"xy")),  # short payload
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in mm.resize_media(src, 2, 2).collect()}
+    blob = bytes(out[1]["content"])
+    w, h, c = mm.FAKE_HEADER.unpack_from(blob)
+    assert (w, h, c) == (2, 2, 1)
+    assert blob[mm.FAKE_HEADER.size:] == bytes([0, 2, 8, 10])
+    assert out[1]["resize_error"] is None
+    assert out[2]["content"] is None and out[2]["resize_error"] == "undecodable"
+    assert out[3]["resize_error"] == "payload/geometry mismatch"
+
+
+def test_extract_features_unit_norm_and_schema(media):
+    import math
+
+    out = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert len(out) == 5
+    v = out[1]["embedding"]
+    assert len(v) == mm.FEATURE_DIM
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    assert out[5]["embedding"] is None  # null blob -> null vector
+    # deterministic: same blob, same vector
+    again = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert again[1]["embedding"] == v
+
+
+def test_extracted_features_feed_similarity_ops(spark):
+    """The multimodal featurizer's output is embeddings-table shaped:
+    it must flow into the similarity operators unchanged."""
+    from file_indexer_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    blobs = spark.createDataFrame(
+        [(i, "image/fake", mm.encode_fake_media(8, 8, 1, bytes([i * 7 % 250 + 1] * 64) + bytes(range(i + 1))))
+         for i in range(30)],
+        mm.MEDIA_SCHEMA,
+    )
+    emb = mm.extract_features(blobs).select(
+        F.col("media_id").alias("vec_id"), "embedding"
+    ).filter(F.col("embedding").isNotNull())
+    top = sim.cosine_topk(emb, queries=emb.filter("vec_id < 2"), k=3).collect()
+    assert {r["query_id"] for r in top} == {0, 1}
+    assert all(1 <= r["rank"] <= 3 for r in top)
