@@ -112,3 +112,63 @@ def test_stateful_sessionization_matches_batch(spark, sf_smoke, tmp_path):
         for r in ev.sessionize(all_events).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Watermark semantics: once the watermark passes a window's end,
+    the window finalizes (emits in append mode), its state is evicted,
+    and later-arriving events for it are DROPPED — the state-bounding
+    contract that makes streaming aggregation viable at scale.
+
+    Mechanics this pins down (measured, not assumed): eviction runs
+    during the batch AFTER the watermark advances, so the late arrival
+    must come two micro-batches after the event that moved the
+    watermark past its window.
+    """
+    import time as _time
+    from datetime import datetime
+
+    src = str(tmp_path / "late_src")
+    batches = [
+        [
+            (1, datetime(2024, 5, 1, 10, 0), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 5, 1, 10, 30), 1, "view", 1.0, "{}"),
+            # advances max event time to 14:00 => watermark 12:00 (2h delay)
+            (3, datetime(2024, 5, 1, 14, 0), 2, "view", 1.0, "{}"),
+        ],
+        # any batch at wm 12:00 evicts+emits the closed [10:00,11:00) window
+        [(4, datetime(2024, 5, 1, 14, 30), 2, "view", 1.0, "{}")],
+        [
+            # 10:15 is below the watermark and its window state is gone -> dropped
+            (5, datetime(2024, 5, 1, 10, 15), 3, "view", 1.0, "{}"),
+            (6, datetime(2024, 5, 1, 13, 0), 3, "view", 1.0, "{}"),
+        ],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, sw.EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # file-source orders micro-batches by mod time
+
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        sw.windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.sql("SELECT * FROM late_counts").collect()
+    }
+    # the 10:00 window finalized with 2 events; the late 10:15 arrival
+    # never appears; 13:00/14:00/14:30 windows are still open (unemitted)
+    assert got == {10: 2}
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
