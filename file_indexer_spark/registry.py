@@ -932,6 +932,68 @@ def s12_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, _S12_SQL)
 
 
+# Ad-hoc ANALYTICS through the same passthrough: TPC-H-shaped queries
+# over the driver's lineitem/orders/customer tables. The SQL text is
+# dialect-neutral (identical string runs in Spark and the DuckDB
+# oracle). Money math is exact-integer (cents / basis points) so
+# aggregate hashes match bit-for-bit regardless of either engine's
+# float summation order — the PLANS are the point: q1 is a pure
+# partial-agg pipeline (shuffle carries 6 groups); q3 joins the dim
+# tables with filters pushed into all three scans, and at scale the
+# filtered customer side broadcasts.
+
+_S12B_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("s12b_tpch_pricing", _S12B_SQL)
+def s12b_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape via raw SQL: scan-filter-aggregate on the fact
+    table; partial aggregation means the shuffle carries 6 group rows
+    per mapper regardless of corpus size."""
+    tune_session(spark)
+    register_views(spark, sf_dir)
+    return run_sql(spark, _S12B_SQL)
+
+
+_S12C_SQL = """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_e4 DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+@register("s12c_tpch_top_orders", _S12C_SQL)
+def s12c_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape via raw SQL: selective dim filter (1/5 of
+    customers) joins fact tables; Catalyst pushes all three predicates
+    into the scans and AQE picks broadcast for the filtered customer
+    side; top-10 is TakeOrdered, not a full sort."""
+    tune_session(spark)
+    register_views(spark, sf_dir)
+    return run_sql(spark, _S12C_SQL)
+
+
 # ------------------------------------------- W1: write-path round-trip
 
 @register(
