@@ -50,3 +50,34 @@ def test_duplicate_files_single_shuffle(spark, sf_smoke):
 def test_codegen_covers_files_pipeline(spark, sf_smoke):
     df = files_df(spark, sf_smoke).filter(F.col("file_size") > 10)
     assert pi.codegen_stage_count(df) >= 1
+
+
+# Queries whose physical plan legitimately contains a nested-loop join,
+# with the reason each one is bounded (and therefore safe at 100 TB).
+_NESTED_LOOP_OK = {
+    # 1-row x 1-row cross of two global-aggregate CTEs (basic x dups).
+    "a1_database_stats",
+    # Brute-force scoring passes: the *query* side is a fixed, small,
+    # broadcast set (N_QUERIES rows); the corpus side streams. Work is
+    # O(corpus x queries) by design — the exact baseline the ANN
+    # variants (sim3, dd3/dd6) exist to replace at scale.
+    "sim1_cosine_topk",
+    "sim2_ivf_ann",
+    "dd5_embedding_neardup",
+}
+
+
+def test_no_accidental_cartesian_products(spark, sf_smoke):
+    """Every registered query must plan without a CartesianProduct or an
+    unlisted BroadcastNestedLoopJoin. A missing equi-join key silently
+    degrades to a nested loop — correct at sf0.01, quadratic at scale —
+    so any new occurrence must be added to the whitelist with a reason."""
+    from file_indexer_spark.registry import QUERIES
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        plan = pi.simple_plan(fn(spark, sf_smoke))
+        hits = [t for t in ("CartesianProduct", "BroadcastNestedLoopJoin") if t in plan]
+        if hits and name not in _NESTED_LOOP_OK:
+            offenders[name] = hits
+    assert not offenders, offenders
