@@ -155,6 +155,46 @@ def p7_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# P6: batch PK probe. The probe batch is derived from a fixed doc_id set
+# (langs vary per scale factor, so literal keys would not be portable)
+# plus one key that matches nothing — the inner probe must drop it.
+PROBE_DOC_IDS = (0, 7, 42, 99, 123, 456)
+
+
+@register(
+    "p6_batch_probe",
+    with_files_cte(
+        f"""
+        , probe_keys AS (
+            SELECT '/' || source AS path,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.' || lang AS filename
+            FROM documents WHERE doc_id IN {PROBE_DOC_IDS}
+            UNION ALL SELECT '/nowhere', 'doc_x.yy'
+        )
+        SELECT f.* FROM files f JOIN probe_keys USING (path, filename)
+        ORDER BY path, filename
+        """
+    ),
+)
+def p6_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk point-lookup: reference builds a 1000-pair row-value IN list
+    (indexer.py:228-266); here the batch is a DataFrame broadcast-joined
+    against the fact table — no literal-size limit, same semantics."""
+    files = _files(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isin(*PROBE_DOC_IDS))
+    keys = docs.select(
+        F.concat(F.lit("/"), F.col("source")).alias("path"),
+        F.concat(
+            F.lit("doc_"), F.col("doc_id").cast("string"), F.lit("."), F.col("lang")
+        ).alias("filename"),
+    ).unionAll(
+        files.sparkSession.createDataFrame(
+            [("/nowhere", "doc_x.yy")], "path string, filename string"
+        )
+    )
+    return srch.batch_probe(files, keys).orderBy("path", "filename")
+
+
 # ---------------------------------------------------------------- J1-J3
 
 @register(
