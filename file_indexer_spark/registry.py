@@ -1118,3 +1118,222 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dd6_minhash_lsh_ml")
 def dd6_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_ml_pairs(_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- ST1/ST2/ST3 streaming
+
+def _stream_workdir(prefix: str, sf_dir: str) -> tuple[str, str]:
+    """Fresh per-(query, sf) scratch dir + a tag for memory-sink names."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    return base, tag
+
+
+def _land_arrivals(src: str, dfs) -> None:
+    """Write each DataFrame as one parquet 'arrival' file and pin
+    strictly increasing mtimes, so the streaming file source (which
+    orders files by modification time) replays them in list order —
+    deterministic micro-batch sequencing without sleeps."""
+    import os
+
+    seen: set[str] = set()
+    for i, df in enumerate(dfs):
+        df.coalesce(1).write.mode("append").parquet(src)
+        new = {p for p in os.listdir(src) if p.endswith(".parquet")} - seen
+        t = 1_700_000_000 + i
+        for p in new:
+            os.utime(os.path.join(src, p), (t, t))
+        seen |= new
+
+
+@register(
+    "st1_streaming_windows",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+)
+def st1_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1: watermarked tumbling windows run as a REAL stream (two file
+    arrivals -> two micro-batches), drained with availableNow into a
+    complete-mode memory sink. Complete mode never evicts, so the final
+    state equals the batch aggregation — the DuckDB oracle is the plain
+    windowed aggregate. (Append-mode eviction semantics are pinned by
+    tests/test_streaming.py.)"""
+    import os
+
+    from file_indexer_spark.streaming import windows as sw
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st1", sf_dir)
+    src = os.path.join(base, "src")
+    ev2 = events_df(spark, sf_dir)
+    _land_arrivals(
+        src,
+        [ev2.filter(F.col("event_id") % 2 == 0), ev2.filter(F.col("event_id") % 2 == 1)],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sink = f"st1_sink_{tag}"
+    sw.run_to_memory_sink(sw.windowed_counts(stream), sink)
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
+@register(
+    "st2_streaming_index",
+    """
+    SELECT '/stream' AS path,
+           'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+           CAST(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id)
+                + CASE WHEN doc_id % 3 = 0 THEN INTERVAL 1 HOUR
+                       ELSE INTERVAL 0 SECOND END AS TIMESTAMP)
+               AS modification_datetime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS file_size
+    FROM documents
+    ORDER BY filename
+    """,
+)
+def st2_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: continuous index maintenance — scan snapshots stream in as
+    micro-batches and foreachBatch applies the SAME merge as batch
+    update_index. Arrival 1 carries half the corpus at stale mtimes;
+    arrival 2 the full corpus at fresh mtimes, so the merge exercises
+    insert + update + unchanged-reuse across batches. The oracle is the
+    expected FINAL table state, computed independently from documents.
+    """
+    import os
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.streaming import incremental as inc
+
+    tune_session(spark)
+    base, _tag = _stream_workdir("fis_st2", sf_dir)
+    src = os.path.join(base, "src")
+
+    scan = load_table(spark, sf_dir, "documents").select(
+        F.lit("/stream").alias("path"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "filename"
+        ),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+        ).alias("modification_datetime"),
+        F.octet_length("text").cast("long").alias("file_size"),
+        F.col("doc_id"),
+    )
+    fresh = scan.withColumn(
+        "modification_datetime",
+        F.expr(
+            "modification_datetime"
+            " + if(doc_id % 3 = 0, make_interval(0,0,0,0,1,0,0), make_interval(0,0,0,0,0,0,0))"
+        ),
+    )
+    _land_arrivals(
+        src,
+        [
+            scan.filter(F.col("doc_id") % 2 == 0).drop("doc_id"),
+            fresh.drop("doc_id"),
+        ],
+    )
+
+    table = FilesTable(spark, os.path.join(base, "files_db"))
+    inc.stream_index(
+        spark,
+        inc.read_scan_stream(spark, src, max_files_per_trigger=1),
+        table,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        max_checksum_size=-1,  # metadata-only: scanned paths aren't real files
+    )
+    return (
+        table.read()
+        .select("path", "filename", "modification_datetime", "file_size")
+        .orderBy("filename")
+    )
+
+
+@register(
+    "st3_stateful_sessions",
+    f"""
+    WITH flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {ev.SESSION_GAP_MINUTES} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def st3_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: custom stateful operator — applyInPandasWithState keeps one
+    state row per user and emits updated session rows per micro-batch.
+    Two chronological arrivals split mid-stream, so sessions spanning
+    the split are carried across batches by state. The last emit per
+    (user, session) — the max-n_events row, since a session's count
+    only grows — must equal the batch gaps-and-islands sessionizer (e1
+    minus its n_event_types column, which streaming state doesn't keep).
+    """
+    import os
+
+    from file_indexer_spark.streaming import sessions as ss
+    from file_indexer_spark.streaming import windows as sw
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st3", sf_dir)
+    src = os.path.join(base, "src")
+    ev2 = events_df(spark, sf_dir)
+    mid = ev2.agg(F.max("event_id")).first()[0] // 2
+    # event_id order == ts order in the driver's events testdata, so an
+    # event_id split gives chronological arrivals (state semantics need
+    # in-order delivery; out-of-order handling is the watermark's job)
+    _land_arrivals(
+        src, [ev2.filter(F.col("event_id") <= mid), ev2.filter(F.col("event_id") > mid)]
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sink = f"st3_sink_{tag}"
+    q = (
+        ss.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
