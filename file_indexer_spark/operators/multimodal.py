@@ -269,3 +269,39 @@ def binary_metadata(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def fake_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic FAKE_MEDIA_FORMAT corpus derived from ``documents``
+    — the registry's gate fixture (the same derivation is expressed in
+    DuckDB SQL for the m2/m3 oracles, so decode/frame outputs can be
+    hash-checked end-to-end):
+
+      * doc_id % 11 == 0 → NULL content            (null-blob error path)
+      * doc_id %  7 == 0 → 2-byte blob             (truncated-header path)
+      * otherwise        → header(4 + id%13, 3 + id%7, 1 + id%4)
+                           + utf-8 text payload
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        hdr = _struct.Struct("<III")
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                ids.append(did)
+                types.append("image")
+                if did % 11 == 0:
+                    blobs.append(None)
+                elif did % 7 == 0:
+                    blobs.append(b"\x01\x02")
+                else:
+                    blobs.append(
+                        hdr.pack(4 + did % 13, 3 + did % 7, 1 + did % 4)
+                        + text.encode("utf-8")
+                    )
+            yield pd.DataFrame({"media_id": ids, "media_type": types, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)

@@ -1337,3 +1337,100 @@ def st3_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# ---------------------------------------------------------- M2/M3/M4
+
+@register(
+    "m2_media_decode",
+    """
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+                ELSE CAST(4 + doc_id % 13 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+                ELSE CAST(3 + doc_id % 7 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 4 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+                ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS payload_bytes,
+           CASE WHEN doc_id % 11 = 0 THEN 'null content'
+                WHEN doc_id % 7 = 0 THEN 'truncated header'
+                ELSE NULL END AS decode_error
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def m2_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: binary → typed metadata through the real mapInPandas decode
+    stage (Arrow batches, error column instead of task failure). The
+    blob corpus is derived deterministically from documents, so the
+    DuckDB oracle recomputes every decoded field — including both error
+    classes — straight from doc_id/text without touching binaries."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.fake_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.decode_media(media).orderBy("media_id")
+
+
+@register(
+    "m3_frame_sampling",
+    """
+    -- documents.text is pure ASCII in the driver's testdata (asserted:
+    -- octet_length(encode(text)) == length(text) at every sf), so
+    -- VARCHAR slicing/md5 here equals the engine's byte slicing/md5.
+    WITH blobs AS (
+        SELECT doc_id AS media_id, text AS payload
+        FROM documents
+        WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 0
+    ),
+    nums AS (  -- bounded frame-index domain (DuckDB's generate_series
+               -- can't take lateral column args); 4096 frames covers
+               -- 128 KB payloads, far above any documents row
+        SELECT CAST(range AS BIGINT) AS i FROM range(0, 4096, 2)
+    ),
+    frames AS (
+        SELECT b.media_id, CAST(n.i AS INTEGER) AS frame_index,
+               substring(b.payload, CAST(1 + n.i * 32 AS BIGINT), 32) AS frame
+        FROM blobs b JOIN nums n ON n.i < length(b.payload) // 32
+    )
+    SELECT media_id, frame_index,
+           md5(frame) AS frame_md5,
+           CAST(length(frame) AS BIGINT) AS frame_len
+    FROM frames
+    ORDER BY media_id, frame_index
+    """,
+)
+def m3_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: 1→N frame explosion (every 2nd 32-byte frame of each payload)
+    through the mapInPandas sampling stage — partition-local, no shuffle.
+    Frames are compared by md5+length so the oracle diff never ships raw
+    binaries through the canonicalizer."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.fake_media_from_docs(_table(spark, sf_dir, "documents"))
+    frames = mm.sample_frames(media, frame_size=32, every_k=2)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").cast("long").alias("frame_len"),
+    ).orderBy("media_id", "frame_index")
+
+
+# rows-only check (no oracle): the fake featurizer's uneven-chunk mean
+# (np.array_split) has no clean SQL rendition; pytest pins its values
+# and the embedding column feeds sim1/sim2/dd5 downstream.
+@register("m4_media_features")
+def m4_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.fake_media_from_docs(_table(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 4).alias(
+            "sq_norm"
+        ),
+    ).orderBy("media_id")
