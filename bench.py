@@ -58,8 +58,13 @@ LLM_EXTENSION = [
     "t4_fingerprints",
     "e1_sessionization",
     "e2_tumbling_counts",
+    "e3_funnel",
+    "e4_top_users",
     "e5_props_stats",
     "m1_binary_metadata",
+    "m2_media_decode",
+    "m3_frame_sampling",
+    "m4_media_features",
     "s12_raw_sql",
 ]
 

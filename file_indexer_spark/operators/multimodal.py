@@ -229,6 +229,23 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def chunk_means(payload: "np.ndarray") -> "np.ndarray":
+            # np.array_split boundaries (first n%dim chunks get one
+            # extra element), summed in one reduceat instead of a
+            # 64-iteration Python loop per row.
+            n = len(payload)
+            q, r = divmod(n, dim)
+            sizes = np.full(dim, q, dtype=np.int64)
+            sizes[:r] += 1
+            if q == 0:  # n < dim → empty chunks; reduceat can't express
+                chunks = np.array_split(payload, dim)
+                return np.array(
+                    [c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32
+                )
+            idx = np.zeros(dim, dtype=np.int64)
+            np.cumsum(sizes[:-1], out=idx[1:])
+            return (np.add.reduceat(payload, idx) / sizes).astype(np.float32)
+
         for pdf in it:
             ids, vecs = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -236,9 +253,10 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 if content is None or len(content) <= header_size:
                     vecs.append(None)
                     continue
-                payload = np.frombuffer(content, dtype=np.uint8, offset=header_size)
-                chunks = np.array_split(payload.astype(np.float32), dim)
-                v = np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+                payload = np.frombuffer(
+                    content, dtype=np.uint8, offset=header_size
+                ).astype(np.float64)
+                v = chunk_means(payload)
                 norm = float(np.linalg.norm(v))
                 vecs.append((v / norm if norm else v).tolist())
             yield pd.DataFrame({"media_id": ids, "embedding": vecs})
