@@ -65,6 +65,7 @@ LLM_EXTENSION = [
     "m2_media_decode",
     "m3_frame_sampling",
     "m4_media_features",
+    "m5_media_resize",
     "s12_raw_sql",
 ]
 

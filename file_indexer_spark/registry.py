@@ -1434,3 +1434,56 @@ def m4_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sq_norm"
         ),
     ).orderBy("media_id")
+
+
+@register(
+    "m5_media_resize",
+    """
+    -- Nearest-neighbor 2x2 resize of the FAKE_MEDIA_FORMAT corpus,
+    -- hash-checked at the pixel level: the oracle re-derives each
+    -- sampled pixel straight from documents.text (pure ASCII, so
+    -- VARCHAR slicing == byte slicing) and md5s the same 4-pixel
+    -- payload the engine re-encodes.
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 7  AS h,
+               1 + doc_id % 4  AS c,
+               text AS t,
+               CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN 'undecodable'
+                    WHEN length(text) <
+                         (4 + doc_id % 13) * (3 + doc_id % 7) * (1 + doc_id % 4)
+                         THEN 'payload/geometry mismatch'
+                    ELSE NULL END AS resize_error
+        FROM documents
+    )
+    SELECT media_id,
+           resize_error,
+           CASE WHEN resize_error IS NULL THEN md5(
+                    substring(t, ((0 * w + 0) * c) + 1, c)
+                 || substring(t, ((0 * w + (w // 2)) * c) + 1, c)
+                 || substring(t, (((h // 2) * w + 0) * c) + 1, c)
+                 || substring(t, (((h // 2) * w + (w // 2)) * c) + 1, c))
+           END AS pixels_md5,
+           CASE WHEN resize_error IS NULL THEN CAST(12 + 4 * c AS BIGINT)
+           END AS blob_len
+    FROM m
+    ORDER BY media_id
+    """,
+)
+def m5_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: resize stage gate — blobs through the partition-local
+    mapInPandas nearest-neighbor downsample, compared by md5 of the
+    re-encoded pixel payload (bytes 13.. of the output blob) so the
+    pixel-sampling arithmetic itself is oracle-checked, not just the
+    error taxonomy."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.fake_media_from_docs(_table(spark, sf_dir, "documents"))
+    resized = mm.resize_media(media, target_width=2, target_height=2)
+    return resized.select(
+        "media_id",
+        "resize_error",
+        F.md5(F.expr("substring(content, 13)")).alias("pixels_md5"),
+        F.octet_length("content").cast("long").alias("blob_len"),
+    ).orderBy("media_id")
