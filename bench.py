@@ -52,6 +52,9 @@ LLM_EXTENSION = [
     "sim1_cosine_topk",
     "sim2_ivf_ann",
     "dd5_embedding_neardup",
+    "dd7_dedup_clusters",
+    "sp1_hash_split",
+    "sp2_source_cap",
     "t1_token_stats",
     "t2_quality_scores",
     "t3_language_confusion",

@@ -313,3 +313,60 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = H.HAMMING_MAX) -> DataFram
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Materialize near-dup PAIRS into cluster assignments: connected
+    components by iterative min-label propagation, canonical doc = min
+    doc_id per component (the row a training pipeline KEEPS).
+
+    Scale shape: the iteration runs only over the near-dup subgraph
+    (nodes that appear in a pair — a small fraction of the corpus);
+    the full corpus joins back once at the end, so singleton docs never
+    enter the loop. Each round is one shuffle join + label update with
+    lineage cut by localCheckpoint; rounds needed = component diameter
+    (near-dup clusters are shallow — text piles, not chains). For
+    adversarial graphs swap the propagation step for large-star/
+    small-star (O(log n) rounds, same per-round join shape).
+
+    The convergence probe is ``limit(1).count()`` on changed labels —
+    an early-exit existence check, not a full count.
+    """
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = _materialize(sym.distinct())
+    labels = _materialize(
+        edges.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = _materialize(
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left").select(
+                labels["doc_id"],
+                F.least(labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )

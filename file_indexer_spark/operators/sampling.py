@@ -1,0 +1,80 @@
+"""Deterministic sampling/splitting for training-data pipelines.
+
+Two primitives a 100 TB corpus pipeline needs that plain SQL engines
+usually hand-roll:
+
+  * hash_split — content-stable train/val/test assignment keyed on
+    ``md5(doc_id)``: a document keeps its split across re-runs, corpus
+    grows, and cluster sizes, because the assignment is a pure function
+    of the row key (no RNG, no ``rand()`` non-determinism across
+    retries/speculative tasks — Spark task retries re-evaluate
+    ``rand()`` and can emit a different sample).
+  * source_cap_sample — cap each source at N docs, keeping a
+    deterministic hash-ordered prefix: the standard guard against a
+    dominant crawl source swamping the mixture.
+
+Both are pure Catalyst expression programs: the hash is JVM-side
+``md5``, the split is a string-range comparison on the hex digest
+(identical in any engine that md5s the same bytes — the DuckDB oracles
+replicate it verbatim), and the per-source cap is one window over
+``source`` (high-cardinality-safe: partitions are per-source, skew
+bounded by the biggest source's row count; salt the window key if one
+source is the whole corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# First-byte hex ranges of md5(doc_id): [00,10) test, [10,20) val,
+# [20,ff] train — 6.25 % / 6.25 % / 87.5 %.
+TEST_UPPER = "10"
+VAL_UPPER = "20"
+
+
+def _digest(key: F.Column) -> F.Column:
+    return F.md5(key.cast("string"))
+
+
+def split_expr(key: F.Column) -> F.Column:
+    """train/val/test from the first hex byte of md5(key)."""
+    b = F.substring(_digest(key), 1, 2)
+    return (
+        F.when(b < TEST_UPPER, F.lit("test"))
+        .when(b < VAL_UPPER, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def hash_split(docs: DataFrame) -> DataFrame:
+    """Per-split corpus accounting: doc counts, token totals, source
+    spread — the sanity table printed before any training run."""
+    tagged = docs.select(
+        split_expr(F.col("doc_id")).alias("split"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "source",
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
+def source_cap_sample(docs: DataFrame, cap: int) -> DataFrame:
+    """Keep at most ``cap`` docs per source — the deterministic
+    hash-ordered prefix (md5 order is a stable pseudo-random shuffle,
+    so the kept prefix is an unbiased sample of the source)."""
+    w = Window.partitionBy("source").orderBy(_digest(F.col("doc_id")), "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source")
+    )

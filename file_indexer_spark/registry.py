@@ -1487,3 +1487,110 @@ def m5_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.expr("substring(content, 13)")).alias("pixels_md5"),
         F.octet_length("content").cast("long").alias("blob_len"),
     ).orderBy("media_id")
+
+
+# ----------------------------------------- LLM pillar: dedup materialization
+
+_DD7_PAIRS_CTES = f"""
+    sets AS (SELECT doc_id, {H.duck_shingle_hashes()} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, shingles, {H.duck_minhash_sig("shingles")} AS sig FROM sets),
+    bands AS (SELECT doc_id, j AS band, {H.duck_band_hash("sig", "j")} AS digest
+              FROM sigs, range(0, {H.LSH_BANDS}) t(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb
+        FROM cand
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b),
+    pairs AS (
+        SELECT doc_a, doc_b FROM verified
+        WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+              >= {dd.JACCARD_THRESHOLD})
+"""
+
+
+@register(
+    "dd7_dedup_clusters",
+    f"""
+    -- Connected components over the dd3 near-dup pair graph, computed
+    -- exactly by a recursive transitive closure; cluster label = min
+    -- reachable doc_id, canonical = the label holder (the doc a
+    -- training pipeline keeps).
+    WITH RECURSIVE
+    {_DD7_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE e.dst <> r.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD7: near-dup pairs → cluster assignment + canonical selection
+    (iterative min-label propagation over the pair subgraph; the oracle
+    recomputes components exactly via a recursive CTE)."""
+    docs = _table(spark, sf_dir, "documents")
+    return dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
+
+
+# ----------------------------------------- LLM pillar: sampling / splits
+
+from file_indexer_spark.operators import sampling as sp  # noqa: E402
+
+
+@register(
+    "sp1_hash_split",
+    f"""
+    -- Content-stable train/val/test assignment: first hex byte of
+    -- md5(doc_id) → [00,10) test, [10,20) val, rest train. Pure
+    -- function of the key — identical in any engine (no RNG).
+    WITH tagged AS (
+        SELECT CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < '{sp.TEST_UPPER}' THEN 'test'
+                    WHEN substring(md5(doc_id::VARCHAR), 1, 2) < '{sp.VAL_UPPER}' THEN 'val'
+                    ELSE 'train' END AS split,
+               len(string_split(text, ' ')) AS n_tokens,
+               source
+        FROM documents)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.hash_split(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sp2_source_cap",
+    """
+    -- Cap every source at 20 docs: keep the md5-ordered prefix (a
+    -- deterministic unbiased sample), the guard against one crawl
+    -- source dominating the training mixture.
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        FROM documents) WHERE rk <= 20
+    ORDER BY doc_id
+    """,
+)
+def sp2_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.source_cap_sample(_table(spark, sf_dir, "documents"), cap=20).orderBy("doc_id")

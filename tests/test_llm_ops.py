@@ -121,3 +121,57 @@ def test_brp_lsh_recall_vs_exact(embeddings):
     # LSH variant should recover a solid majority
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"BRP-LSH recall {recall:.2f} vs exact cosine top-k"
+
+
+def test_dedup_clusters_chain_merges_and_canonical(spark):
+    """A pair chain 1-2, 2-3, plus an island 10-11: components must
+    merge transitively (label propagation crosses >1 hop) and the
+    canonical doc is the min id of each component."""
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 10, 11]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r for r in dd.dedup_clusters(docs, pairs).collect()}
+    assert {k: v["cluster_id"] for k, v in out.items()} == {
+        1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10,
+    }
+    assert [k for k, v in out.items() if v["is_canonical"]] == [1, 7, 10]
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dd.dedup_clusters(docs, pairs).collect()
+    assert all(r["doc_id"] == r["cluster_id"] and r["is_canonical"] for r in out)
+
+
+def test_hash_split_deterministic_and_partitions(docs):
+    from file_indexer_spark.operators import sampling as sp
+
+    a = {r["split"]: r for r in sp.hash_split(docs).collect()}
+    b = {r["split"]: r for r in sp.hash_split(docs).collect()}
+    assert a.keys() == b.keys() == {"train", "val", "test"}
+    assert all(a[s]["n_docs"] == b[s]["n_docs"] for s in a)
+    total = sum(r["n_docs"] for r in a.values())
+    assert total == docs.count()
+    # train holds the bulk (87.5 % of hash space)
+    assert a["train"]["n_docs"] > 0.7 * total
+
+
+def test_source_cap_sample_caps_and_is_stable(docs):
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import sampling as sp
+
+    kept = sp.source_cap_sample(docs, cap=5)
+    per_source = kept.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_source)
+    # every source with >=5 docs is fully capped, smaller ones intact
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    got = {r["source"]: r["count"] for r in per_source}
+    for s, n in totals.items():
+        assert got.get(s, 0) == min(n, 5)
+    # deterministic: same rows both runs
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in sp.source_cap_sample(docs, cap=5).collect()}
+    assert ids1 == ids2
