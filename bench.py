@@ -55,6 +55,7 @@ LLM_EXTENSION = [
     "dd7_dedup_clusters",
     "sp1_hash_split",
     "sp2_source_cap",
+    "sp3_sequence_packing",
     "t1_token_stats",
     "t2_quality_scores",
     "t3_language_confusion",

@@ -78,3 +78,54 @@ def source_cap_sample(docs: DataFrame, cap: int) -> DataFrame:
         .filter(F.col("rk") <= cap)
         .select("doc_id", "source")
     )
+
+
+PACK_BUDGET = 2048
+N_PACKERS = 16  # first hex char of md5(doc_id) → 16 independent token streams
+
+
+def sequence_pack(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-and-chunk packing plan: the GPT-style pretraining layout
+    where each packer's documents are concatenated into one token
+    stream and cut into fixed-``budget`` training sequences (documents
+    straddle cuts; nothing is padded away).
+
+    Scale shape: docs are sharded to ``N_PACKERS`` independent streams
+    by a content-stable hash (same md5 trick as ``hash_split``, so the
+    plan is retry-deterministic and reproducible across runs), and the
+    only shuffle is one window cumsum per packer. At 100 TB raise
+    N_PACKERS to O(cores) — packer streams never interact, so the
+    window's per-partition state is a running sum, not a buffer.
+
+    Emits one row per document: its packer, the first/last sequence it
+    lands in, and its offset inside the first one — the full physical
+    layout, from which a writer stage can emit the actual token shards.
+    """
+    w = (
+        Window.partitionBy("packer")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select(
+        "doc_id",
+        F.substring(_digest(F.col("doc_id")), 1, 1).alias("packer"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "packer",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("start"),
+            F.col("cum").alias("end"),
+        )
+        .select(
+            "doc_id",
+            "packer",
+            "n_tokens",
+            F.floor(F.col("start") / budget).cast("long").alias("seq_first"),
+            F.floor((F.col("end") - 1) / budget).cast("long").alias("seq_last"),
+            (F.col("start") % budget).cast("long").alias("seq_offset"),
+        )
+    )

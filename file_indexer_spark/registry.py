@@ -1594,3 +1594,35 @@ def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sp2_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.source_cap_sample(_table(spark, sf_dir, "documents"), cap=20).orderBy("doc_id")
+
+
+@register(
+    "sp3_sequence_packing",
+    f"""
+    -- Concat-and-chunk packing plan: 16 independent token streams
+    -- (first hex char of md5(doc_id)), each concatenated in doc_id
+    -- order and cut into {sp.PACK_BUDGET}-token sequences. Window
+    -- cumsum is the whole computation.
+    WITH d AS (
+        SELECT doc_id,
+               substring(md5(doc_id::VARCHAR), 1, 1) AS packer,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT doc_id, packer, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY packer ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM d)
+    SELECT doc_id, packer, n_tokens,
+           CAST((cum - n_tokens) // {sp.PACK_BUDGET} AS BIGINT) AS seq_first,
+           CAST((cum - 1) // {sp.PACK_BUDGET} AS BIGINT) AS seq_last,
+           CAST((cum - n_tokens) % {sp.PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def sp3_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP3: the physical layout for GPT-style packed pretraining
+    sequences — which fixed-budget sequences each document spans, per
+    content-stable packer stream."""
+    return sp.sequence_pack(_table(spark, sf_dir, "documents")).orderBy("doc_id")

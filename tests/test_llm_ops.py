@@ -175,3 +175,22 @@ def test_source_cap_sample_caps_and_is_stable(docs):
     ids1 = {r["doc_id"] for r in kept.collect()}
     ids2 = {r["doc_id"] for r in sp.source_cap_sample(docs, cap=5).collect()}
     assert ids1 == ids2
+
+
+def test_sequence_packing_tiles_each_stream(docs):
+    from file_indexer_spark.operators import sampling as sp
+
+    rows = sp.sequence_pack(docs, budget=100).collect()
+    by_packer = {}
+    for r in rows:
+        by_packer.setdefault(r["packer"], []).append(r)
+    assert len(by_packer) == sp.N_PACKERS
+    for packer, rs in by_packer.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            # offsets/spans are consistent with a contiguous token stream
+            assert r["seq_offset"] == cum % 100
+            assert r["seq_first"] == cum // 100
+            assert r["seq_last"] == (cum + r["n_tokens"] - 1) // 100
+            cum += r["n_tokens"]
