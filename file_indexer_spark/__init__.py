@@ -18,7 +18,7 @@ Layout:
     serving.py    pagination contract (page / total / has_more)
     cli.py        ``python -m file_indexer_spark`` entry point
     operators/    query operators (search, duplicates, stats, dedup,
-                  similarity, text, events, multimodal)
+                  similarity, text, events, multimodal, sampling)
     functions/    reusable column expressions (extension parse, size
                   bands, shingle/minhash/simhash primitives)
     indexer/      the write path: distributed scan, two-phase checksum,

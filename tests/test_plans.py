@@ -81,3 +81,36 @@ def test_no_accidental_cartesian_products(spark, sf_smoke):
         if hits and name not in _NESTED_LOOP_OK:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_sampling_operators_prune_text_and_stay_lean(spark, sf_smoke):
+    """sp2 never needs document text: its scan must read only
+    doc_id/source. sp3 reads text (token counts) but needs exactly one
+    shuffle per packer window + the output sort — no hidden joins."""
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cols = pi.scan_columns(sp.source_cap_sample(docs, cap=20))
+    assert "text" not in cols, cols
+    assert {"doc_id", "source"} <= cols
+
+    packed = sp.sequence_pack(docs)
+    # window over packer (1 exchange); no join in the plan at all
+    assert pi.count_exchanges(packed) == 1, pi.simple_plan(packed)
+    assert "Join" not in pi.simple_plan(packed)
+
+
+def test_dedup_clusters_iterates_only_over_pair_subgraph(spark):
+    """The corpus side must not enter the propagation loop: labels are
+    built from the edge list alone, so a corpus of N docs with 2 pairs
+    iterates over <= 4 label rows."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import dedup as dd
+
+    docs = spark.range(0, 10_000).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    out = dd.dedup_clusters(docs, pairs)
+    assert out.filter("doc_id != cluster_id").count() == 2  # 2 and 4
+    assert out.count() == 10_000
