@@ -1626,3 +1626,37 @@ def sp3_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences — which fixed-budget sequences each document spans, per
     content-stable packer stream."""
     return sp.sequence_pack(_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "st4_streaming_dedup",
+    """
+    -- Final pass-through set of a dedup-at-ingestion stream: exactly
+    -- one row per distinct content hash, regardless of how many
+    -- arrivals carried the same text.
+    SELECT DISTINCT md5(text) AS content_hash
+    FROM documents
+    ORDER BY content_hash
+    """,
+)
+def st4_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4: stateful streaming exact-dedup run as a REAL stream — two
+    overlapping arrivals (two-thirds of the corpus, then all of it), so
+    the dedup state must filter re-arrivals across micro-batches; the
+    oracle is the batch distinct-hash set."""
+    import os
+
+    from file_indexer_spark.streaming import dedup as sd
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st4", sf_dir)
+    src = os.path.join(base, "src")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _land_arrivals(
+        src,
+        [docs.filter(F.col("doc_id") % 3 != 0), docs],
+    )
+    stream = sd.read_docs_stream(spark, src, max_files_per_trigger=1)
+    sink = f"st4_sink_{tag}"
+    sd.run_to_memory_sink(sd.dedup_stream(stream), sink)
+    return spark.table(sink).orderBy("content_hash")

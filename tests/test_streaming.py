@@ -172,3 +172,21 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+def test_streaming_dedup_filters_rearrivals_across_batches(spark, tmp_path):
+    """A hash seen in batch 1 must NOT re-emit when batch 2 re-delivers
+    it; duplicates inside one batch collapse too."""
+    from file_indexer_spark.streaming import dedup as sd
+
+    src = str(tmp_path / "docs_src")
+    b1 = spark.createDataFrame([(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(4, "aaa"), (5, "ccc")], "doc_id long, text string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = sd.read_docs_stream(spark, src, max_files_per_trigger=1)
+    assert stream.isStreaming
+    sd.run_to_memory_sink(sd.dedup_stream(stream), "st4_test_sink")
+    rows = [r["content_hash"] for r in spark.table("st4_test_sink").collect()]
+    assert len(rows) == 3 and len(set(rows)) == 3  # aaa, bbb, ccc — each once
