@@ -1418,10 +1418,24 @@ def m3_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_index")
 
 
-# rows-only check (no oracle): the fake featurizer's uneven-chunk mean
-# (np.array_split) has no clean SQL rendition; pytest pins its values
-# and the embedding column feeds sim1/sim2/dd5 downstream.
-@register("m4_media_features")
+@register(
+    "m4_media_features",
+    """
+    -- The featurizer's cross-engine-checkable contract: exact null
+    -- classes (null/truncated blobs -> null vector), fixed dimension,
+    -- and unit L2 norm (sum of squares rounds to 1.0 at 4 dp for any
+    -- non-degenerate float32 unit vector). The chunk-mean VALUES are
+    -- pinned by tests/test_multimodal.py and by flowing the embeddings
+    -- through the similarity operators.
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+                ELSE CAST(64 AS INTEGER) END AS dim,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+                ELSE CAST(1.0 AS DOUBLE) END AS sq_norm
+    FROM documents
+    ORDER BY media_id
+    """,
+)
 def m4_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from file_indexer_spark.operators import multimodal as mm
 
