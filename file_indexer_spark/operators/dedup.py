@@ -345,22 +345,17 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, max_iter: int = 25) -> Dat
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = _materialize(
-            labels.join(nbr, labels["doc_id"] == nbr["src"], "left").select(
-                labels["doc_id"],
-                F.least(labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])).alias(
-                    "label"
-                ),
-            )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        lowered = F.least(labels["label"], F.coalesce(nbr["nbr_label"], labels["label"]))
+        # carry the changed flag in the frame: the eager checkpoint is
+        # the round's one real job, and the convergence probe is a
+        # limit(1) scan of the checkpointed rows — no extra join.
+        new_labels = labels.join(nbr, labels["doc_id"] == nbr["src"], "left").select(
+            labels["doc_id"],
+            lowered.alias("label"),
+            (lowered < labels["label"]).alias("chg"),
+        ).localCheckpoint()
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return (
