@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the iterative/layout operators
+— the two places where a hand-picked example could miss a topology.
+
+Settings note: each Spark round-trip is ~seconds, so examples are kept
+small and few; the value is random TOPOLOGY (graph shapes, size mixes),
+not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _cc_reference(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> min id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then label by min reachable id (roots are
+    # mins because we always attach the larger root under the smaller)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=14).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(0, n - 1), st.integers(0, n - 1)
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=20,
+            ),
+        )
+    )
+)
+def test_dedup_clusters_matches_union_find(spark, case):
+    """Random graphs (chains, cycles, stars, forests): the iterative
+    min-label propagation must agree with exact union-find, including
+    convergence on paths longer than one hop."""
+    from file_indexer_spark.operators import dedup as dd
+
+    n, edges = case
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == _cc_reference(n, edges)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=30))
+def test_sequence_pack_matches_serial_packer(spark, sizes):
+    """Random token-size mixes: every packer stream's layout must equal
+    a serial concat-and-chunk walk of that stream."""
+    import hashlib
+
+    from file_indexer_spark.operators import sampling as sp
+
+    budget = 17
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in sp.sequence_pack(docs, budget=budget).collect()}
+
+    streams: dict[str, list[int]] = {}
+    for i in sorted(range(len(sizes))):
+        packer = hashlib.md5(str(i).encode()).hexdigest()[0]
+        streams.setdefault(packer, []).append(i)
+    for packer, ids in streams.items():
+        cum = 0
+        for i in ids:
+            r = rows[i]
+            assert r["packer"] == packer
+            assert r["n_tokens"] == sizes[i]
+            assert r["seq_first"] == cum // budget
+            assert r["seq_offset"] == cum % budget
+            cum += sizes[i]
+            assert r["seq_last"] == (cum - 1) // budget
