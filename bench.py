@@ -65,6 +65,8 @@ LLM_EXTENSION = [
     "e3_funnel",
     "e4_top_users",
     "e5_props_stats",
+    "e6_retention_cohorts",
+    "sim4_filtered_ann",
     "m1_binary_metadata",
     "m2_media_decode",
     "m3_frame_sampling",

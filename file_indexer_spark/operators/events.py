@@ -136,3 +136,28 @@ def props_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """e6: weekly cohort retention — users grouped by their first active
+    week; for each (cohort, week-offset), how many came back.
+
+    Shape: one distinct on (user, week) + one agg for the cohort map +
+    one join + one agg. All keys are user_id (high-cardinality uniform)
+    or (cohort_week, offset) (tiny) — no skew, no window needed.
+    """
+    weeks = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

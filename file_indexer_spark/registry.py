@@ -1674,3 +1674,60 @@ def st4_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"st4_sink_{tag}"
     sd.run_to_memory_sink(sd.dedup_stream(stream), sink)
     return spark.table(sink).orderBy("content_hash")
+
+
+@register(
+    "e6_retention_cohorts",
+    """
+    WITH weeks AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        FROM events),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, w.week) / 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS active_users
+    FROM weeks w JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def e6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: weekly cohort retention over the events stream."""
+    return ev.retention_cohorts(events_df(spark, sf_dir))
+
+
+@register(
+    "sim4_filtered_ann",
+    f"""
+    -- Attribute-filtered vector search: the same exact cosine top-k as
+    -- sim1 but the CORPUS is restricted by a metadata predicate
+    -- (even labels) while the query set stays fixed — the "filtered
+    -- ANN" shape every vector store exposes. The filter composes with
+    -- the scan (predicate pushdown), not with post-ranking.
+    WITH c0 AS ({_DUCK_NORMS}),
+    c AS (SELECT c0.* FROM c0 JOIN embeddings e ON e.vec_id = c0.vec_id
+          WHERE e.label % 2 = 0),
+    q AS (SELECT * FROM c0 WHERE vec_id < {sim.N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="q.embedding", b="c.embedding")} / (q.norm * c.norm)
+                   AS cosine
+        FROM q, c
+        WHERE c.vec_id != q.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+               cosine
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= {sim.TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def sim4_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(
+        emb.filter(F.col("label") % 2 == 0),
+        queries=emb.filter(F.col("vec_id") < sim.N_QUERIES),
+    )

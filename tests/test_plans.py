@@ -63,6 +63,7 @@ _NESTED_LOOP_OK = {
     # variants (sim3, dd3/dd6) exist to replace at scale.
     "sim1_cosine_topk",
     "sim2_ivf_ann",
+    "sim4_filtered_ann",  # sim1's scoring shape over a filtered corpus
     "dd5_embedding_neardup",
 }
 
