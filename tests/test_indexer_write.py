@@ -327,3 +327,33 @@ def test_bucket_mismatch_rejected(spark, tmp_path):
     plain.overwrite(_mk_rows(spark, [("/d", "f", None, 1)]))
     with pytest.raises(ValueError, match="buckets=None"):
         FilesTable(spark, str(tmp_path / "plain"), buckets=4)
+
+
+def test_wide_update_falls_back_to_full_rewrite(spark, tmp_path):
+    """An update touching >= half the buckets takes the single-rewrite
+    plan (measured faster than per-directory swaps) and must leave a
+    valid bucketed layout behind so later clustered ops still prune."""
+    import pyspark.sql.functions as F
+
+    from file_indexer_spark.indexer.files_table import FilesTable, FILES_SCHEMA
+
+    loc = str(tmp_path / "wide_db")
+    t = FilesTable(spark, loc, buckets=4)
+    base = spark.range(200).select(
+        F.concat(F.lit("/d/p"), F.col("id").cast("string")).alias("path"),
+        F.lit("f.bin").alias("filename"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("modification_datetime"),
+        F.col("id").cast("long").alias("file_size"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("indexed_at"),
+    )
+    t.overwrite(base)
+    upd = base.withColumn("checksum", F.lit("c"))  # hits every bucket
+    assert t._wide(t._touched_buckets(upd))
+    t.upsert(upd)
+    assert t.read().filter("checksum = 'c'").count() == 200
+    # layout still bucketed: a clustered delete prunes to one bucket
+    one = base.filter("path = '/d/p7'")
+    assert len(t._touched_buckets(one)) == 1
+    t.delete(one.select("path", "filename"))
+    assert t.read().count() == 199
