@@ -60,6 +60,7 @@ LLM_EXTENSION = [
     "t2_quality_scores",
     "t3_language_confusion",
     "t4_fingerprints",
+    "t5_quality_retention",
     "e1_sessionization",
     "e2_tumbling_counts",
     "e3_funnel",

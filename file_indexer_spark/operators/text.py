@@ -206,3 +206,31 @@ def fingerprints(docs: DataFrame, k: int = 5) -> DataFrame:
         .select("doc_id", "content_hash", "n_shingles", "min_shingle_hash", "fingerprint")
         .orderBy("doc_id")
     )
+
+
+def quality_retention(docs: DataFrame) -> DataFrame:
+    """t5: the quality FILTER materialized — per-source doc/token
+    retention after dropping ``low_quality`` docs. The table a pipeline
+    reviews before committing a filter threshold (which sources lose
+    how much data).
+
+    Shape: t2's per-doc score program (pure map-side expressions) +
+    one join on doc_id + one tiny agg on source.
+    """
+    scored = quality_scores(docs).select("doc_id", "low_quality", "n_tokens")
+    kept = ~F.col("low_quality")
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(kept.cast("long")).cast("double") / F.count("*").cast("double"), 6
+            ).alias("doc_retention"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

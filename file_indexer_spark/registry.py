@@ -1731,3 +1731,36 @@ def sim4_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("label") % 2 == 0),
         queries=emb.filter(F.col("vec_id") < sim.N_QUERIES),
     )
+
+
+@register(
+    "t5_quality_retention",
+    f"""
+    -- t2's quality filter materialized: per-source doc/token retention
+    -- after dropping low-quality docs — the filter-impact review table.
+    WITH m AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS INTEGER)
+                   AS n_stopwords
+        FROM documents),
+    flagged AS (
+        SELECT doc_id, source, n_tokens,
+               (0.5 * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                + 0.2 * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0)) < 0.5 AS low_quality
+        FROM m)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (NOT low_quality) AS BIGINT) AS n_kept,
+           round(CAST(COUNT(*) FILTER (NOT low_quality) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS doc_retention,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN NOT low_quality THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def t5_quality_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_retention(_table(spark, sf_dir, "documents"))
