@@ -1764,3 +1764,50 @@ def sim4_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t5_quality_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_retention(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "w2_two_phase_roundtrip",
+    """
+    -- Two-phase indexing end-to-end: after phase 1 (metadata only) and
+    -- phase 2 (hash ONLY sizes holding >1 file), exactly the
+    -- duplicate-size files carry checksums — the reference's ~95%
+    -- I/O-avoidance contract, recomputed independently by the oracle.
+    WITH docs AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS fs FROM documents),
+    sizes AS (SELECT fs, COUNT(*) AS n FROM docs GROUP BY fs)
+    SELECT 'doc_' || CAST(d.doc_id AS VARCHAR) || '.txt' AS filename,
+           CAST(d.fs AS BIGINT) AS file_size,
+           CASE WHEN s.n > 1 AND d.fs > 0 THEN sha256(d.text) END AS checksum
+    FROM docs d JOIN sizes s ON s.fs = d.fs
+    ORDER BY filename
+    """,
+)
+def w2_two_phase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: the D2 two-phase pipeline under the gate — phase 1 indexes
+    metadata with hashing off, phase 2's A7 work selection hashes only
+    duplicate-size candidates; the oracle recomputes which files must
+    (and must not) have checksums straight from the size histogram."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.indexer.two_phase import two_phase_index
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w2_{tag}")
+    tree = os.path.join(base, "tree")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(tree)
+    for r in docs:
+        with open(os.path.join(tree, f"doc_{r['doc_id']}.txt"), "w", encoding="utf-8") as fh:
+            fh.write(r["text"])
+
+    table = FilesTable(spark, os.path.join(base, "files_db"))
+    two_phase_index(spark, table, tree)
+    return table.read().select("filename", "file_size", "checksum").orderBy("filename")
