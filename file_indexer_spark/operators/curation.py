@@ -1,0 +1,306 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The curation passes a 100 TB pretraining pipeline runs between raw
+ingestion and packing, beyond the dedup/quality operators in
+``operators.dedup`` / ``operators.text``:
+
+  * benchmark_contamination — n-gram overlap of every candidate
+    document against a benchmark/eval set (decontamination: a doc whose
+    shingles are mostly benchmark shingles leaks eval data into
+    training and must be dropped).
+  * pii_scrub — pattern-based PII / blocked-term accounting and
+    redaction sizing (emails, IPv4, phone numbers, plus a policy
+    blocklist) rolled up per source.
+  * repetition_stats — Gopher-style repetition signals per document
+    (top-word fraction, distinct-bigram fraction): the cheap filter
+    that catches boilerplate and degenerate generations before any
+    pairwise dedup runs.
+  * token_chunking — token-budget chunking with overlap (stride <
+    chunk size): the layout pass that turns long documents into
+    model-window-sized training rows.
+  * mixture_resample — deterministic per-source downsampling to target
+    mixture rates, keyed on ``md5(doc_id:source)`` so the sample is
+    stable across re-runs, retries, and cluster sizes (same rationale
+    as ``sampling.hash_split`` — Spark task retries re-evaluate
+    ``rand()``).
+
+All operators are pure Catalyst expression programs (no Python UDFs):
+per-document work is map-side; shuffles carry only exploded n-gram
+rows into partially-aggregated counts or tiny per-source rollups.
+Every emitted value is computed by an identical expression tree in the
+DuckDB oracles (registry ct1/ct2/ct3/ch1/mx1), so results hash-match.
+
+The reference has no curation operators (its corpus is file metadata);
+these extend SURVEY.md §2.9a as first-class components over the
+driver's ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from file_indexer_spark.functions import hashing as H
+
+# --------------------------------------------------------- ct1 contamination
+
+# Benchmark membership: first hex char of md5(doc_id) == '0' (~1/16 of
+# the corpus stands in for the eval set; in production this is a real
+# benchmark table on the same shingle schema).
+BENCH_HEX = "0"
+CONTAMINATION_THRESHOLD = 0.5
+
+
+def benchmark_contamination(docs: DataFrame) -> DataFrame:
+    """ct1: shingle-overlap decontamination check.
+
+    Every candidate (non-benchmark) document is scored by the fraction
+    of its distinct word-3-gram shingle hashes that also occur anywhere
+    in the benchmark set; ``contaminated`` flags docs over the
+    threshold.
+
+    Scale shape: shingle arrays are materialized once and exploded
+    (Generate fuses its child projection — see PERFORMANCE.md); the
+    benchmark shingle set is DISTINCT and bounded by the benchmark
+    corpus size (eval sets are millions of shingles, not billions), so
+    the overlap join is an AQE-broadcast-able equi-join on the hash;
+    the per-doc rollup is one partially-aggregated shuffle on doc_id.
+    """
+    arrays = (
+        docs.select(
+            "doc_id",
+            (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == BENCH_HEX).alias(
+                "is_bench"
+            ),
+            F.split("text", " ").alias("words"),
+        )
+        .select(
+            "doc_id",
+            "is_bench",
+            F.expr(H.spark_shingle_hashes_from_words()).alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bench = (
+        arrays.filter(F.col("is_bench"))
+        .select(F.explode("shingles").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = arrays.filter(~F.col("is_bench")).select("doc_id", F.explode("shingles").alias("h"))
+    overlap_frac = F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
+    return (
+        cand.join(bench, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(overlap_frac, 6).alias("overlap_frac"),
+            (overlap_frac >= CONTAMINATION_THRESHOLD).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------- ct2 pii scrub
+
+EMAIL_PAT = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+IPV4_PAT = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+# Policy blocklist (whole words). The synthetic corpus has no real PII,
+# so the blocklist terms exercise the match/redact path end-to-end.
+BLOCKED_TERMS = ("customer", "merge")
+BLOCKED_PAT = "\\b(" + "|".join(BLOCKED_TERMS) + ")\\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """ct2: per-source PII / blocked-term accounting.
+
+    Counts pattern hits (emails, IPv4 addresses, policy blocklist) and
+    sizes the redaction (characters that ``regexp_replace`` would
+    remove). Pure map-side regex expressions + one tiny per-source
+    rollup — the shape is a full-scan-once pass regardless of corpus
+    size, which is exactly what a compliance sweep must be at 100 TB.
+    """
+    # patterns go in as Column literals, NOT interpolated into F.expr —
+    # Spark SQL string literals process backslash escapes ('\b' would
+    # become a backspace character before the regex engine sees it)
+    n_email = F.size(F.regexp_extract_all("text", F.lit(EMAIL_PAT), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all("text", F.lit(IPV4_PAT), F.lit(0)))
+    n_blocked = F.size(F.regexp_extract_all("text", F.lit(BLOCKED_PAT), F.lit(0)))
+    redacted = F.length("text") - F.length(F.regexp_replace("text", BLOCKED_PAT, ""))
+    per_doc = docs.select(
+        "source",
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_blocked.alias("n_blocked"),
+        redacted.alias("redacted_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("n_email") > 0).cast("long")).cast("long").alias("docs_with_email"),
+            F.sum((F.col("n_ip") > 0).cast("long")).cast("long").alias("docs_with_ip"),
+            F.sum((F.col("n_blocked") > 0).cast("long")).cast("long").alias("docs_with_blocked"),
+            F.sum("n_blocked").cast("long").alias("total_blocked_hits"),
+            F.sum("redacted_chars").cast("long").alias("total_redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------------- ct3 repetition stats
+
+TOP_WORD_FRAC_MAX = 0.12
+DISTINCT_BIGRAM_FRAC_MIN = 0.8
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """ct3: Gopher-style repetition signals per document.
+
+    Two signals: the fraction of tokens that are the single most
+    frequent token (degenerate repetition), and the fraction of word
+    bigrams that are distinct (copy-paste boilerplate). ``repetitive``
+    flags documents failing either bound.
+
+    Scale shape: two explode→aggregate passes, each with map-side
+    partial aggregation; both shuffles are keyed by (doc_id[, gram]) —
+    high-cardinality uniform keys, no skew. No pairwise work: this is
+    the O(corpus) filter that runs BEFORE the O(pairs) dedup operators.
+    """
+    words = docs.select("doc_id", F.split("text", " ").alias("words")).localCheckpoint(
+        eager=False
+    )
+    tok = words.select("doc_id", F.explode("words").alias("w"))
+    top_word = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.max("c").cast("long").alias("top_word_count"),
+        )
+    )
+    bigram_expr = (
+        "case when size(words) < 2 then cast(array() as array<string>) else "
+        "transform(sequence(1, size(words) - 1), "
+        "i -> array_join(slice(words, i, 2), ' ')) end"
+    )
+    bigrams = words.select("doc_id", F.explode(F.expr(bigram_expr)).alias("g"))
+    bg = bigrams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.countDistinct("g").cast("long").alias("n_distinct_bigrams"),
+    )
+    top_frac = F.col("top_word_count").cast("double") / F.col("n_tokens").cast("double")
+    distinct_frac = F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams").cast("double")
+    return (
+        top_word.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_word_count",
+            F.round(top_frac, 6).alias("top_word_frac"),
+            "n_bigrams",
+            "n_distinct_bigrams",
+            F.round(distinct_frac, 6).alias("distinct_bigram_frac"),
+            ((top_frac > TOP_WORD_FRAC_MAX) | (distinct_frac < DISTINCT_BIGRAM_FRAC_MIN)).alias(
+                "repetitive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------- ch1 token chunking
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def token_chunking(
+    docs: DataFrame, chunk_size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """ch1: overlapping token-window chunking.
+
+    Splits every document into ``chunk_size``-token windows starting at
+    0, stride, 2*stride, … — the standard layout pass for embedding /
+    retrieval corpora where documents exceed the model window. Emits
+    one row per chunk with its token offsets and an md5 content hash
+    (the downstream join key for chunk-level dedup).
+
+    Scale shape: entirely map-side — one projection computes the word
+    array, one Generate explodes the start offsets (array materialized
+    first; Generate re-evaluates a fused child expression per output
+    row), one projection slices and hashes. No shuffle at all until the
+    final presentation sort.
+    """
+    starts_expr = f"sequence(0, greatest(size(words) - 1, 0), {stride})"
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .withColumn("starts", F.expr(starts_expr))
+        .localCheckpoint(eager=False)
+        .select("doc_id", "words", F.posexplode("starts").alias("chunk_idx", "start_token"))
+        .withColumn("chunk", F.expr(f"slice(words, start_token + 1, {chunk_size})"))
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ------------------------------------------------------ mx1 mixture resample
+
+MIX_SALT = "mix"
+
+
+def mixture_rate_expr() -> F.Column:
+    """Target keep-rate per source: a pure function of the source name
+    (numeric suffix mod 4 → 0.25 / 0.50 / 0.75 / 1.00), so both engines
+    derive identical rates with no side-channel config."""
+    suffix = F.substring(F.col("source"), 4, 10).cast("int")
+    return ((suffix % 4 + 1).cast("double") / F.lit(4.0)).alias("target_rate")
+
+
+def mixture_resample(docs: DataFrame) -> DataFrame:
+    """mx1: deterministic mixture resampling accounting.
+
+    Downsamples each source to its target rate by thresholding the
+    first 4 hex digits of ``md5(doc_id:source)`` against
+    ``rate * 65536`` — content-stable (a doc's fate never changes
+    across runs or retries) and unbiased (md5 is uniform). Emits the
+    per-source before/after table a pipeline reviews to confirm the
+    achieved mixture.
+
+    Scale shape: map-side hash + filter, one tiny per-source rollup.
+    The sampled subset itself is ``docs.filter(keep_expr)`` — this
+    operator materializes the accounting view of that filter.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(MIX_SALT), "source")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    tagged = docs.select(
+        "source",
+        mixture_rate_expr(),
+        (bucket < (mixture_rate_expr() * 65536).cast("long")).alias("keep"),
+    )
+    return (
+        tagged.groupBy("source", "target_rate")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.col("keep").cast("long")).cast("double") / F.count("*").cast("double"), 6
+            ).alias("achieved_rate"),
+        )
+        .orderBy("source")
+    )

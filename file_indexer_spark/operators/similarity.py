@@ -239,6 +239,7 @@ def brp_lsh_neighbors(
 
 NEARDUP_COSINE = 0.4
 NEARDUP_SALTS = 8  # sub-buckets per centroid list for the pair join
+SEMDEDUP_COSINE = NEARDUP_COSINE
 
 
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_COSINE) -> DataFrame:
@@ -289,4 +290,50 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_CO
             F.round("cosine", 6).alias("cosine"),
         )
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = SEMDEDUP_COSINE) -> DataFrame:
+    """sd1: SemDeDup-style embedding-cluster deduplication accounting.
+
+    The semantic analogue of exact dedup: cluster the corpus (IVF
+    nearest-centroid assignment), find within-cluster near-duplicate
+    pairs (cosine >= threshold, via :func:`embedding_neardup_pairs` —
+    salted, never all-pairs), and keep one representative per
+    near-duplicate neighborhood using the min-id rule: a vector is
+    DROPPED iff some neighbor has a smaller vec_id. Emits the
+    per-cluster retention table a pipeline reviews before committing
+    the threshold.
+
+    Scale shape: inherits dd5's bucketed pair generation (pair space
+    shrinks ~k-fold with k centroids; salting spreads giant clusters);
+    the drop set is one distinct projection of the pair list; the
+    rollup is a tiny per-centroid aggregate. SemDeDup (Abbas et al.,
+    2023) is exactly this shape at 100 TB — k-means buckets, pairwise
+    cosine only within buckets.
+    """
+    assign = ivf_assignments(embeddings)
+    # pairs emit vec_a < vec_b, so every vec_b has a smaller-id neighbor
+    dropped = (
+        embedding_neardup_pairs(embeddings, threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    fates = assign.join(dropped, "vec_id", "left").select(
+        "centroid_id", F.coalesce("is_dropped", F.lit(False)).alias("is_dropped")
+    )
+    return (
+        fates.groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(F.col("is_dropped").cast("long")).cast("long").alias("n_dropped"),
+            (F.count("*") - F.sum(F.col("is_dropped").cast("long"))).cast("long").alias("n_kept"),
+            F.round(
+                (F.count("*") - F.sum(F.col("is_dropped").cast("long"))).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("centroid_id")
     )

@@ -1811,3 +1811,188 @@ def w2_two_phase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = FilesTable(spark, os.path.join(base, "files_db"))
     two_phase_index(spark, table, tree)
     return table.read().select("filename", "file_size", "checksum").orderBy("filename")
+
+
+# ======================================================================
+# Corpus-curation extension (SURVEY.md §2.9a, round 3): decontamination,
+# PII scrubbing, repetition filtering, chunking, mixture resampling, and
+# SemDeDup-style embedding-cluster dedup — the curation passes between
+# raw ingestion and packing in a training-data pipeline.
+
+from file_indexer_spark.operators import curation as cu  # noqa: E402
+
+
+@register(
+    "ct1_contamination",
+    f"""
+    WITH sets AS (
+        SELECT doc_id,
+               substring(md5(doc_id::VARCHAR), 1, 1) = '{cu.BENCH_HEX}' AS is_bench,
+               {H.duck_shingle_hashes()} AS shingles
+        FROM documents),
+    bench AS (
+        SELECT DISTINCT h FROM (
+            SELECT unnest(shingles) AS h FROM sets WHERE is_bench) t),
+    cand AS (
+        SELECT doc_id, unnest(shingles) AS h FROM sets WHERE NOT is_bench)
+    SELECT c.doc_id,
+           COUNT(*)::BIGINT AS n_shingles,
+           COUNT(b.h)::BIGINT AS n_overlap,
+           round(COUNT(b.h)::DOUBLE / COUNT(*), 6) AS overlap_frac,
+           COUNT(b.h)::DOUBLE / COUNT(*) >= {cu.CONTAMINATION_THRESHOLD} AS contaminated
+    FROM cand c LEFT JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def ct1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.benchmark_contamination(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ct2_pii_scrub",
+    f"""
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN len(regexp_extract_all(text, '{cu.EMAIL_PAT}')) > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS docs_with_email,
+           SUM(CASE WHEN len(regexp_extract_all(text, '{cu.IPV4_PAT}')) > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS docs_with_ip,
+           SUM(CASE WHEN len(regexp_extract_all(text, '{cu.BLOCKED_PAT}')) > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS docs_with_blocked,
+           SUM(len(regexp_extract_all(text, '{cu.BLOCKED_PAT}')))::BIGINT
+               AS total_blocked_hits,
+           SUM(length(text) - length(regexp_replace(text, '{cu.BLOCKED_PAT}', '', 'g')))::BIGINT
+               AS total_redacted_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def ct2_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.pii_scrub(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ct3_repetition_stats",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+    topw AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_tokens, MAX(c)::BIGINT AS top_word_count
+        FROM (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w) t
+        GROUP BY doc_id),
+    bg_list AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                    ELSE list_transform(range(1, len(ws)),
+                                        i -> array_to_string(ws[i:i+1], ' '))
+               END AS gs
+        FROM words),
+    bgs AS (SELECT doc_id, unnest(gs) AS g FROM bg_list),
+    bg AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               COUNT(DISTINCT g)::BIGINT AS n_distinct_bigrams
+        FROM bgs GROUP BY doc_id)
+    SELECT t.doc_id, n_tokens, top_word_count,
+           round(top_word_count::DOUBLE / n_tokens, 6) AS top_word_frac,
+           n_bigrams, n_distinct_bigrams,
+           round(n_distinct_bigrams::DOUBLE / n_bigrams, 6) AS distinct_bigram_frac,
+           (top_word_count::DOUBLE / n_tokens > {cu.TOP_WORD_FRAC_MAX}
+            OR n_distinct_bigrams::DOUBLE / n_bigrams < {cu.DISTINCT_BIGRAM_FRAC_MIN})
+               AS repetitive
+    FROM topw t JOIN bg USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def ct3_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.repetition_stats(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ch1_token_chunking",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (
+        SELECT doc_id, ws, unnest(range(0, len(ws), {cu.CHUNK_STRIDE})) AS start_token
+        FROM words),
+    ch AS (
+        SELECT doc_id, start_token,
+               ws[start_token + 1 : start_token + {cu.CHUNK_SIZE}] AS chunk
+        FROM st)
+    SELECT doc_id,
+           (start_token // {cu.CHUNK_STRIDE})::BIGINT AS chunk_idx,
+           start_token::BIGINT AS start_token,
+           len(chunk)::BIGINT AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM ch
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def ch1_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.token_chunking(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mx1_mixture_resample",
+    f"""
+    WITH tagged AS (
+        SELECT source,
+               (CAST(substring(source, 4) AS INT) % 4 + 1)::DOUBLE / 4.0 AS target_rate,
+               ('0x' || substring(
+                    md5(doc_id::VARCHAR || ':{cu.MIX_SALT}:' || source), 1, 4))::BIGINT
+                 < CAST((CAST(substring(source, 4) AS INT) % 4 + 1)::DOUBLE / 4.0 * 65536
+                        AS BIGINT) AS keep
+        FROM documents)
+    SELECT source, target_rate,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           round(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+               AS achieved_rate
+    FROM tagged
+    GROUP BY source, target_rate
+    ORDER BY source
+    """,
+)
+def mx1_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.mixture_resample(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sd1_semantic_dedup",
+    f"""
+    WITH c AS ({_DUCK_NORMS}),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
+                ON c.vec_id = reps.vec_id),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                        / (v.norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM c v, cents) t
+        WHERE rn = 1),
+    vecs AS (SELECT c.vec_id, c.embedding AS emb, c.norm AS nrm, a.centroid_id
+             FROM c JOIN assign a ON a.vec_id = c.vec_id),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DUCK_DOT.format(a="a.emb", b="b.emb")} / (a.nrm * b.nrm) AS cosine
+        FROM vecs a JOIN vecs b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+    dropped AS (
+        SELECT DISTINCT vec_b AS vec_id FROM pairs
+        WHERE cosine >= {sim.SEMDEDUP_COSINE})
+    SELECT a.centroid_id,
+           COUNT(*)::BIGINT AS n_vectors,
+           COUNT(d.vec_id)::BIGINT AS n_dropped,
+           (COUNT(*) - COUNT(d.vec_id))::BIGINT AS n_kept,
+           round((COUNT(*) - COUNT(d.vec_id))::DOUBLE / COUNT(*), 6) AS retention
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.centroid_id
+    ORDER BY a.centroid_id
+    """,
+)
+def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.semantic_dedup(_table(spark, sf_dir, "embeddings"))

@@ -194,3 +194,99 @@ def test_sequence_packing_tiles_each_stream(docs):
             assert r["seq_first"] == cum // 100
             assert r["seq_last"] == (cum + r["n_tokens"] - 1) // 100
             cum += r["n_tokens"]
+
+
+# ---------------------------------------------------------------- curation
+
+
+def test_contamination_excludes_benchmark_docs(docs):
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import curation as cu
+
+    out = cu.benchmark_contamination(docs).cache()
+    bench_ids = {
+        r["doc_id"]
+        for r in docs.select("doc_id")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == cu.BENCH_HEX)
+        .collect()
+    }
+    out_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert bench_ids, "benchmark slice is empty — hex prefix rule broken"
+    assert not (bench_ids & out_ids), "benchmark docs must not be scored"
+    assert len(out_ids) == docs.count() - len(bench_ids)
+    rows = out.collect()
+    assert all(0 <= r["n_overlap"] <= r["n_shingles"] for r in rows)
+    assert all(
+        r["contaminated"] == (r["n_overlap"] / r["n_shingles"] >= cu.CONTAMINATION_THRESHOLD)
+        for r in rows
+    )
+    out.unpersist()
+
+
+def test_repetition_flags_planted_repeats(docs):
+    from file_indexer_spark.operators import curation as cu
+
+    rows = cu.repetition_stats(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["top_word_count"] <= r["n_tokens"]
+        assert r["n_distinct_bigrams"] <= r["n_bigrams"]
+        assert r["n_bigrams"] == r["n_tokens"] - 1
+    flags = {r["repetitive"] for r in rows}
+    assert flags == {True, False}, "thresholds must split the corpus"
+
+
+def test_chunking_covers_every_token(docs):
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import curation as cu
+
+    chunks = cu.token_chunking(docs).cache()
+    rows = chunks.collect()
+    assert all(1 <= r["n_chunk_tokens"] <= cu.CHUNK_SIZE for r in rows)
+    assert all(r["start_token"] == r["chunk_idx"] * cu.CHUNK_STRIDE for r in rows)
+    # stride < chunk_size => consecutive chunks overlap; the last chunk's
+    # window must reach the document's final token
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    last = {}
+    for r in rows:
+        cur = last.get(r["doc_id"])
+        if cur is None or r["chunk_idx"] > cur["chunk_idx"]:
+            last[r["doc_id"]] = r
+    assert set(last) == set(n_tokens)
+    for doc_id, r in last.items():
+        assert r["start_token"] + r["n_chunk_tokens"] == n_tokens[doc_id]
+        # one more stride would start past the end
+        assert r["start_token"] + cu.CHUNK_STRIDE >= n_tokens[doc_id]
+    chunks.unpersist()
+
+
+def test_mixture_resample_is_deterministic_and_bounded(docs):
+    from file_indexer_spark.operators import curation as cu
+
+    a = cu.mixture_resample(docs).collect()
+    b = cu.mixture_resample(docs).collect()
+    assert a == b, "resampling must be retry-stable"
+    for r in a:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        if r["target_rate"] == 1.0:
+            assert r["n_kept"] == r["n_docs"], "rate-1.0 sources keep everything"
+
+
+def test_semantic_dedup_drop_rule(embeddings):
+    from file_indexer_spark.operators import similarity as sim
+
+    rollup = {r["centroid_id"]: r for r in sim.semantic_dedup(embeddings).collect()}
+    pairs = sim.embedding_neardup_pairs(embeddings, sim.SEMDEDUP_COSINE).collect()
+    assign = {r["vec_id"]: r["centroid_id"] for r in sim.ivf_assignments(embeddings).collect()}
+    dropped_by_cluster: dict[int, set[int]] = {}
+    for p in pairs:
+        dropped_by_cluster.setdefault(assign[p["vec_b"]], set()).add(p["vec_b"])
+    assert sum(r["n_vectors"] for r in rollup.values()) == embeddings.count()
+    for cid, r in rollup.items():
+        assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
+        assert r["n_dropped"] == len(dropped_by_cluster.get(cid, set()))

@@ -65,6 +65,9 @@ _NESTED_LOOP_OK = {
     "sim2_ivf_ann",
     "sim4_filtered_ann",  # sim1's scoring shape over a filtered corpus
     "dd5_embedding_neardup",
+    # sd1 = dd5's pair generation + a rollup; the nested loop is the
+    # same bounded broadcast-centroid scoring pass as dd5/sim2.
+    "sd1_semantic_dedup",
 }
 
 
@@ -115,3 +118,27 @@ def test_dedup_clusters_iterates_only_over_pair_subgraph(spark):
     out = dd.dedup_clusters(docs, pairs)
     assert out.filter("doc_id != cluster_id").count() == 2  # 2 and 4
     assert out.count() == 10_000
+
+
+def test_curation_operators_plan_shapes(spark, sf_smoke):
+    """ch1 chunking must be shuffle-free up to its presentation sort
+    (map-side Generate only, no join); ct2's compliance sweep is one
+    scan + one rollup exchange; mx1 reads only doc_id/source."""
+    from file_indexer_spark.operators import curation as cu
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+
+    chunks = cu.token_chunking(docs)
+    plan = pi.simple_plan(chunks)
+    assert "Join" not in plan
+    # only the final orderBy's range exchange — no hash shuffle
+    assert pi.count_exchanges(chunks) <= 1, plan
+
+    scrub = cu.pii_scrub(docs)
+    assert "Join" not in pi.simple_plan(scrub)
+    assert pi.count_exchanges(scrub) <= 2  # partial->final agg + sort
+
+    mix = cu.mixture_resample(docs)
+    assert "text" not in pi.scan_columns(mix)
+    assert {"doc_id", "source"} <= pi.scan_columns(mix)
