@@ -84,6 +84,17 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+def run_query_safe(fn, spark, sf_dir: str, errors: dict, name: str) -> float | None:
+    """A failing query must cost its own timing slot, never the whole
+    bench run (a round-2 regression lost the entire BENCH json to one
+    AnalysisException)."""
+    try:
+        return run_query(fn, spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        return None
+
+
 def _reap(spark) -> None:
     """Release leftover localCheckpoint RDDs between measurements.
 
@@ -110,11 +121,12 @@ def main() -> None:
     spark = get_spark("file_indexer_spark_bench")
 
     names = [n for n in HEADLINE + LLM_EXTENSION if n in registry.QUERIES]
+    errors: dict[str, str] = {}
 
     # warm-up pass: JVM JIT / codegen / parquet-footer caches, not
     # counted — we measure steady-state engine throughput
     for name in names:
-        run_query(registry.QUERIES[name], spark, sf_dir)
+        run_query_safe(registry.QUERIES[name], spark, sf_dir, errors, name)
     _reap(spark)
 
     # min of 2 measured reps: a single sample at these sub-second
@@ -122,11 +134,16 @@ def main() -> None:
     # ±3 s on a ~28 s total); the min is the stable throughput figure
     timings: dict[str, float] = {}
     for name in names:
+        if name in errors:
+            continue
         reps = []
         for _ in range(2):
-            reps.append(run_query(registry.QUERIES[name], spark, sf_dir))
+            t = run_query_safe(registry.QUERIES[name], spark, sf_dir, errors, name)
+            if t is not None:
+                reps.append(t)
             _reap(spark)
-        timings[name] = round(min(reps), 4)
+        if reps:
+            timings[name] = round(min(reps), 4)
 
     headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     llm_total = round(sum(timings[n] for n in LLM_EXTENSION if n in timings), 4)
@@ -147,6 +164,7 @@ def main() -> None:
                     "llm_extension": llm_total,
                     "all_queries": round(sum(timings.values()), 4),
                 },
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -35,12 +35,16 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
     running count of starts numbers the sessions.
     """
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_minutes * 60 * 1_000_000
+    # Interval arithmetic (ts > prev + gap) instead of unix_micros
+    # subtraction: works for both TIMESTAMP and TIMESTAMP_NTZ (parquet
+    # timestamps without a timezone load as NTZ, which unix_micros
+    # rejects) and keeps microsecond precision.
+    gap = F.make_interval(mins=F.lit(int(gap_minutes)))
     with_flag = events.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(order).isNull()
-            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order)) > gap_us),
+            | (F.col("ts") > F.lag("ts").over(order) + gap),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
