@@ -74,6 +74,15 @@ LLM_EXTENSION = [
     "m4_media_features",
     "m5_media_resize",
     "s12_raw_sql",
+    # round 3: DataFrame-native star joins, as-of join, sliding
+    # windows, exact percentile profiles
+    "h1_regional_revenue",
+    "h2_returned_top_customers",
+    "h3_late_order_priorities",
+    "e7_asof_last_view",
+    "e8_rolling_daily_value",
+    "e9_preceding_window_counts",
+    "t6_length_percentiles",
 ]
 
 

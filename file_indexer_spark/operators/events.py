@@ -142,6 +142,86 @@ def props_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_last_match(
+    events: DataFrame, probe_type: str = "purchase", match_type: str = "view"
+) -> DataFrame:
+    """e7: as-of join — for each ``probe_type`` event, the timestamp of
+    the same user's most recent ``match_type`` event at or before it.
+
+    Spark has no ASOF JOIN operator; the scalable formulation is NOT a
+    join at all: union both sides, one window per user ordered by
+    (ts, side, event_id) with matches sorting before probes on ties,
+    and carry the last non-null match timestamp forward. One shuffle on
+    user_id (high-cardinality, uniform), zero join, state O(1) per row
+    — survives any scale the events table reaches. The DuckDB oracle
+    uses its native ASOF LEFT JOIN, making this a genuine cross-engine
+    semantics check.
+    """
+    tagged = events.filter(F.col("event_type").isin(match_type, probe_type)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == match_type, F.col("ts")).alias("match_ts"),
+        F.when(F.col("event_type") == match_type, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_match_ts", F.last("match_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("probe_ts"),
+            "last_match_ts",
+        )
+        .orderBy("event_id")
+    )
+
+
+ROLLING_EPOCH = "2024-01-01"
+
+
+def rolling_daily_value(events: DataFrame, days: int = 7) -> DataFrame:
+    """e8: per-event-type daily totals plus a trailing ``days``-day
+    rolling sum/count — the batch rendition of a sliding window.
+
+    Two-level shape: the daily pre-aggregate collapses the corpus to
+    O(types x days) rows map-side (partial agg), and the RANGE window
+    runs over that tiny frame keyed by an integer day index — the
+    expensive input never reaches the window operator.
+    """
+    daily = events.groupBy(
+        F.col("event_type"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.count("*").alias("day_events"),
+        F.round(F.sum("value"), 4).alias("day_value"),
+    )
+    indexed = daily.withColumn(
+        "day_idx", F.datediff(F.col("day"), F.lit(ROLLING_EPOCH).cast("date"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-(days - 1), Window.currentRow)
+    )
+    return (
+        indexed.select(
+            "event_type",
+            "day",
+            "day_events",
+            "day_value",
+            F.sum("day_events").over(w).alias("trail_events"),
+            F.round(F.sum("day_value").over(w), 4).alias("trail_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """e6: weekly cohort retention — users grouped by their first active
     week; for each (cohort, week-offset), how many came back.
@@ -164,4 +244,48 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+def preceding_window_counts(
+    events: DataFrame,
+    probe_type: str = "purchase",
+    match_type: str = "view",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """e9: for each ``probe_type`` event, how many ``match_type`` events
+    the same user produced in the strictly-preceding ``window_seconds``
+    — interval-join ("events within a trailing window of each probe")
+    semantics WITHOUT an inequality join.
+
+    A naive formulation is a theta-join (probe.ts - 1h <= match.ts <
+    probe.ts), which Spark can only plan as a nested loop — quadratic at
+    scale. The scalable shape: union both event kinds, one RANGE window
+    per user over an epoch-microsecond key summing the match flag. One
+    shuffle on user_id, value-based frames, zero joins. The epoch key is
+    RELATIVE (timestampdiff from a fixed origin) so it is timezone- and
+    TIMESTAMP_NTZ-safe; range frames only ever subtract the key, so the
+    origin cancels against the oracle's absolute epoch_us.
+    """
+    us = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)")
+    tagged = events.filter(F.col("event_type").isin(match_type, probe_type)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        us.alias("eus"),
+        F.when(F.col("event_type") == match_type, F.lit(1)).otherwise(F.lit(0)).alias("is_match"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("eus")
+        .rangeBetween(-window_seconds * 1_000_000, -1)
+    )
+    return (
+        tagged.withColumn(
+            "n_matches", F.coalesce(F.sum("is_match").over(w), F.lit(0)).cast("long")
+        )
+        .filter(F.col("event_type") == probe_type)
+        .select("event_id", "user_id", F.col("ts").alias("probe_ts"), "n_matches")
+        .orderBy("event_id")
     )

@@ -1,0 +1,169 @@
+"""Multi-table star-join analytics over the TPC-H-ish test tables.
+
+DataFrame-native renditions of the classic warehouse join shapes
+(region/nation dims → supplier/customer → orders ⋈ lineitem facts),
+complementing the raw-SQL passthrough variants (s12b/s12c, reference
+``file_indexer_go/db/database.go:269-317``) with declarative plans
+Catalyst can reorder and AQE can re-plan at runtime.
+
+Scale design (the point at 100 TB):
+  * The only FORCED broadcast is nation ⋈ region — bounded at 25 x 5
+    rows forever, independent of scale factor. Customer and supplier
+    GROW with the scale factor, so they are joined declaratively and
+    AQE decides broadcast-vs-shuffle from runtime sizes (at sf0.01
+    they broadcast; at sf100000 they shuffle on the join key).
+  * All date/segment predicates are plain Catalyst filters on scan
+    columns — they push into the parquet reader (PushedFilters), so
+    the fact-table scans read only the qualifying row groups.
+  * Revenue is fixed-point: cents x (100 - discount-percent) summed as
+    BIGINT ("revenue_e4", 1e-4 dollar units). Integer sums are
+    associative, so partial aggregation order cannot produce
+    engine-dependent floating-point drift — the same convention the
+    raw-SQL s12c query uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _revenue_e4():
+    """Fixed-point line revenue: exact BIGINT arithmetic, no float
+    summation drift between Spark and the DuckDB oracle. (A function —
+    building Columns needs an active SparkContext.)"""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+def region_nations(nation: DataFrame, region: DataFrame, region_name: str) -> DataFrame:
+    """The nation keys/names of one region — a forever-tiny dim (25 x 5
+    rows at ANY scale factor), safe to force-broadcast."""
+    return (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("n_nationkey", "n_name")
+    )
+
+
+def regional_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01 00:00:00",
+    date_to: str = "1998-01-01 00:00:00",
+) -> DataFrame:
+    """h1 (TPC-H Q5 shape): revenue per nation where the ordering
+    customer and the line's supplier sit in the same region nation.
+
+    Join order is declared smallest-first but left to Catalyst: the
+    bounded nation⋈region dim is broadcast; supplier/customer narrow
+    to (key, nationkey) before joining; the orders date filter prunes
+    the fact scan before the big lineitem join.
+    """
+    nations = region_nations(nation, region, region_name)
+    supp = supplier.join(
+        F.broadcast(nations), supplier["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_nationkey").alias("supp_nationkey"), "n_name")
+    cust = customer.join(
+        F.broadcast(nations.select("n_nationkey")),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nationkey"))
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from)) & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    lines = lineitem.select("l_orderkey", "l_suppkey", _revenue_e4().alias("line_revenue_e4"))
+    return (
+        lines.join(ords, lines["l_orderkey"] == ords["o_orderkey"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .join(
+            cust,
+            (F.col("o_custkey") == cust["c_custkey"])
+            & (F.col("cust_nationkey") == F.col("supp_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("line_revenue_e4").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "n_name")
+    )
+
+
+def returned_top_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01 00:00:00",
+    date_to: str = "1996-07-01 00:00:00",
+    k: int = 20,
+) -> DataFrame:
+    """h2 (TPC-H Q10 shape): top-k customers by revenue lost to
+    returned lineitems in a half-year of orders.
+
+    The returnflag + date predicates push into both fact scans; the
+    per-customer aggregate happens BEFORE the customer/nation detail
+    join, so the join input is one row per customer, not per lineitem
+    — at 100 TB that ordering is the difference between joining 1e9
+    rows and joining 1e12.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from)) & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _revenue_e4().alias("line_revenue_e4")
+    )
+    per_customer = (
+        returned.join(ords, F.col("l_orderkey") == ords["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("line_revenue_e4").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "o_custkey")
+        .limit(k)
+    )
+    detail = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        per_customer.join(detail, per_customer["o_custkey"] == detail["c_custkey"])
+        .select(
+            F.col("c_custkey"),
+            "c_name",
+            "revenue_e4",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
+    )
+
+
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01 00:00:00",
+    date_to: str = "1996-07-01 00:00:00",
+) -> DataFrame:
+    """h3 (TPC-H Q4 shape): orders per priority that have at least one
+    late lineitem (shipped after the order date... here: any line with
+    l_shipdate > o_orderdate), via a left-semi join — the EXISTS
+    subquery expressed as the join type that never duplicates and
+    never carries payload columns through the shuffle.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from)) & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lines = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        ords.join(
+            lines,
+            (ords["o_orderkey"] == lines["l_orderkey"])
+            & (lines["l_shipdate"] > ords["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -234,3 +234,29 @@ def quality_retention(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def length_percentiles(docs: DataFrame) -> DataFrame:
+    """t6: exact length distribution per source — median/p90/p99 of
+    document length plus mean, the profile a pipeline inspects before
+    choosing truncation and chunk budgets.
+
+    Uses EXACT percentile (linear interpolation, the quantile_cont
+    semantics DuckDB uses) rather than percentile_approx: the per-group
+    sort is bounded by the largest single source, and the output is
+    deterministic so it can be oracle-gated. At 100 TB, swap in
+    percentile_approx(1e-4 accuracy) for a single-pass sketch — the
+    query shape (one hash agg on source) is unchanged.
+    """
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("mean_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

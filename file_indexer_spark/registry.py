@@ -1996,3 +1996,199 @@ def mx1_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(_table(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------- relational star joins (round 3)
+
+from file_indexer_spark.operators import relational as rel  # noqa: E402
+
+_REV_E4_SQL = """CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)"""
+
+
+@register(
+    "h1_regional_revenue",
+    f"""
+    SELECT n_name, {_REV_E4_SQL} AS revenue_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue_e4 DESC, n_name
+    """,
+)
+def h1_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape, DataFrame-native: bounded nation x region dim is
+    force-broadcast; customer/supplier joins are left to AQE (they
+    scale with the corpus); date predicates push into the fact scans."""
+    tune_session(spark)
+    return rel.regional_revenue(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "h2_returned_top_customers",
+    f"""
+    WITH per_customer AS (
+        SELECT o_custkey, {_REV_E4_SQL} AS revenue_e4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY o_custkey
+        ORDER BY revenue_e4 DESC, o_custkey
+        LIMIT 20
+    )
+    SELECT c_custkey, c_name, revenue_e4,
+           round(c_acctbal, 2) AS acctbal, n_name AS nation
+    FROM per_customer
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue_e4 DESC, c_custkey
+    """,
+)
+def h2_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: per-customer aggregate BEFORE the detail join,
+    so the join input is one row per customer, not per lineitem."""
+    tune_session(spark)
+    return rel.returned_top_customers(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "h3_late_order_priorities",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def h3_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join with the inequality
+    folded into the join condition — no payload through the shuffle,
+    no duplication."""
+    tune_session(spark)
+    return rel.order_priority_counts(
+        _table(spark, sf_dir, "orders"), _table(spark, sf_dir, "lineitem")
+    )
+
+
+# ------------------------------------------------ events round-3 additions
+
+
+@register(
+    "e7_asof_last_view",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS probe_ts, v.ts AS last_match_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def e7_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (purchase -> latest at-or-before view per user).
+    Spark side is the union-and-window formulation (no join, one
+    shuffle on user_id); the oracle is DuckDB's native ASOF LEFT JOIN,
+    a genuine cross-engine semantics check."""
+    return ev.asof_last_match(_events(spark, sf_dir))
+
+
+@register(
+    "e8_rolling_daily_value",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*) AS day_events,
+               round(SUM(value), 4) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    indexed AS (
+        SELECT *, CAST(day - DATE '{ev.ROLLING_EPOCH}' AS INTEGER) AS day_idx
+        FROM daily
+    )
+    SELECT event_type, day, day_events, day_value,
+           CAST(SUM(day_events) OVER w AS BIGINT) AS trail_events,
+           round(SUM(day_value) OVER w, 4) AS trail_value
+    FROM indexed
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day
+    """,
+)
+def e8_rolling_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.rolling_daily_value(_events(spark, sf_dir))
+
+
+# --------------------------------------------------- text round-3 addition
+
+
+@register(
+    "t6_length_percentiles",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(AVG(CAST(n_chars AS DOUBLE)), 4) AS mean_chars,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t6_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile profile per source (Spark percentile() has the
+    same linear-interpolation semantics as DuckDB quantile_cont)."""
+    return tx.length_percentiles(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "e9_preceding_window_counts",
+    """
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               epoch_us(ts) AS eus,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_match
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    win AS (
+        SELECT *,
+               SUM(is_match) OVER (PARTITION BY user_id ORDER BY eus
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS v
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts AS probe_ts,
+           COALESCE(CAST(v AS BIGINT), 0) AS n_matches
+    FROM win WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def e9_preceding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-join semantics (matches within a trailing hour of each
+    probe) as a RANGE window over epoch-microseconds — no theta-join,
+    no nested loop; one shuffle on user_id."""
+    return ev.preceding_window_counts(_events(spark, sf_dir))

