@@ -2192,3 +2192,66 @@ def e9_preceding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe) as a RANGE window over epoch-microseconds — no theta-join,
     no nested loop; one shuffle on user_id."""
     return ev.preceding_window_counts(_events(spark, sf_dir))
+
+
+@register(
+    "w3_cleanup_roundtrip",
+    """
+    -- Cleanup end-to-end: after deleting one whole subdirectory and
+    -- every 7th file of the other, exactly the untouched files remain
+    -- indexed. The oracle recomputes the survivor set from documents.
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+           CAST(octet_length(encode(text)) AS BIGINT) AS file_size
+    FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id % 7 != 0
+    ORDER BY filename
+    """,
+)
+def w3_cleanup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: the D3/D4 cleanup pipeline under the gate, PROBE mode — no
+    rescan; executors stat() DISTINCT directories first (one probe per
+    dir; files under a missing dir are stale with zero per-file
+    syscalls — the reference's directory-first optimization,
+    indexer.py:1129-1205), then stat() only files in surviving dirs.
+
+    Fixture: docs land in sub0 (even doc_id) / sub1 (odd); sub1 is
+    rmtree'd wholesale and every 7th file of sub0 unlinked. The
+    driver-side collect writes the fixture tree; the cleanup itself is
+    the production path.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.cleanup import probe_deleted_files
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.indexer.two_phase import update_index
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w3_{tag}")
+    tree = os.path.join(base, "tree")
+    shutil.rmtree(base, ignore_errors=True)
+    for sub in ("sub0", "sub1"):
+        os.makedirs(os.path.join(tree, sub))
+    for r in docs:
+        sub = "sub0" if r["doc_id"] % 2 == 0 else "sub1"
+        with open(
+            os.path.join(tree, sub, f"doc_{r['doc_id']}.txt"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(r["text"])
+
+    table = FilesTable(spark, os.path.join(base, "files_db"))
+    update_index(spark, table, tree, max_checksum_size=-1)  # metadata-only
+
+    shutil.rmtree(os.path.join(tree, "sub1"))
+    for r in docs:
+        if r["doc_id"] % 2 == 0 and r["doc_id"] % 7 == 0:
+            os.unlink(os.path.join(tree, "sub0", f"doc_{r['doc_id']}.txt"))
+
+    stale = probe_deleted_files(table)
+    table.delete(stale)
+    return table.read().select("filename", "file_size").orderBy("filename")
