@@ -82,7 +82,10 @@ LLM_EXTENSION = [
     "e7_asof_last_view",
     "e8_rolling_daily_value",
     "e9_preceding_window_counts",
+    "e10_sliding_counts",
     "t6_length_percentiles",
+    "t7_rollup_token_totals",
+    "t8_lang_pivot",
 ]
 
 

@@ -289,3 +289,35 @@ def preceding_window_counts(
         .select("event_id", "user_id", F.col("ts").alias("probe_ts"), "n_matches")
         .orderBy("event_id")
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "15 minutes",
+) -> DataFrame:
+    """e10: sliding (hopping) window counts per event type — each event
+    lands in window/slide overlapping windows (4 for 1h/15min).
+
+    Uses the SAME ``F.window`` expression as the streaming variant
+    (streaming/windows.py), so batch and stream share one windowing
+    semantics. The explode is map-side (a Generate of overlap rows);
+    partial aggregation keeps the shuffle at O(types x windows).
+    """
+    return (
+        events.groupBy(
+            F.window("ts", window_duration, slide_duration).alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

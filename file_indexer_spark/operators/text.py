@@ -260,3 +260,46 @@ def length_percentiles(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def rollup_token_totals(docs: DataFrame) -> DataFrame:
+    """t7: doc/char totals at every grain of (source, lang) at once —
+    per pair, per source, and grand total — via ROLLUP.
+
+    One Expand (3 grouping sets) + one hash agg: the multi-grain report
+    costs a single scan instead of three queries. ``grouping_id``
+    disambiguates subtotal rows from real NULL keys.
+    """
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(F.col("gid"), F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first())
+    )
+
+
+def lang_pivot(docs: DataFrame) -> DataFrame:
+    """t8: per-source doc counts pivoted to one column per language.
+
+    The pivot value list is PINNED (not discovered) — at scale a
+    discovery pass over the corpus is a full extra scan, and a stable
+    output schema is what downstream reports need anyway. Pivot with
+    pinned values is a single hash agg with conditional-count
+    expressions; no shuffle beyond the agg itself.
+    """
+    return (
+        docs.groupBy("source")
+        .pivot("lang", list(LANGS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(LANGS))
+        .select(
+            "source", *[F.col(lang).cast("long").alias(f"n_{lang}") for lang in LANGS]
+        )
+        .orderBy("source")
+    )

@@ -2255,3 +2255,130 @@ def w3_cleanup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale = probe_deleted_files(table)
     table.delete(stale)
     return table.read().select("filename", "file_size").orderBy("filename")
+
+
+_E10_SQL = """
+    -- Sliding windows: each event belongs to the 4 hour-long windows
+    -- whose 15-min-aligned starts cover it. time_bucket boundaries
+    -- coincide with Spark's epoch-aligned windows (both origins sit on
+    -- a 15-minute grid).
+    WITH exploded AS (
+        SELECT e.*,
+               time_bucket(INTERVAL '15 minutes', ts)
+                   - k * INTERVAL '15 minutes' AS window_start
+        FROM events e, (SELECT UNNEST(generate_series(0, 3)) AS k) ks
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM exploded
+    WHERE ts < window_start + INTERVAL '1 hour'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+"""
+
+
+@register("e10_sliding_counts", _E10_SQL)
+def e10_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1 h window, 15 min slide): the
+    overlap explode is map-side; partial agg bounds the shuffle at
+    O(types x windows)."""
+    return ev.sliding_counts(_events(spark, sf_dir))
+
+
+@register("st5_streaming_sliding", _E10_SQL)
+def st5_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: the same sliding windows as a REAL stream (two file
+    arrivals -> two micro-batches, availableNow, complete-mode memory
+    sink) — one windowing semantics for batch and stream, both checked
+    against the same DuckDB oracle."""
+    import os
+
+    from file_indexer_spark.streaming import windows as sw
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st5", sf_dir)
+    src = os.path.join(base, "src")
+    ev2 = events_df(spark, sf_dir)
+    _land_arrivals(
+        src,
+        [ev2.filter(F.col("event_id") % 2 == 0), ev2.filter(F.col("event_id") % 2 == 1)],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sink = f"st5_sink_{tag}"
+    sw.run_to_memory_sink(
+        sw.windowed_counts(stream, slide_duration="15 minutes"), sink
+    )
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
+@register(
+    "w4_json_roundtrip",
+    with_files_cte("SELECT * FROM files ORDER BY path, filename"),
+)
+def w4_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (S11): whole-index JSON export/import under the gate — the
+    distributed analogue of the Go engine's JSON storage mode
+    (file_indexer_go/indexer/indexer.go:294-338). The table roundtrips
+    parquet -> newline-JSON -> parquet with a lossless microsecond
+    timestamp format; the oracle is the plain files derivation, so any
+    serialization drift (precision, timezone, nulls) hash-mismatches.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w4_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    src = FilesTable(spark, os.path.join(base, "src_db"))
+    src.overwrite(files_df(spark, sf_dir))
+    src.export_json(os.path.join(base, "dump.json"))
+
+    dst = FilesTable(spark, os.path.join(base, "dst_db"))
+    dst.import_json(os.path.join(base, "dump.json"))
+    return dst.read().orderBy("path", "filename")
+
+
+@register(
+    "t7_rollup_token_totals",
+    """
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    ORDER BY gid, source NULLS FIRST, lang NULLS FIRST
+    """,
+)
+def t7_rollup_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain totals in one scan (ROLLUP -> Expand + single hash
+    agg); grouping_id disambiguates subtotal rows."""
+    return tx.rollup_token_totals(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t8_lang_pivot",
+    f"""
+    SELECT source,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lang}"
+               for lang in tx.LANGS
+           )}
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t8_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a PINNED value list (no discovery scan, stable
+    schema) — compiles to conditional aggregates in one hash agg."""
+    return tx.lang_pivot(_table(spark, sf_dir, "documents"))

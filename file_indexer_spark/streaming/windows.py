@@ -44,14 +44,26 @@ def windowed_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
     watermark_delay: str = "2 hours",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts with late-data tolerance. Works on both a
+    """Tumbling (or, with ``slide_duration``, sliding/hopping)
+    window counts with late-data tolerance. Works on both a
     streaming DataFrame (stateful, watermark-bounded) and a batch one
     (degenerates to a plain groupBy) — the tests pin both to the same
-    answer as the batch operator."""
+    answer as the batch operator.
+
+    Sliding state scale: window/slide overlapping rows per event (4 for
+    1h/15min) — state is O(active windows x keys x overlap); the
+    watermark still evicts closed windows.
+    """
+    win = (
+        F.window("ts", window_duration, slide_duration)
+        if slide_duration
+        else F.window("ts", window_duration)
+    )
     return (
         events.withWatermark("ts", watermark_delay)
-        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
