@@ -86,6 +86,7 @@ LLM_EXTENSION = [
     "t6_length_percentiles",
     "t7_rollup_token_totals",
     "t8_lang_pivot",
+    "e11_event_transitions",
 ]
 
 

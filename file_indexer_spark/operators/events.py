@@ -321,3 +321,34 @@ def sliding_counts(
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """e11: first-order transition matrix over each user's event
+    sequence — counts and row-normalized probabilities per
+    (prev_type, next_type) pair.
+
+    lag() over the per-user sequence (one shuffle on user_id), then a
+    hash agg to the O(types^2) matrix; the probability normalization
+    windows over that tiny frame, never the event stream.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    per_prev = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "transition_p",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(per_prev).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -2382,3 +2382,32 @@ def t8_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with a PINNED value list (no discovery scan, stable
     schema) — compiles to conditional aggregates in one hash agg."""
     return tx.lang_pivot(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "e11_event_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS next_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, next_type, COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS transition_p
+    FROM c
+    ORDER BY prev_type, next_type
+    """,
+)
+def e11_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user sequence: one
+    lag window on user_id, then an O(types^2) agg; normalization
+    windows over the matrix, not the stream."""
+    return ev.event_transitions(_events(spark, sf_dir))

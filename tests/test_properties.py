@@ -93,3 +93,92 @@ def test_sequence_pack_matches_serial_packer(spark, sizes):
             assert r["seq_offset"] == cum % budget
             cum += sizes[i]
             assert r["seq_last"] == (cum - 1) // budget
+
+
+def _asof_reference(rows):
+    """Per-user brute force: for each probe, max match ts <= probe ts."""
+    out = {}
+    for eid, uid, ts, etype in rows:
+        if etype != "purchase":
+            continue
+        cands = [t for _, u, t, e in rows if u == uid and e == "view" and t <= ts]
+        out[eid] = max(cands) if cands else None
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 50),  # seconds offset (collisions on purpose)
+            st.sampled_from(["view", "purchase", "click"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_asof_join_matches_bruteforce(spark, raw):
+    """Random event tapes incl. ts collisions between views and
+    purchases: the union-and-window as-of must equal per-probe brute
+    force with at-or-before semantics."""
+    import datetime as dt
+
+    from file_indexer_spark.operators import events as ev
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, uid, base + dt.timedelta(seconds=sec), etype)
+        for i, (uid, sec, etype) in enumerate(raw)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_id"]: r["last_match_ts"]
+        for r in ev.asof_last_match(events).collect()
+    }
+    assert got == _asof_reference(rows)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 7200),
+            st.sampled_from(["view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_preceding_window_counts_match_bruteforce(spark, raw):
+    """The RANGE-window interval join must count exactly the matches in
+    [probe - 1h, probe), strictly excluding the probe instant."""
+    import datetime as dt
+
+    from file_indexer_spark.operators import events as ev
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, uid, base + dt.timedelta(seconds=sec), etype)
+        for i, (uid, sec, etype) in enumerate(raw)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_id"]: r["n_matches"]
+        for r in ev.preceding_window_counts(events).collect()
+    }
+    expected = {
+        eid: sum(
+            1
+            for _, u, t, e in rows
+            if u == uid and e == "view" and ts - dt.timedelta(hours=1) <= t < ts
+        )
+        for eid, uid, ts, etype in rows
+        if etype == "purchase"
+    }
+    assert got == expected
