@@ -87,6 +87,8 @@ LLM_EXTENSION = [
     "t7_rollup_token_totals",
     "t8_lang_pivot",
     "e11_event_transitions",
+    "inf1_classifier_scores",
+    "sp4_shard_assignment",
 ]
 
 

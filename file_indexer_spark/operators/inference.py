@@ -1,0 +1,75 @@
+"""Batch model inference over embedding columns — the classifier-based
+filtering stage of a training-data pipeline (quality classifiers in the
+FineWeb-Edu / phi-style curation recipes score every document and the
+pipeline keeps a threshold slice).
+
+The "model" here is a linear probe: sigmoid(w . x + b) with a
+deterministic closed-form weight vector, so the DuckDB oracle can
+recompute the exact same scores — the Spark-side plumbing (broadcast
+weights as a codegen literal, map-side fold, fixed-point aggregation)
+is the real subject. Swapping in learned weights (or an MLlib /
+ONNX-runtime pandas-UDF scorer) changes only the expression, not the
+plan: one corpus scan, zero shuffles before the per-label rollup.
+
+Determinism contract: the dot product folds left in both engines
+(Spark ``aggregate``, DuckDB ``list_reduce``); per-row scores are
+snapped to integer micro-units (round(score * 1e6) as BIGINT) BEFORE
+aggregation, so group sums are exact integer arithmetic and the
+mean/threshold results cannot drift with partial-agg order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+BIAS = 0.1
+KEEP_THRESHOLD_E6 = 500_000  # score >= 0.5, compared in micro-units
+
+
+def _weights():
+    """w_i = ((i*37 mod 29) - 14) / 29 for i = 1..DIM — pseudo-random in
+    [-0.48, 0.48], identical closed form in the DuckDB oracle."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: ((i * 37 % 29) - 14).cast("double") / F.lit(29.0),
+    )
+
+
+def classifier_scores(embeddings: DataFrame) -> DataFrame:
+    """inf1: score = sigmoid(w . embedding + b) per vector; per-label
+    volume, mean score, and kept-above-threshold counts.
+
+    Plan: the score is one codegen expression over the scan (zip_with +
+    left fold — no UDF, no Python, no shuffle); the only exchange is
+    the O(labels) rollup. At 100 TB this is scan-bound, exactly like a
+    real classifier-filter pass.
+    """
+    z = (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), _weights(), lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        + F.lit(BIAS)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = embeddings.select(
+        "label", F.round(score * 1_000_000).cast("long").alias("s_e6")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(
+                F.sum("s_e6").cast("double") / F.count("*") / 1_000_000.0, 6
+            ).alias("mean_score"),
+            F.sum((F.col("s_e6") >= KEEP_THRESHOLD_E6).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("label")
+    )

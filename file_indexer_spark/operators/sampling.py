@@ -129,3 +129,41 @@ def sequence_pack(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
             (F.col("start") % budget).cast("long").alias("seq_offset"),
         )
     )
+
+
+N_SHARDS = 16
+
+
+def shard_assignment(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """sp4: content-stable export sharding — the layout step that turns
+    a curated corpus into N balanced output shards for training-job
+    consumption.
+
+    shard = first 8 hex digits of md5(doc_id) mod N: a pure function of
+    the row key, so shard membership survives re-runs, retries, and
+    corpus growth (only new docs land anywhere new), and any engine
+    that md5s the same bytes agrees. Per-shard accounting (docs,
+    tokens, source spread) is the balance report: uniform to ~1/sqrt
+    of shard size by the hash. Zero shuffles before the O(shards) agg;
+    the physical write would be partitionBy(shard) with the same
+    expression.
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    ).alias("shard")
+    tagged = docs.select(
+        shard,
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "source",
+    )
+    return (
+        tagged.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("shard")
+    )

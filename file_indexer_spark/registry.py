@@ -2411,3 +2411,63 @@ def e11_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag window on user_id, then an O(types^2) agg; normalization
     windows over the matrix, not the stream."""
     return ev.event_transitions(_events(spark, sf_dir))
+
+
+from file_indexer_spark.operators import inference as inf  # noqa: E402
+
+@register(
+    "inf1_classifier_scores",
+    f"""
+    WITH scored AS (
+        SELECT label,
+               CAST(ROUND(1.0 / (1.0 + exp(-(
+                   list_reduce(
+                       list_transform(range(1, {inf.DIM} + 1),
+                           i -> (embedding[i]::DOUBLE)
+                                * (((i * 37) % 29 - 14)::DOUBLE / 29.0)),
+                       (x, y) -> x + y)
+                   + {inf.BIAS}))) * 1000000) AS BIGINT) AS s_e6
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(CAST(SUM(s_e6) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_score,
+           CAST(SUM(CASE WHEN s_e6 >= {inf.KEEP_THRESHOLD_E6} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM scored
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def inf1_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-filter pass: sigmoid(w.x+b) as ONE codegen expression
+    over the scan (no UDF, no shuffle before the O(labels) rollup);
+    per-row scores snap to integer micro-units before aggregation so
+    results can't drift with partial-agg order."""
+    return inf.classifier_scores(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sp4_shard_assignment",
+    f"""
+    WITH tagged AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % {sp.N_SHARDS} AS BIGINT) AS shard,
+               len(string_split(text, ' ')) AS n_tokens,
+               source
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM tagged
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def sp4_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable export sharding: md5-prefix mod N as a pure key
+    function (retry/re-run/growth-stable), with the per-shard balance
+    report. Zero shuffles before the O(shards) agg."""
+    return sp.shard_assignment(_table(spark, sf_dir, "documents"))
