@@ -18,7 +18,8 @@ Layout:
     serving.py    pagination contract (page / total / has_more)
     cli.py        ``python -m file_indexer_spark`` entry point
     operators/    query operators (search, duplicates, stats, dedup,
-                  similarity, text, events, multimodal, sampling)
+                  similarity, text, events, relational, multimodal,
+                  sampling, curation, inference)
     functions/    reusable column expressions (extension parse, size
                   bands, shingle/minhash/simhash primitives)
     indexer/      the write path: distributed scan, two-phase checksum,

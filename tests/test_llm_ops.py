@@ -290,3 +290,25 @@ def test_semantic_dedup_drop_rule(embeddings):
     for cid, r in rollup.items():
         assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
         assert r["n_dropped"] == len(dropped_by_cluster.get(cid, set()))
+
+
+def test_percentile_approx_close_to_exact(spark, sf_smoke):
+    """The documented 100 TB swap for t6 (percentile -> single-pass
+    percentile_approx sketch) must stay within 2% relative error of the
+    exact per-source median on the test corpus."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    both = (
+        docs.groupBy("source")
+        .agg(
+            F.expr("percentile(n_chars, 0.5)").alias("exact"),
+            F.expr("percentile_approx(n_chars, 0.5, 10000)").alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) <= max(0.02 * r["exact"], 1.0), r

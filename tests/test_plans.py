@@ -176,3 +176,32 @@ def test_relational_star_join_plan_shapes(spark, sf_smoke):
     e8 = ev.rolling_daily_value(events_df(spark, sf_smoke))
     # daily partial agg -> window -> sort: no join anywhere
     assert "Join" not in pi.simple_plan(e8)
+
+
+def test_inference_and_sharding_stay_jvm_side(spark, sf_smoke):
+    """inf1/sp4 are scan-bound map-side programs: no Python UDF stage
+    (BatchEvalPython/ArrowEvalPython) and no shuffle before the tiny
+    rollup; t7's ROLLUP is one Expand + agg, not a union of queries."""
+    from file_indexer_spark.operators import inference as inf
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.operators import text as tx
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    docs = load_table(spark, sf_smoke, "documents")
+
+    # (query, max exchanges): inf1 = agg + sort; sp4's COUNT(DISTINCT
+    # source) legitimately needs the two-phase distinct agg's extra one
+    for df, max_ex in (
+        (inf.classifier_scores(emb), 2),
+        (sp.shard_assignment(docs), 3),
+    ):
+        plan = pi.simple_plan(df)
+        assert "EvalPython" not in plan, plan
+        assert "Join" not in plan, plan
+        assert pi.count_exchanges(df) <= max_ex, plan
+
+    rollup = tx.rollup_token_totals(docs)
+    plan = pi.simple_plan(rollup)
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
