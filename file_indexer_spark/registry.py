@@ -2471,3 +2471,61 @@ def sp4_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     function (retry/re-run/growth-stable), with the per-shard balance
     report. Zero shuffles before the O(shards) agg."""
     return sp.shard_assignment(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "w5_incremental_update",
+    """
+    -- Incremental re-index (D1): after appending one byte to every
+    -- 5th document's file and re-running update_index, exactly the
+    -- touched files carry new sizes/checksums; untouched rows keep
+    -- their phase-1 values (mtime+size change detection skips them).
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+           CAST(octet_length(encode(text))
+                + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS file_size,
+           CASE WHEN doc_id % 5 = 0 THEN sha256(text || 'X')
+                ELSE sha256(text) END AS checksum
+    FROM documents
+    ORDER BY filename
+    """,
+)
+def w5_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: the D1 incremental pipeline under the gate — index a tree,
+    mutate a deterministic subset (append one byte), re-run
+    update_index. The oracle recomputes both populations independently,
+    so a missed change (stale size/checksum) hash-mismatches; the
+    no-spurious-rehash half of D1 (reuse counters) is pinned by
+    tests/test_indexer_write.py, since an unnecessary rehash of
+    unchanged content reproduces the same digest."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.indexer.two_phase import update_index
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w5_{tag}")
+    tree = os.path.join(base, "tree")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(tree)
+    for r in docs:
+        with open(os.path.join(tree, f"doc_{r['doc_id']}.txt"), "w", encoding="utf-8") as fh:
+            fh.write(r["text"])
+
+    table = FilesTable(spark, os.path.join(base, "files_db"))
+    update_index(spark, table, tree, max_checksum_size=0)  # 0 = no size cap
+
+    for r in docs:
+        if r["doc_id"] % 5 == 0:
+            with open(
+                os.path.join(tree, f"doc_{r['doc_id']}.txt"), "a", encoding="utf-8"
+            ) as fh:
+                fh.write("X")
+
+    update_index(spark, table, tree, max_checksum_size=0)
+    return table.read().select("filename", "file_size", "checksum").orderBy("filename")
