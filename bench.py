@@ -89,6 +89,7 @@ LLM_EXTENSION = [
     "e11_event_transitions",
     "inf1_classifier_scores",
     "sp4_shard_assignment",
+    "e12_gap_percentiles",
 ]
 
 

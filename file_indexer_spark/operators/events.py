@@ -352,3 +352,32 @@ def event_transitions(events: DataFrame) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+def gap_percentiles(events: DataFrame) -> DataFrame:
+    """e12: inter-arrival profile — exact p50/p90/p99 of the
+    microsecond gap between a user's consecutive events, per event type
+    of the later event. The latency-distribution shape every
+    stream-health dashboard needs.
+
+    lag window on user_id produces the gaps map-side after one shuffle;
+    the percentile agg groups by the tiny event_type key. At 100 TB
+    swap percentile -> percentile_approx (same plan, sketch agg).
+    """
+    gaps = events.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "lag(ts) over (partition by user_id order by ts, event_id), ts)"
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_us, 0.5)"), 4).alias("p50_us"),
+            F.round(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_us"),
+            F.round(F.expr("percentile(gap_us, 0.99)"), 4).alias("p99_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -2529,3 +2529,29 @@ def w5_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     update_index(spark, table, tree, max_checksum_size=0)
     return table.read().select("filename", "file_size", "checksum").orderBy("filename")
+
+
+@register(
+    "e12_gap_percentiles",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5), 4) AS p50_us,
+           round(quantile_cont(gap_us, 0.9), 4) AS p90_us,
+           round(quantile_cont(gap_us, 0.99), 4) AS p99_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def e12_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap percentiles per event type: one lag window on
+    user_id, then an exact percentile agg on the tiny type key."""
+    return ev.gap_percentiles(_events(spark, sf_dir))
