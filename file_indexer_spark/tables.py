@@ -67,13 +67,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` with ``ts`` as a proper TimestampType.
+    """``events`` with ``ts`` as a usable timestamp type.
 
-    The driver's events parquet stores TIMESTAMP(NANOS), which Spark's
-    vectorized reader only surfaces as nanosecond longs (via
-    ``spark.sql.legacy.parquet.nanosAsLong``, set in ``tune_session``);
-    truncate to microseconds exactly as DuckDB's TIMESTAMP_NS → TIMESTAMP
-    cast does so both engines see identical values.
+    Handles both generations of the driver's events parquet: a
+    TIMESTAMP(NANOS) column surfaces as nanosecond longs (via
+    ``spark.sql.legacy.parquet.nanosAsLong``, set in ``tune_session``)
+    and is truncated to microseconds exactly as DuckDB's TIMESTAMP_NS →
+    TIMESTAMP cast does; a TIMESTAMP(MICROS)-without-timezone column
+    loads directly as TIMESTAMP_NTZ, which every downstream operator
+    accepts (interval arithmetic / timestampdiff, never unix_micros).
     """
     df = load_table(spark, sf_dir, "events")
     if dict(df.dtypes).get("ts") == "bigint":
