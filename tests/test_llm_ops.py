@@ -312,3 +312,38 @@ def test_percentile_approx_close_to_exact(spark, sf_smoke):
     assert both
     for r in both:
         assert abs(r["approx"] - r["exact"]) <= max(0.02 * r["exact"], 1.0), r
+
+
+def test_events_operators_accept_both_timestamp_types(spark):
+    """The driver's events parquet has shipped ts as TIMESTAMP(NANOS),
+    TIMESTAMP(MICROS)/NTZ, and could ship tz-aware micros next — a
+    round-2 regression (unix_micros rejecting NTZ) broke sessionization
+    AND the whole bench. Every events operator must run on both
+    TimestampType and TimestampNTZType inputs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import events as ev
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), i % 3,
+         ["view", "click", "purchase"][i % 3], float(i), '{"k": %d}' % i)
+        for i in range(40)
+    ]
+    tz = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ntz = tz.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    ops = [
+        ev.sessionize, ev.tumbling_counts, ev.funnel, ev.top_users,
+        ev.props_stats, ev.retention_cohorts, ev.asof_last_match,
+        ev.rolling_daily_value, ev.preceding_window_counts,
+        ev.sliding_counts, ev.event_transitions, ev.gap_percentiles,
+    ]
+    for events in (tz, ntz):
+        for op in ops:
+            assert op(events).count() >= 0, op.__name__
