@@ -90,6 +90,7 @@ LLM_EXTENSION = [
     "inf1_classifier_scores",
     "sp4_shard_assignment",
     "e12_gap_percentiles",
+    "ct4_boilerplate_ngrams",
 ]
 
 

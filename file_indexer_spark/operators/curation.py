@@ -304,3 +304,42 @@ def mixture_resample(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BOILERPLATE_N = 5
+BOILERPLATE_TOP_K = 20
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = BOILERPLATE_N, k: int = BOILERPLATE_TOP_K
+) -> DataFrame:
+    """ct4: boilerplate mining — the corpus-wide most-repeated word
+    n-grams ranked by document frequency, the table a curation pass
+    reads to build its template/boilerplate strip list (headers,
+    footers, license blocks repeat verbatim across millions of docs).
+
+    Shape: n-gram generation is a map-side transform over the token
+    array (a Generate, no shuffle); one hash agg keyed by gram computes
+    occurrences + doc frequency with map-side partials; top-k is
+    TakeOrderedAndProject. The gram key space is bounded by the corpus,
+    and skew is impossible by construction — each gram's partial rows
+    collapse per mapper before the shuffle.
+    """
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("n_occurrences"), "gram")
+        .limit(k)
+    )

@@ -2555,3 +2555,31 @@ def e12_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival gap percentiles per event type: one lag window on
     user_id, then an exact percentile agg on the tiny type key."""
     return ev.gap_percentiles(_events(spark, sf_dir))
+
+
+@register(
+    "ct4_boilerplate_ngrams",
+    f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' '))
+                                     - {cu.BOILERPLATE_N - 1}, 0) + 1),
+                   i -> array_to_string(
+                       string_split(text, ' ')[i:i + {cu.BOILERPLATE_N - 1}],
+                       ' '))) AS gram
+        FROM documents
+    )
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM grams
+    GROUP BY gram
+    ORDER BY doc_freq DESC, n_occurrences DESC, gram
+    LIMIT {cu.BOILERPLATE_TOP_K}
+    """,
+)
+def ct4_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: map-side n-gram Generate -> one hash agg on
+    gram (occurrences + doc frequency) -> top-k. No joins, no skew."""
+    return cu.boilerplate_ngrams(_table(spark, sf_dir, "documents"))
