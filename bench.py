@@ -91,6 +91,7 @@ LLM_EXTENSION = [
     "sp4_shard_assignment",
     "e12_gap_percentiles",
     "ct4_boilerplate_ngrams",
+    "t9_cube_token_totals",
 ]
 
 

@@ -303,3 +303,20 @@ def lang_pivot(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def cube_token_totals(docs: DataFrame) -> DataFrame:
+    """t9: doc/char totals over the full (source, lang) CUBE — all four
+    grains (pair, per-source, per-lang, grand total) in one Expand +
+    one hash agg. The per-lang grain is the one ROLLUP (t7) cannot
+    produce; grouping_id disambiguates subtotal rows from real NULLs.
+    """
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(F.col("gid"), F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first())
+    )

@@ -2583,3 +2583,21 @@ def ct4_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate mining: map-side n-gram Generate -> one hash agg on
     gram (occurrences + doc frequency) -> top-k. No joins, no skew."""
     return cu.boilerplate_ngrams(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t9_cube_token_totals",
+    """
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    ORDER BY gid, source NULLS FIRST, lang NULLS FIRST
+    """,
+)
+def t9_cube_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (source, lang): all four grains from one Expand +
+    single hash agg, incl. the per-lang grain ROLLUP can't emit."""
+    return tx.cube_token_totals(_table(spark, sf_dir, "documents"))
