@@ -29,11 +29,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["d5_duplicates_report"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate covers the FIRST 50 keys of queries().
+# Rounds 1-3 verified the original first 50 registrations (green in
+# CORRECTNESS_r02/r03); the 35 later additions below have only the local
+# DuckDB-oracle gate (tests/test_oracle_diff.py runs the identical compare
+# over ALL queries).  Front-load the never-driver-checked names so round 4's
+# window verifies them; the already-verified ones keep local regression
+# coverage.
+_DRIVER_PRIORITY = [
+    "dd7_dedup_clusters", "sp1_hash_split", "sp2_source_cap",
+    "sp3_sequence_packing", "st4_streaming_dedup", "e6_retention_cohorts",
+    "sim4_filtered_ann", "t5_quality_retention", "w2_two_phase_roundtrip",
+    "ct1_contamination", "ct2_pii_scrub", "ct3_repetition_stats",
+    "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",
+    "h1_regional_revenue", "h2_returned_top_customers",
+    "h3_late_order_priorities", "e7_asof_last_view", "e8_rolling_daily_value",
+    "t6_length_percentiles", "e9_preceding_window_counts",
+    "w3_cleanup_roundtrip", "e10_sliding_counts", "st5_streaming_sliding",
+    "w4_json_roundtrip", "t7_rollup_token_totals", "t8_lang_pivot",
+    "e11_event_transitions", "inf1_classifier_scores", "sp4_shard_assignment",
+    "w5_incremental_update", "e12_gap_percentiles", "ct4_boilerplate_ngrams",
+    "t9_cube_token_totals",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    front = [k for k in _DRIVER_PRIORITY if k in mapping]
+    rest = [k for k in mapping if k not in _DRIVER_PRIORITY]
+    return {k: mapping[k] for k in front + rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return _ordered(dict(registry.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted => rows-only check)."""
-    return dict(registry.ORACLES)
+    return _ordered(dict(registry.ORACLES))
