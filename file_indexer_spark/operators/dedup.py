@@ -315,49 +315,117 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = H.HAMMING_MAX) -> DataFram
     )
 
 
-def dedup_clusters(docs: DataFrame, pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _connected_components(
+    pairs: DataFrame, max_iter: int = 25, durable_checkpoint: bool = False
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected pair list by alternating
+    large-star / small-star contractions (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): O(log n) rounds on
+    ANY graph shape — a 10^6-node chain converges in ~20 rounds where
+    min-label propagation needs 10^6.
+
+    Each round is two grouped min-joins over the current edge set plus
+    one exact set-difference convergence probe (``exceptAll`` both ways,
+    ``limit(1)``) — no fingerprint shortcuts, so early exit can never
+    mis-cluster. Lineage is cut per round; with ``durable_checkpoint``
+    the cut is a reliable-storage ``checkpoint()`` (caller must have set
+    ``sparkContext.setCheckpointDir``) so a preempted executor replays
+    from storage instead of recomputing the whole prefix.
+
+    Returns ``(labels, rounds)`` where labels is (doc_id, label) for
+    every node that appears in a pair (label = min doc_id of its
+    component) and rounds is the number of star rounds executed.
+    """
+
+    def cut(df: DataFrame) -> DataFrame:
+        if durable_checkpoint:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
+    # canonical directed form: every undirected edge as (src=hi, dst=lo)
+    edges = cut(
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: each node u connects its LARGER neighbors to
+        # m = min(N(u) ∪ {u}); needs the symmetric neighbor view.
+        sym = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        lmin = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        large = (
+            sym.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least("src", "mn").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on the hi→lo edges: each node u connects its
+        # smaller neighbors AND itself to m = min(N⁻(u) ∪ {u}).
+        smin = large.groupBy("src").agg(F.min("dst").alias("mn"))
+        j = large.join(smin, "src")
+        small = cut(
+            j.select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .unionByName(j.select("src", F.col("mn").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        changed = (
+            small.exceptAll(edges)
+            .unionByName(edges.exceptAll(small))
+            .limit(1)
+            .count()
+        )
+        edges = small
+        if changed == 0:
+            break
+    # fixed point is a star forest: every non-center points straight at
+    # its component min. groupBy-min is belt-and-braces for the
+    # max_iter-exhausted case (still converging → best label so far).
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("label"))
+        .select(F.col("src").alias("doc_id"), "label")
+        .unionByName(
+            edges.select(F.col("dst").alias("doc_id"), F.col("dst").alias("label")).distinct()
+        )
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    )
+    return labels, rounds
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 25,
+    durable_checkpoint: bool = False,
+) -> DataFrame:
     """Materialize near-dup PAIRS into cluster assignments: connected
-    components by iterative min-label propagation, canonical doc = min
-    doc_id per component (the row a training pipeline KEEPS).
+    components via alternating large-star/small-star (O(log n) rounds,
+    see ``_connected_components``), canonical doc = min doc_id per
+    component (the row a training pipeline KEEPS).
 
     Scale shape: the iteration runs only over the near-dup subgraph
     (nodes that appear in a pair — a small fraction of the corpus);
     the full corpus joins back once at the end, so singleton docs never
-    enter the loop. Each round is one shuffle join + label update with
-    lineage cut by localCheckpoint; rounds needed = component diameter
-    (near-dup clusters are shallow — text piles, not chains). For
-    adversarial graphs swap the propagation step for large-star/
-    small-star (O(log n) rounds, same per-round join shape).
-
-    The convergence probe is ``limit(1).count()`` on changed labels —
-    an early-exit existence check, not a full count.
+    enter the loop. Set ``durable_checkpoint=True`` on a real cluster
+    (with ``setCheckpointDir``) so per-round state survives executor
+    preemption.
     """
-    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    labels, _ = _connected_components(
+        pairs, max_iter=max_iter, durable_checkpoint=durable_checkpoint
     )
-    edges = _materialize(sym.distinct())
-    labels = _materialize(
-        edges.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
-    )
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        lowered = F.least(labels["label"], F.coalesce(nbr["nbr_label"], labels["label"]))
-        # carry the changed flag in the frame: the eager checkpoint is
-        # the round's one real job, and the convergence probe is a
-        # limit(1) scan of the checkpointed rows — no extra join.
-        new_labels = labels.join(nbr, labels["doc_id"] == nbr["src"], "left").select(
-            labels["doc_id"],
-            lowered.alias("label"),
-            (lowered < labels["label"]).alias("chg"),
-        ).localCheckpoint()
-        changed = new_labels.filter("chg").limit(1).count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
     return (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")

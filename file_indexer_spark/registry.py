@@ -1557,8 +1557,9 @@ _DD7_PAIRS_CTES = f"""
 )
 def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DD7: near-dup pairs → cluster assignment + canonical selection
-    (iterative min-label propagation over the pair subgraph; the oracle
-    recomputes components exactly via a recursive CTE)."""
+    (alternating large-star/small-star contraction over the pair
+    subgraph, O(log n) rounds; the oracle recomputes components exactly
+    via a recursive CTE)."""
     docs = _table(spark, sf_dir, "documents")
     return dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
 
@@ -2086,9 +2087,10 @@ def h2_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def h3_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS as a left-semi join with the inequality
-    folded into the join condition — no payload through the shuffle,
-    no duplication."""
+    """TPC-H Q4 shape: EXISTS rewritten as per-order max(l_shipdate)
+    pre-aggregation + equi join (commit d930a12; the LeftSemi form
+    hash-built the fact side — test_plans.py pins LeftSemi OUT of the
+    plan)."""
     tune_session(spark)
     return rel.order_priority_counts(
         _table(spark, sf_dir, "orders"), _table(spark, sf_dir, "lineitem")

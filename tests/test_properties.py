@@ -63,6 +63,22 @@ def test_dedup_clusters_matches_union_find(spark, case):
     assert got == _cc_reference(n, edges)
 
 
+def test_dedup_clusters_chain_converges_logarithmically(spark):
+    """Adversarial worst case for label propagation: a 64-node chain
+    (diameter 63). Large-star/small-star must (a) still produce the
+    single correct component and (b) converge in O(log n) star rounds —
+    min-label propagation would need 63 rounds here."""
+    from file_indexer_spark.operators import dedup as dd
+
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels, rounds = dd._connected_components(pairs, max_iter=25)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 14, f"expected O(log n) rounds on a chain, got {rounds}"
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=30))
 def test_sequence_pack_matches_serial_packer(spark, sizes):
