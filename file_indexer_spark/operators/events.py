@@ -65,6 +65,85 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
     )
 
 
+def sessionize_skew_safe(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """e1 under key skew: identical output to ``sessionize`` but safe
+    when one user holds a huge share of the events (a bot/service
+    account that would otherwise become a single straggler task).
+
+    Two passes, the standard day-bucket fix:
+
+    1. Sessionize within ``(user_id, day)`` partitions — the giant
+       user's events spread across as many tasks as they span days, so
+       no single window partition exceeds one day of one user. Each
+       local session becomes a FRAGMENT row (start, end, counts,
+       distinct-type set, raw value sum).
+    2. Re-run gaps-and-islands per user over the FRAGMENTS (≤ sessions
+       + days rows per user — orders of magnitude smaller than events)
+       and merge boundary fragments whose gap ≤ the threshold. The
+       fragment-level rule (start > prev_end + gap starts a new
+       session) is exactly the event-level rule because day buckets
+       partition time: every event of fragment k precedes every event
+       of fragment k+1.
+
+    Correctness vs the plain path is pinned by a property test with one
+    user holding ~90% of events (tests/test_properties.py).
+    """
+    gap = F.make_interval(mins=F.lit(int(gap_minutes)))
+    order = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    bucketed = events.withColumn("day", F.date_trunc("day", F.col("ts")))
+    with_flag = bucketed.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (F.col("ts") > F.lag("ts").over(order) + gap),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    running = Window.partitionBy("user_id", "day").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fragments = (
+        with_flag.withColumn("frag_seq", F.sum("new_session").over(running))
+        .groupBy("user_id", "day", "frag_seq")
+        .agg(
+            F.min("ts").alias("frag_start"),
+            F.max("ts").alias("frag_end"),
+            F.count("*").alias("n_events"),
+            F.collect_set("event_type").alias("type_set"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+    # pass 2: gaps-and-islands over fragments (tiny per user).
+    forder = Window.partitionBy("user_id").orderBy("frag_start", "day", "frag_seq")
+    merged_flag = fragments.withColumn(
+        "new_session",
+        F.when(
+            F.lag("frag_end").over(forder).isNull()
+            | (F.col("frag_start") > F.lag("frag_end").over(forder) + gap),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    frunning = Window.partitionBy("user_id").orderBy("frag_start", "day", "frag_seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        merged_flag.withColumn("session_seq", F.sum("new_session").over(frunning))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("frag_start").alias("session_start"),
+            F.max("frag_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("type_set")))).cast("long").alias(
+                "n_event_types"
+            ),
+            F.round(F.sum("value_sum"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def tumbling_counts(events: DataFrame) -> DataFrame:
     """e2: tumbling 1-hour windows per event type — the batch rendition
     of a streaming windowed aggregation (partial agg → tiny shuffle)."""

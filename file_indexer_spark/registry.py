@@ -618,7 +618,7 @@ def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e1_sessionization",
-    f"""
+    _E1_ORACLE := f"""
     WITH flagged AS (
         SELECT *,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -646,6 +646,14 @@ def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e1_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionize(_events(spark, sf_dir))
+
+
+@register("e1b_sessionization_skew", _E1_ORACLE)
+def e1b_sessionization_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 skew-safe variant: day-bucketed pre-sessionize + boundary
+    fragment merge (``events.sessionize_skew_safe``) — the giant-user
+    path. Same semantics, same oracle as e1."""
+    return ev.sessionize_skew_safe(_events(spark, sf_dir))
 
 
 @register(

@@ -79,6 +79,40 @@ def test_dedup_clusters_chain_converges_logarithmically(spark):
     assert rounds <= 14, f"expected O(log n) rounds on a chain, got {rounds}"
 
 
+def test_sessionize_skew_safe_matches_plain_on_giant_user(spark):
+    """One bot user holds ~90% of events, spread over several days with
+    sessions that straddle midnight (the fragment-merge edge case).
+    The skew-safe two-pass path must reproduce the plain single-window
+    output exactly."""
+    from datetime import datetime, timedelta
+
+    from file_indexer_spark.operators import events as ev
+
+    rows = []
+    eid = 0
+    t = datetime(2024, 3, 1, 23, 0, 0)
+    # giant user 0: 900 events in bursts that repeatedly cross midnight;
+    # alternating 5-min (same session) and 90-min (new session) gaps.
+    for i in range(900):
+        t += timedelta(minutes=5 if i % 7 else 90)
+        rows.append((eid, t, 0, ["view", "click", "purchase"][i % 3], float(i % 10) / 4))
+        eid += 1
+    # 10 normal users with a handful of events each
+    for u in range(1, 11):
+        base = datetime(2024, 3, 2, 8, u)
+        for i in range(10):
+            rows.append((eid, base + timedelta(minutes=31 * i), u, "view", 1.5))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    plain = [r.asDict() for r in ev.sessionize(events).collect()]
+    skew = [r.asDict() for r in ev.sessionize_skew_safe(events).collect()]
+    assert len(plain) == len(skew)
+    for p, s in zip(plain, skew):
+        assert p == s, (p, s)
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=30))
 def test_sequence_pack_matches_serial_packer(spark, sizes):
