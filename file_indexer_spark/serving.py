@@ -49,28 +49,35 @@ def paginate(df: DataFrame, order_by: list[str], limit: int, offset: int = 0) ->
 
 @dataclass
 class SearchRequest:
-    """models.py:24-58 — validated query surface."""
+    """models.py:24-58 — validated query surface (limit 1..10000,
+    models.py:45-47)."""
 
     filename_pattern: str | None = None
     path_pattern: str | None = None
+    checksum: str | None = None
     has_checksum: bool | None = None
     min_file_size: int | None = None
     max_file_size: int | None = None
+    modified_after: object | None = None
+    modified_before: object | None = None
     limit: int = 100
     offset: int = 0
 
     def __post_init__(self):
-        if not 1 <= self.limit <= 1000:
-            raise ValueError("limit must be in 1..1000")
+        if not 1 <= self.limit <= 10000:
+            raise ValueError("limit must be in 1..10000")
         if self.offset < 0:
             raise ValueError("offset must be >= 0")
 
 
 @dataclass
 class DuplicatesRequest:
-    """models.py:61-88 — limit 1..1000, min_group_size >= 2."""
+    """models.py:61-88 — limit 1..1000, min_group_size >= 2, optional
+    size bounds (models.py:69-74)."""
 
     min_group_size: int = 2
+    min_file_size: int | None = None
+    max_file_size: int | None = None
     filename_pattern: str | None = None
     path_pattern: str | None = None
     limit: int = 100
@@ -83,6 +90,9 @@ class DuplicatesRequest:
             raise ValueError("min_group_size must be >= 2")
         if self.offset < 0:
             raise ValueError("offset must be >= 0")
+        for bound in (self.min_file_size, self.max_file_size):
+            if bound is not None and bound < 0:
+                raise ValueError("file size bounds must be >= 0")
 
 
 @dataclass
@@ -102,8 +112,11 @@ class FileIndexService:
     interactive serving — immutable snapshots make concurrent reads
     safe, the reference's read-only-connection trick for free)."""
 
-    def __init__(self, files: DataFrame):
-        self.files = files
+    def __init__(self, files: DataFrame, cache: bool = True):
+        # paginate() runs a count job plus the page job per request;
+        # caching the immutable snapshot makes the second and later
+        # requests scan memory, not parquet.
+        self.files = files.cache() if cache else files
 
     def search(self, req: SearchRequest) -> Page:
         from file_indexer_spark.operators.search import search_files
@@ -112,9 +125,12 @@ class FileIndexService:
             self.files,
             filename_pattern=req.filename_pattern,
             path_pattern=req.path_pattern,
+            checksum=req.checksum,
             has_checksum=req.has_checksum,
             min_file_size=req.min_file_size,
             max_file_size=req.max_file_size,
+            modified_after=req.modified_after,
+            modified_before=req.modified_before,
         )
         return paginate(matches, ["path", "filename"], req.limit, req.offset)
 
@@ -126,7 +142,13 @@ class FileIndexService:
             scope_to_pattern,
         )
 
-        base = scope_to_pattern(self.files, req.filename_pattern, req.path_pattern)
+        base = scope_to_pattern(
+            self.files,
+            req.filename_pattern,
+            req.path_pattern,
+            req.min_file_size,
+            req.max_file_size,
+        )
         groups = duplicate_groups_nested(base, req.min_group_size).localCheckpoint(eager=False)
         total = groups.count()
         # wasted space over the SAME group set the response describes

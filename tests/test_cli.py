@@ -185,14 +185,36 @@ def test_service_contracts(spark, sf_smoke):
     scoped = svc.duplicates(DuplicatesRequest(filename_pattern="%.fr", limit=1000))
     assert scoped.total_groups <= resp.total_groups
 
+    # size-bounded duplicates (models.py:69-74): every surviving group's
+    # file_size honors the bounds, and totals describe the bounded set
+    all_groups = svc.duplicates(DuplicatesRequest(limit=1000)).groups
+    sizes = sorted(g["file_size"] for g in all_groups)
+    cut = max(sizes[len(sizes) // 2], 1)
+    bounded = svc.duplicates(DuplicatesRequest(min_file_size=cut, limit=1000))
+    assert bounded.total_groups == sum(1 for s in sizes if s >= cut)
+    assert all(g["file_size"] >= cut for g in bounded.groups)
+    assert bounded.total_wasted_space == sum(
+        g["wasted_space"] for g in all_groups if g["file_size"] >= cut
+    )
+    upper = svc.duplicates(DuplicatesRequest(max_file_size=cut - 1, limit=1000))
+    assert upper.total_groups == resp.total_groups - bounded.total_groups
+
     st = svc.stats()
     assert st["total_files"] == 500
 
+    # search limit parity: the reference allows up to 10,000
+    # (models.py:45-47)
+    big = svc.search(SearchRequest(limit=10000))
+    assert big.total_count == 500 and not big.has_more
+
     for bad in (
         lambda: SearchRequest(limit=0),
-        lambda: SearchRequest(limit=1001),
+        lambda: SearchRequest(limit=10001),
         lambda: SearchRequest(offset=-1),
         lambda: DuplicatesRequest(min_group_size=1),
+        lambda: DuplicatesRequest(min_file_size=-1),
+        lambda: DuplicatesRequest(max_file_size=-5),
+        lambda: DuplicatesRequest(limit=1001),
     ):
         with _pytest.raises(ValueError):
             bad()
