@@ -443,13 +443,7 @@ def gap_percentiles(events: DataFrame) -> DataFrame:
     the percentile agg groups by the tiny event_type key. At 100 TB
     swap percentile -> percentile_approx (same plan, sketch agg).
     """
-    gaps = events.select(
-        "event_type",
-        F.expr(
-            "timestampdiff(MICROSECOND, "
-            "lag(ts) over (partition by user_id order by ts, event_id), ts)"
-        ).alias("gap_us"),
-    ).filter(F.col("gap_us").isNotNull())
+    gaps = _event_gaps(events)
     return (
         gaps.groupBy("event_type")
         .agg(
@@ -457,6 +451,43 @@ def gap_percentiles(events: DataFrame) -> DataFrame:
             F.round(F.expr("percentile(gap_us, 0.5)"), 4).alias("p50_us"),
             F.round(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_us"),
             F.round(F.expr("percentile(gap_us, 0.99)"), 4).alias("p99_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _event_gaps(events: DataFrame) -> DataFrame:
+    return events.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "lag(ts) over (partition by user_id order by ts, event_id), ts)"
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+
+
+def gap_percentiles_approx(events: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """e12a: the 100 TB execution path for e12 — identical gap
+    derivation, ``percentile_approx`` sketch agg (single pass,
+    mergeable partials, rank error ≤ 1/accuracy) instead of the exact
+    per-group percentile sort. Rows-only driver check (sketch output is
+    implementation-defined); tolerance vs e12 pinned in pytest."""
+    gaps = _event_gaps(events)
+    pcts = F.percentile_approx(
+        "gap_us", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(accuracy)
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            pcts.alias("pcts"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.col("pcts")[0].cast("double").alias("p50_us"),
+            F.col("pcts")[1].cast("double").alias("p90_us"),
+            F.col("pcts")[2].cast("double").alias("p99_us"),
         )
         .orderBy("event_type")
     )

@@ -262,6 +262,41 @@ def length_percentiles(docs: DataFrame) -> DataFrame:
     )
 
 
+def length_percentiles_approx(docs: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """t6a: the 100 TB execution path for t6 — same plan shape (one
+    hash agg on source) with ``percentile_approx`` (Greenwald-Khanna
+    sketch, single pass, mergeable partials) replacing the exact
+    per-group percentile sort. ``accuracy=10000`` bounds rank error at
+    1/accuracy = 1e-4 of the group size.
+
+    No SQL oracle (the sketch is implementation-defined); the driver
+    records a rows-only check and the pytest tolerance test pins each
+    approx percentile within the observed spread of the exact one
+    (tests/test_llm_ops.py)."""
+    pcts = F.percentile_approx(
+        "n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(accuracy)
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("mean_chars"),
+            pcts.alias("pcts"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "mean_chars",
+            F.col("pcts")[0].cast("double").alias("p50_chars"),
+            F.col("pcts")[1].cast("double").alias("p90_chars"),
+            F.col("pcts")[2].cast("double").alias("p99_chars"),
+            "max_chars",
+        )
+        .orderBy("source")
+    )
+
+
 LANGS = ("de", "en", "es", "fr", "zh")
 
 

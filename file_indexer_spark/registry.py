@@ -2176,6 +2176,15 @@ def t6_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.length_percentiles(_table(spark, sf_dir, "documents"))
 
 
+@register("t6a_length_percentiles_approx")
+def t6a_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6a: single-pass percentile_approx sketch variant — the 100 TB
+    execution path for t6. No SQL oracle (sketch output is
+    implementation-defined → rows-only driver check); pytest pins each
+    approx percentile inside the exact distribution's neighborhood."""
+    return tx.length_percentiles_approx(_table(spark, sf_dir, "documents"))
+
+
 @register(
     "e9_preceding_window_counts",
     """
@@ -2565,6 +2574,14 @@ def e12_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival gap percentiles per event type: one lag window on
     user_id, then an exact percentile agg on the tiny type key."""
     return ev.gap_percentiles(_events(spark, sf_dir))
+
+
+@register("e12a_gap_percentiles_approx")
+def e12a_gap_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12a: single-pass percentile_approx sketch variant — the 100 TB
+    execution path for e12. Rows-only driver check; tolerance vs e12
+    pinned in pytest."""
+    return ev.gap_percentiles_approx(_events(spark, sf_dir))
 
 
 @register(

@@ -314,12 +314,59 @@ def test_percentile_approx_close_to_exact(spark, sf_smoke):
         assert abs(r["approx"] - r["exact"]) <= max(0.02 * r["exact"], 1.0), r
 
 
+def test_approx_percentile_operators_match_exact(spark, sf_oracle):
+    """t6a/e12a (the registered 100 TB percentile_approx paths) must
+    agree with their exact twins t6/e12: identical group keys, counts,
+    means and maxima, and every approx percentile within RANK tolerance
+    ±0.02 of its target — i.e. between the exact (p-0.02) and (p+0.02)
+    percentiles. (Value tolerance is the wrong bound: the sketch
+    returns a real element, so on a sparse tail the value gap to the
+    interpolated exact percentile is the data's own spacing.)"""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.tables import events_df as _edf
+
+    docs = load_table(spark, sf_oracle, "documents")
+    events = _edf(spark, sf_oracle)
+    gaps = ev._event_gaps(events)
+    for exact_df, approx_df, raw, val, key, pcols in [
+        (tx.length_percentiles(docs), tx.length_percentiles_approx(docs),
+         docs, "n_chars", "source", [("p50_chars", 0.5), ("p90_chars", 0.9), ("p99_chars", 0.99)]),
+        (ev.gap_percentiles(events), ev.gap_percentiles_approx(events),
+         gaps, "gap_us", "event_type", [("p50_us", 0.5), ("p90_us", 0.9), ("p99_us", 0.99)]),
+    ]:
+        exact = {r[key]: r.asDict() for r in exact_df.collect()}
+        approx = {r[key]: r.asDict() for r in approx_df.collect()}
+        assert exact.keys() == approx.keys() and exact
+        bounds = {
+            r[key]: r.asDict()
+            for r in raw.groupBy(key)
+            .agg(*[
+                F.expr(f"percentile({val}, {max(p - 0.02, 0.0)})").alias(f"lo_{c}")
+                for c, p in pcols
+            ], *[
+                F.expr(f"percentile({val}, {min(p + 0.02, 1.0)})").alias(f"hi_{c}")
+                for c, p in pcols
+            ])
+            .collect()
+        }
+        for k in exact:
+            e, a, b = exact[k], approx[k], bounds[k]
+            for col, _p in pcols:
+                assert b[f"lo_{col}"] <= a[col] <= b[f"hi_{col}"], (k, col, a[col], b)
+            for col in e:
+                if col not in {c for c, _ in pcols}:
+                    assert a[col] == e[col], (k, col)
+
+
 def test_events_operators_accept_both_timestamp_types(spark):
     """The driver's events parquet has shipped ts as TIMESTAMP(NANOS),
     TIMESTAMP(MICROS)/NTZ, and could ship tz-aware micros next — a
     round-2 regression (unix_micros rejecting NTZ) broke sessionization
     AND the whole bench. Every events operator must run on both
-    TimestampType and TimestampNTZType inputs."""
+    TimestampType and TimestampNTZType inputs AND produce the same
+    answer for the same wall-clock instants (a silent semantic
+    divergence between the types would otherwise pass)."""
     import datetime as dt
 
     from pyspark.sql import functions as F
@@ -339,11 +386,20 @@ def test_events_operators_accept_both_timestamp_types(spark):
     )
     ntz = tz.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     ops = [
-        ev.sessionize, ev.tumbling_counts, ev.funnel, ev.top_users,
-        ev.props_stats, ev.retention_cohorts, ev.asof_last_match,
-        ev.rolling_daily_value, ev.preceding_window_counts,
-        ev.sliding_counts, ev.event_transitions, ev.gap_percentiles,
+        ev.sessionize, ev.sessionize_skew_safe, ev.tumbling_counts,
+        ev.funnel, ev.top_users, ev.props_stats, ev.retention_cohorts,
+        ev.asof_last_match, ev.rolling_daily_value,
+        ev.preceding_window_counts, ev.sliding_counts,
+        ev.event_transitions, ev.gap_percentiles, ev.gap_percentiles_approx,
     ]
-    for events in (tz, ntz):
-        for op in ops:
-            assert op(events).count() >= 0, op.__name__
+
+    def norm(v):
+        # NTZ collects as naive datetime, TIMESTAMP as session-tz-aware
+        # naive — same wall-clock for these fixtures; normalize to str
+        return str(v) if isinstance(v, (dt.datetime, dt.date)) else v
+
+    for op in ops:
+        got_tz = [{c: norm(v) for c, v in r.asDict().items()} for r in op(tz).collect()]
+        got_ntz = [{c: norm(v) for c, v in r.asDict().items()} for r in op(ntz).collect()]
+        assert got_tz, op.__name__
+        assert got_tz == got_ntz, op.__name__
