@@ -112,11 +112,16 @@ def _centroids(embeddings: DataFrame) -> DataFrame:
     return embeddings.join(reps, "vec_id")
 
 
-def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+def ivf_assignments(embeddings: DataFrame, n_assign: int = 1) -> DataFrame:
     """IVF build: assign every vector to its nearest centroid
     (argmax cosine, ties to the smaller centroid id). Centroids are
     broadcast; assignment is one map-side scored pass + a per-vector
     argmax — the narrow (vec_id, centroid_id) table is the index.
+
+    ``n_assign > 1`` = MULTI-ASSIGNMENT: each vector lands in its top-n
+    centroid lists, the standard recall mitigation for near-dup pairs
+    split across neighboring lists (cost multiplies candidate volume by
+    ≤ n²). Emits up to n rows per vec_id.
     """
     cents = _with_norm(_centroids(embeddings)).select(
         F.col("vec_id").alias("centroid_id"),
@@ -129,6 +134,25 @@ def ivf_assignments(embeddings: DataFrame) -> DataFrame:
     scored = vecs.join(F.broadcast(cents)).withColumn(
         "cosine", _cosine("v_emb", "v_norm", "c_emb", "c_norm")
     )
+    if n_assign > 1:
+        # top-n via sorted collect over the tiny per-vector centroid
+        # list (|centroids| structs) — still one hash agg, no window
+        # sort of the scored stream.
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("cosine")).alias("neg"), F.col("centroid_id"))
+                        )
+                    ),
+                    1,
+                    int(n_assign),
+                ).alias("top")
+            )
+            .select("vec_id", F.explode(F.col("top.centroid_id")).alias("centroid_id"))
+        )
     # argmax via max_by: a hash aggregate with map-side partials — one
     # narrow shuffle of (vec_id, best) pairs, vs. a window's full sort
     # of every (vec_id, centroid) scored row. Ties break to the
@@ -242,15 +266,18 @@ NEARDUP_SALTS = 8  # sub-buckets per centroid list for the pair join
 SEMDEDUP_COSINE = NEARDUP_COSINE
 
 
-def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_COSINE) -> DataFrame:
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = NEARDUP_COSINE, n_assign: int = 1
+) -> DataFrame:
     """dd5: embedding-cosine near-duplicate pairs, IVF-bucketed.
 
     Candidates are pairs assigned to the SAME centroid list (never
     all-pairs: with k centroids the pair space shrinks ~k-fold; scale k
     with the corpus). Verification is the exact cosine. Pairs split
-    across neighboring lists are the recall trade — mitigate with
-    multi-assignment (assign to top-2 centroids) when recall matters
-    more than cost.
+    across neighboring lists are the recall trade — ``n_assign=2``
+    (top-2 multi-assignment) recovers them at ≤ 4× candidate cost; a
+    pair sharing several lists is de-duplicated post-verify, so each
+    (vec_a, vec_b) is emitted once regardless of n_assign.
 
     The within-bucket self-join is SALTED: side B carries salt
     ``vec_id % S``; side A is replicated S times, once per target salt.
@@ -259,7 +286,7 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_CO
     scoring over S tasks instead of hot-spotting one. Each pair is
     produced exactly once (A meets B only at B's salt).
     """
-    assign = ivf_assignments(embeddings)
+    assign = ivf_assignments(embeddings, n_assign=n_assign)
     vecs = _with_norm(_spread(embeddings)).select(
         "vec_id", F.col("embedding").alias("emb"), F.col("norm").alias("nrm")
     ).join(assign, "vec_id")
@@ -275,7 +302,7 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_CO
     )
     b = vecs.withColumn("salt", F.col("vec_id") % s).alias("b")
     cos = _cosine("a.emb", "a.nrm", "b.emb", "b.nrm")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -289,11 +316,19 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_CO
             F.col("b.vec_id").alias("vec_b"),
             F.round("cosine", 6).alias("cosine"),
         )
-        .orderBy("vec_a", "vec_b")
     )
+    if n_assign > 1:
+        # a pair sharing several centroid lists verifies identically in
+        # each — one small distinct on the (already-thresholded) pair
+        # list removes the double emission. Kept off the n_assign=1
+        # plan, which stays shuffle-for-shuffle identical to round 3.
+        out = out.distinct()
+    return out.orderBy("vec_a", "vec_b")
 
 
-def semantic_dedup(embeddings: DataFrame, threshold: float = SEMDEDUP_COSINE) -> DataFrame:
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = SEMDEDUP_COSINE, n_assign: int = 1
+) -> DataFrame:
     """sd1: SemDeDup-style embedding-cluster deduplication accounting.
 
     The semantic analogue of exact dedup: cluster the corpus (IVF
@@ -312,10 +347,12 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = SEMDEDUP_COSINE) ->
     2023) is exactly this shape at 100 TB — k-means buckets, pairwise
     cosine only within buckets.
     """
+    # fates roll up under the PRIMARY assignment (one row per vector)
+    # even when pair generation multi-assigns for recall
     assign = ivf_assignments(embeddings)
     # pairs emit vec_a < vec_b, so every vec_b has a smaller-id neighbor
     dropped = (
-        embedding_neardup_pairs(embeddings, threshold)
+        embedding_neardup_pairs(embeddings, threshold, n_assign=n_assign)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(True))

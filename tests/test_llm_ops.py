@@ -277,6 +277,42 @@ def test_mixture_resample_is_deterministic_and_bounded(docs):
             assert r["n_kept"] == r["n_docs"], "rate-1.0 sources keep everything"
 
 
+def test_neardup_multi_assignment_recall(embeddings):
+    """dd5 with n_assign=2 (top-2 centroid multi-assignment): every
+    single-assignment pair is still found, recall vs the brute-force
+    ground truth does not drop (and recovers boundary pairs when any
+    exist), and no pair is double-emitted."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import similarity as sm
+
+    # brute-force ground truth on the tiny corpus
+    v = sm._with_norm(sm._spread(embeddings)).select(
+        "vec_id", F.col("embedding").alias("emb"), F.col("norm").alias("nrm")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", sm._cosine("a.emb", "a.nrm", "b.emb", "b.nrm"))
+        .filter(F.col("cosine") >= sm.NEARDUP_COSINE)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .collect()
+    }
+    single_rows = sm.embedding_neardup_pairs(embeddings).collect()
+    multi_rows = sm.embedding_neardup_pairs(embeddings, n_assign=2).collect()
+    single = {(r["vec_a"], r["vec_b"]) for r in single_rows}
+    multi = {(r["vec_a"], r["vec_b"]) for r in multi_rows}
+    assert len(multi_rows) == len(multi), "multi-assignment double-emitted a pair"
+    assert single <= multi, "multi-assignment lost a single-assignment pair"
+    assert multi <= truth, "bucketed candidates can never exceed ground truth"
+    assert truth, "fixture corpus has planted near-dups"
+    assert len(multi & truth) >= len(single & truth)
+    # sd1 built on multi-assigned pairs keeps one row per vector
+    roll = sm.semantic_dedup(embeddings, n_assign=2)
+    assert roll.agg(F.sum("n_vectors")).first()[0] == v.count()
+
+
 def test_semantic_dedup_drop_rule(embeddings):
     from file_indexer_spark.operators import similarity as sim
 
