@@ -12,12 +12,14 @@ Design (the piece that must be right at 100 TB):
     introduced by any stage here; size-skew is handled upstream by
     ``repartitionByRange`` on byte_len if needed.
 
-This container has no image/audio codecs, so the real decoders are
-import-gated stubs (``NotImplementedError`` outside test fakes) and the
-tested path uses FAKE_MEDIA_FORMAT — a deterministic 12-byte header
-(width, height, channels, little-endian u32) + payload — which keeps
-every Spark-side contract (schemas, batch shapes, null handling for
-corrupt blobs) real and testable.
+Two decode paths, both gate-checked:
+  * FAKE_MEDIA_FORMAT — a deterministic 12-byte header (width, height,
+    channels, little-endian u32) + payload — exercises every Spark-side
+    contract (schemas, batch shapes, null handling for corrupt blobs);
+  * REAL format — binary PPM (P6), parsed by a pure-Python spec decoder
+    (no codec library needed), with Pillow as the import-gated fallback
+    for other formats on codec-equipped clusters. Registered as m2b
+    with a full DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -88,22 +90,99 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
-def decode_image_real(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Real-image decode stage. STUB: this container ships no codecs.
+PPM_MAGIC = b"P6"
 
-    On a cluster with Pillow installed the body is identical to
-    ``decode_media`` with ``PIL.Image.open(io.BytesIO(content))``
-    supplying (width, height, mode) — the Spark-side contract
-    (mapInPandas, DECODED_SCHEMA, error column) does not change.
-    """
+
+def encode_ppm(width: int, height: int, pixels: bytes, maxval: int = 255) -> bytes:
+    """Build a binary PPM (P6) blob — a REAL, spec-defined image format
+    (netpbm) that needs no codec library, so the real-decode contract
+    is exercisable in this container."""
+    return b"P6\n%d %d\n%d\n" % (width, height, maxval) + pixels
+
+
+def _decode_ppm(content: bytes | None) -> tuple:
+    """Parse a binary PPM (P6) header + raster. Pure Python, full spec:
+    whitespace-separated width/height/maxval with ``#`` comments, one
+    whitespace byte before the raster, 3 samples/pixel. Returns the
+    DECODED_SCHEMA metadata tuple; errors become ``decode_error``."""
+    if content is None:
+        return (None, None, None, None, "null content")
+    if not content.startswith(PPM_MAGIC):
+        return (None, None, None, None, "not a PPM")
+    n = len(content)
+    i, tokens = 2, []
+    while len(tokens) < 3 and i < n:
+        while i < n and content[i : i + 1].isspace():
+            i += 1
+        if i < n and content[i : i + 1] == b"#":
+            while i < n and content[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not content[j : j + 1].isspace():
+            j += 1
+        if j > i:
+            tokens.append(content[i:j])
+        i = j
+    if len(tokens) < 3:
+        return (None, None, None, None, "bad header")
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "use decode_media (FAKE_MEDIA_FORMAT) for the tested path"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here on a codec-equipped cluster")
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return (None, None, None, None, "bad header")
+    if w <= 0 or h <= 0:
+        return (None, None, None, None, "bad geometry")
+    if not 0 < maxval < 256:
+        return (None, None, None, None, "unsupported maxval")
+    i += 1  # exactly one whitespace byte separates header and raster
+    expected = w * h * 3
+    if n - i < expected:
+        return (None, None, None, None, "truncated payload")
+    return (w, h, 3, expected, None)
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:
+    """Real-image decode stage (m2b): binary PPM (P6) decoded by the
+    pure-Python spec parser above; any other format falls through to
+    Pillow when installed, else yields a per-row ``decode_error`` (this
+    container ships no codec libraries — reference
+    file_indexer/indexer.py's hash-anything contract says errors are
+    data, not task failures).
+
+    Same Spark contract as ``decode_media``: mapInPandas, Arrow
+    batches, DECODED_SCHEMA, corrupt blobs → error rows.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io
+
+            import PIL.Image as _pil
+        except ImportError:
+            _pil = None
+        rows = []
+        for pdf in it:
+            rows.clear()
+            for c in pdf["content"]:
+                if c is not None and not bytes(c[:2]) == PPM_MAGIC and _pil is not None:
+                    try:
+                        img = _pil.open(io.BytesIO(bytes(c)))
+                        rows.append(
+                            (img.width, img.height, len(img.getbands()), len(c), None)
+                        )
+                    except Exception as exc:  # corrupt blob → error row
+                        rows.append((None, None, None, None, f"PIL: {exc}"))
+                else:
+                    rows.append(_decode_ppm(None if c is None else bytes(c)))
+            out = pd.DataFrame(
+                rows,
+                columns=["width", "height", "channels", "payload_bytes", "decode_error"],
+            )
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -320,6 +399,44 @@ def fake_media_from_docs(docs: DataFrame) -> DataFrame:
                         hdr.pack(4 + did % 13, 3 + did % 7, 1 + did % 4)
                         + text.encode("utf-8")
                     )
+            yield pd.DataFrame({"media_id": ids, "media_type": types, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def ppm_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format (binary PPM / P6) corpus derived from
+    ``documents`` — the m2b gate fixture. Same derivation idea as
+    :func:`fake_media_from_docs` but the blobs are spec-valid PPM files
+    the pure-Python decoder parses for real, plus three error classes:
+
+      * doc_id % 11 == 0 → NULL content              ('null content')
+      * doc_id %  7 == 0 → JPEG-ish magic bytes      ('not a PPM')
+      * doc_id %  5 == 0 → valid header, half raster ('truncated payload')
+      * otherwise        → P6, w = 1 + id%8, h = 1 + id%5, raster =
+                           utf-8 text tiled to w*h*3 bytes
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                ids.append(did)
+                types.append("image")
+                if did % 11 == 0:
+                    blobs.append(None)
+                    continue
+                if did % 7 == 0:
+                    blobs.append(b"\xff\xd8\xff\xe0 not really a jpeg")
+                    continue
+                w, h = 1 + did % 8, 1 + did % 5
+                need = w * h * 3
+                raw = text.encode("utf-8")
+                raster = (raw * (need // max(len(raw), 1) + 1))[:need]
+                if did % 5 == 0:
+                    raster = raster[: need // 2]
+                blobs.append(encode_ppm(w, h, raster))
             yield pd.DataFrame({"media_id": ids, "media_type": types, "content": blobs})
 
     return docs.select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)

@@ -1382,6 +1382,42 @@ def m2_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m2b_ppm_decode",
+    """
+    -- real-codec gate: the engine decodes spec-valid binary PPM (P6)
+    -- blobs with a pure-Python parser; the oracle recomputes every
+    -- field from the deterministic doc_id derivation.
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 5 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 5 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 5 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 5 = 0 THEN NULL
+                ELSE CAST(3 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 5 = 0 THEN NULL
+                ELSE CAST((1 + doc_id % 8) * (1 + doc_id % 5) * 3 AS BIGINT)
+           END AS payload_bytes,
+           CASE WHEN doc_id % 11 = 0 THEN 'null content'
+                WHEN doc_id % 7 = 0 THEN 'not a PPM'
+                WHEN doc_id % 5 = 0 THEN 'truncated payload'
+                ELSE NULL END AS decode_error
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def m2b_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2b: REAL image decode — binary PPM (P6) blobs parsed by the
+    pure-Python spec decoder (``multimodal._decode_ppm``) through the
+    same mapInPandas/DECODED_SCHEMA contract as m2. Three error classes
+    (null blob, wrong magic, truncated raster) are data, not failures."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.ppm_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.decode_image_real(media).orderBy("media_id")
+
+
+@register(
     "m3_frame_sampling",
     """
     -- documents.text is pure ASCII in the driver's testdata (asserted:

@@ -49,11 +49,44 @@ def test_sample_frames_every_other(media):
     assert by_idx[2] == b"abcd"  # payload repeats every 8 bytes
 
 
-def test_real_decoder_is_gated():
-    import file_indexer_spark.operators.multimodal as m
+def test_ppm_parser_full_spec():
+    """Pure-Python P6 parser: happy path, header comments, error
+    classes. This is the REAL-format decode gate (no codec library
+    required) backing m2b."""
+    ok = mm.encode_ppm(2, 3, bytes(range(18)))
+    assert mm._decode_ppm(ok) == (2, 3, 3, 18, None)
+    # comments anywhere in the header, per the netpbm spec
+    commented = b"P6\n# a comment\n2 # inline\n3\n# last\n255\n" + bytes(range(18))
+    assert mm._decode_ppm(commented) == (2, 3, 3, 18, None)
+    # trailing junk after the raster is ignored (reader takes w*h*3)
+    assert mm._decode_ppm(ok + b"junk") == (2, 3, 3, 18, None)
+    assert mm._decode_ppm(None)[-1] == "null content"
+    assert mm._decode_ppm(b"\xff\xd8\xff")[-1] == "not a PPM"
+    assert mm._decode_ppm(b"P6\n2 3\n")[-1] == "bad header"
+    assert mm._decode_ppm(b"P6\n2 x\n255\n")[-1] == "bad header"
+    assert mm._decode_ppm(b"P6\n0 3\n255\n")[-1] == "bad geometry"
+    assert mm._decode_ppm(b"P6\n2 3\n65535\n" + bytes(36))[-1] == "unsupported maxval"
+    assert mm._decode_ppm(mm.encode_ppm(2, 3, bytes(17)))[-1] == "truncated payload"
 
-    with pytest.raises(NotImplementedError):
-        m.decode_image_real(None)
+
+def test_decode_image_real_over_ppm_corpus(spark):
+    """decode_image_real runs the real parser through the mapInPandas
+    contract: metadata for valid PPMs, error rows for the rest."""
+    src = spark.createDataFrame(
+        [
+            (1, "image", mm.encode_ppm(4, 2, bytes(24))),
+            (2, "image", None),
+            (3, "image", b"GIF89a not supported here"),
+            (4, "image", mm.encode_ppm(3, 3, bytes(10))),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in mm.decode_image_real(src).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (4, 2, 3)
+    assert out[1]["payload_bytes"] == 24 and out[1]["decode_error"] is None
+    assert out[2]["decode_error"] == "null content"
+    assert out[3]["decode_error"] == "not a PPM"
+    assert out[4]["decode_error"] == "truncated payload"
 
 
 def test_resize_media_geometry_and_errors(spark):
