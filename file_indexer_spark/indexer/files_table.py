@@ -5,26 +5,44 @@ The reference gets upserts from DuckDB's ``INSERT .. ON CONFLICT``
 (file_indexer_go/db/database.go:98-113) and transactional
 executemany batches (file_indexer/indexer.py:411-448). On a data lake
 the equivalent is Delta/Iceberg ``MERGE INTO``; this container has
-plain Parquet, so MERGE is emulated as anti-join + union + atomic
-directory swap — the same shape a MERGE executes physically (join on
-the PK, rewrite touched files), with the swap standing in for the
-transaction log.
+plain Parquet, so MERGE is emulated the same way those formats do it
+physically: write IMMUTABLE data directories, then commit by
+atomically replacing ONE manifest file that names the live set — a
+single-file transaction log.
+
+Commit protocol (the Delta/Iceberg shape, minimally):
+  * every write lands in a fresh uniquely-named ``data-<uuid>`` dir —
+    nothing live is ever modified or moved;
+  * ``_MANIFEST`` (JSON) maps each bucket (or ``all``) to its current
+    data dir; readers resolve the manifest first, then read exactly
+    the named dirs;
+  * commit = write manifest to a temp name + ``os.replace`` — atomic
+    on POSIX, so a reader sees the old generation or the new one,
+    never a torn mix. A crash at ANY point pre-replace leaves the old
+    manifest (and all dirs it names) intact; orphaned staging dirs are
+    reclaimed by :meth:`vacuum`.
+
+Concurrency contract: readers are always consistent (atomic manifest
++ immutable dirs). Writers are last-commit-wins — two concurrent
+upserts won't tear the table, but one's rows can be lost; run ONE
+writer per table (the reference has the same single-writer model via
+its DuckDB file lock) or serialize commits externally. ``vacuum()``
+must only run while no writer is staging.
 
 Scale: an UNPARTITIONED emulated MERGE rewrites the whole table —
 a non-starter at 100 TB. Pass ``buckets=N`` to hash-partition the
 table by ``xxhash64(path) % N``: upsert/delete then (a) compute the
-buckets its keys touch, (b) read ONLY those partition directories
-(partition pruning on the directory layout), and (c) swap only those
-directories — I/O proportional to the touched slice, not the table.
-Bucketing on ``path`` alone keeps directory-level deletes prunable
-too; a pathological single-directory table degenerates to one bucket,
-which is exactly the Hive partition-by-prefix trade. The public API
-(upsert / delete / overwrite) is storage-agnostic so a Delta backend
-can slot in unchanged.
+buckets its keys touch, (b) read ONLY those buckets' dirs (manifest
+pruning), and (c) commit new dirs for only those buckets — I/O
+proportional to the touched slice, not the table. Bucketing on
+``path`` alone keeps directory-level deletes prunable too. The public
+API (upsert / delete / overwrite) is storage-agnostic so a Delta
+backend can slot in unchanged.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -56,38 +74,108 @@ class FilesTable:
         self.buckets = buckets
         self._validate_layout()
 
-    _BUCKET_MARKER = "_buckets"
+    _MANIFEST = "_MANIFEST"
+    _BUCKET_MARKER = "_buckets"  # legacy pre-manifest layout only
+
+    # -- manifest -----------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.location, self._MANIFEST)
+
+    def _load_manifest(self) -> dict | None:
+        """Current manifest, or None for a legacy/absent layout."""
+        try:
+            with open(self._manifest_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _commit_manifest(self, entries: dict[str, str]) -> None:
+        """THE commit point: one atomic rename publishes the new
+        generation. Everything before this is invisible to readers;
+        a crash before it leaves the previous generation live."""
+        os.makedirs(self.location, exist_ok=True)
+        tmp = os.path.join(self.location, f"{self._MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"buckets": self.buckets, "entries": entries}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_path())
+
+    def _staging_dir(self) -> str:
+        os.makedirs(self.location, exist_ok=True)
+        return os.path.join(self.location, f"data-{uuid.uuid4().hex[:8]}")
+
+    def _entries_from_staging(self, staging: str) -> dict[str, str]:
+        """Map buckets present in a freshly-written staging dir to
+        their (relative) data paths."""
+        rel = os.path.basename(staging)
+        if not self.buckets:
+            return {"all": rel}
+        out = {}
+        for name in os.listdir(staging):
+            if name.startswith(f"{BUCKET_COL}="):
+                out[name.split("=", 1)[1]] = f"{rel}/{name}"
+        return out
+
+    def _gc(self, dead_paths: list[str]) -> None:
+        """Remove data paths no longer referenced by the committed
+        manifest, then any data dir left empty. Only paths THIS commit
+        replaced — unknown dirs may be another writer's staging; see
+        vacuum() for orphan reclamation."""
+        for rel in dead_paths:
+            shutil.rmtree(os.path.join(self.location, rel), ignore_errors=True)
+        for name in os.listdir(self.location):
+            full = os.path.join(self.location, name)
+            if name.startswith("data-") and os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+
+    def vacuum(self) -> list[str]:
+        """Reclaim orphaned data dirs (crashed writers' staging, dirs
+        whose commit lost a race). Safe ONLY while no writer is staging
+        — the single-writer contract's maintenance window. Returns the
+        removed (relative) dirs."""
+        m = self._load_manifest()
+        if m is None or not os.path.isdir(self.location):
+            return []
+        live_roots = {rel.split("/", 1)[0] for rel in m["entries"].values()}
+        removed = []
+        for name in os.listdir(self.location):
+            if name.startswith("data-") and name not in live_roots:
+                shutil.rmtree(os.path.join(self.location, name), ignore_errors=True)
+                removed.append(name)
+        return removed
 
     def _validate_layout(self) -> None:
-        """The bucket count is part of the on-disk layout: a marker file
-        records it, and reopening with a different value is rejected —
-        a mismatched modulus would prune the wrong partitions and
-        silently duplicate or miss primary keys."""
-        marker = os.path.join(self.location, self._BUCKET_MARKER)
-        disk: int | None = None
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                disk = int(fh.read().strip())
-        elif self.exists():
-            disk = None  # pre-existing unbucketed layout
+        """The bucket count is part of the on-disk layout: the manifest
+        (or the legacy marker file) records it, and reopening with a
+        different value is rejected — a mismatched modulus would prune
+        the wrong partitions and silently duplicate or miss keys."""
+        m = self._load_manifest()
+        if m is not None:
+            disk = m["buckets"]
         else:
-            return  # fresh table: any configuration is fine
+            marker = os.path.join(self.location, self._BUCKET_MARKER)
+            if os.path.isfile(marker):
+                with open(marker) as fh:
+                    disk = int(fh.read().strip())
+            elif self.exists():
+                disk = None  # pre-existing unbucketed legacy layout
+            else:
+                return  # fresh table: any configuration is fine
         if disk != self.buckets:
             raise ValueError(
                 f"table at {self.location} was written with buckets={disk}; "
                 f"reopening with buckets={self.buckets} would corrupt it"
             )
 
-    def _write_marker(self, root: str) -> None:
-        if self.buckets:
-            with open(os.path.join(root, self._BUCKET_MARKER), "w") as fh:
-                fh.write(str(self.buckets))
-
     def _bucket_expr(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("path")), F.lit(self.buckets)).cast("int")
 
     # -- read ---------------------------------------------------------
     def exists(self) -> bool:
+        m = self._load_manifest()
+        if m is not None:
+            return bool(m["entries"])
         if not os.path.isdir(self.location):
             return False
         for _, _, names in os.walk(self.location):
@@ -95,68 +183,104 @@ class FilesTable:
                 return True
         return False
 
+    def _empty(self) -> DataFrame:
+        empty = self.spark.createDataFrame([], FILES_SCHEMA)
+        return empty.withColumn(BUCKET_COL, F.lit(None).cast("int")) if self.buckets else empty
+
+    def _read_dirs(self, rels: list[str]) -> DataFrame:
+        paths = [os.path.join(self.location, r) for r in rels]
+        df = self.spark.read.schema(FILES_SCHEMA).parquet(*paths)
+        # the bucket is a pure function of path — recomputed, never
+        # parsed from directory names
+        return df.withColumn(BUCKET_COL, self._bucket_expr()) if self.buckets else df
+
     def _read_raw(self) -> DataFrame:
-        """Table including the partition column (bucketed layout)."""
+        """Table including the bucket column (bucketed layout)."""
+        m = self._load_manifest()
+        if m is not None:
+            if not m["entries"]:
+                return self._empty()
+            return self._read_dirs(sorted(m["entries"].values()))
         if not self.exists():
-            empty = self.spark.createDataFrame([], FILES_SCHEMA)
-            return empty.withColumn(BUCKET_COL, F.lit(None).cast("int")) if self.buckets else empty
+            return self._empty()
+        # legacy (pre-manifest) layout
         if self.buckets:
             return self.spark.read.parquet(self.location).select(*_COLS, BUCKET_COL)
         return self.spark.read.schema(FILES_SCHEMA).parquet(self.location)
+
+    def _read_slice(self, touched: list[int]) -> DataFrame:
+        """ONLY the touched buckets' dirs — manifest pruning; untouched
+        buckets are never opened."""
+        m = self._load_manifest()
+        if m is not None:
+            rels = [m["entries"][str(b)] for b in touched if str(b) in m["entries"]]
+            return self._read_dirs(sorted(rels)).select(*_COLS) if rels else (
+                self._empty().select(*_COLS)
+            )
+        return self._read_raw().filter(F.col(BUCKET_COL).isin(touched)).select(*_COLS)
 
     def read(self) -> DataFrame:
         return self._read_raw().select(*_COLS)
 
     # -- write --------------------------------------------------------
     def overwrite(self, df: DataFrame) -> None:
-        """Full replace via write-to-temp + atomic swap (S10)."""
-        tmp = f"{self.location}.tmp-{uuid.uuid4().hex[:8]}"
+        """Full replace (S10): stage a complete new generation, commit
+        by manifest swap."""
+        old = self._load_manifest()
+        staging = self._staging_dir()
         writer = df.select(*_COLS)
         if self.buckets:
             writer = writer.withColumn(BUCKET_COL, self._bucket_expr())
-            writer.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+            writer.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
         else:
-            writer.write.mode("overwrite").parquet(tmp)
-        self._write_marker(tmp)
-        old = f"{self.location}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.location):
-            os.rename(self.location, old)
-        os.rename(tmp, self.location)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+            writer.write.mode("overwrite").parquet(staging)
+        self._commit_manifest(self._entries_from_staging(staging))
+        if old is not None:
+            self._gc(sorted(set(old["entries"].values())))
+        else:
+            self._gc_legacy()
 
-    def _swap_partitions(self, out: DataFrame, touched: list[int]) -> None:
-        """Rewrite ONLY the touched bucket directories: write the new
-        slice to a temp dir, then swap each ``pk_bucket=N`` directory
-        into place. Untouched buckets are never read or written."""
-        tmp = f"{self.location}.tmp-{uuid.uuid4().hex[:8]}"
+    def _gc_legacy(self) -> None:
+        """First manifest commit over a legacy layout: drop the old
+        root-level parquet files/dirs the manifest doesn't know."""
+        for name in os.listdir(self.location):
+            if name == self._MANIFEST or name.startswith("data-"):
+                continue
+            full = os.path.join(self.location, name)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif not name.startswith(f"{self._MANIFEST}.tmp"):
+                os.remove(full)
+
+    def _commit_buckets(self, out: DataFrame, touched: list[int]) -> None:
+        """Stage new dirs for ONLY the touched buckets, then commit a
+        manifest that remaps those buckets (a touched bucket with no
+        surviving rows simply drops out). Untouched buckets keep their
+        existing immutable dirs — never read, never written."""
+        old = self._load_manifest()
+        assert old is not None, "bucketed commit requires a manifest table"
+        staging = self._staging_dir()
         out.withColumn(BUCKET_COL, self._bucket_expr()).write.mode("overwrite").partitionBy(
             BUCKET_COL
-        ).parquet(tmp)
-        old = f"{self.location}.old-{uuid.uuid4().hex[:8]}"
-        os.makedirs(old, exist_ok=True)
-        try:
-            os.makedirs(self.location, exist_ok=True)
-            self._write_marker(self.location)
-            for b in touched:
-                src = os.path.join(tmp, f"{BUCKET_COL}={b}")
-                dst = os.path.join(self.location, f"{BUCKET_COL}={b}")
-                # move the live copy ASIDE (recoverable), never delete it
-                # before its replacement is in place
-                if os.path.exists(dst):
-                    os.rename(dst, os.path.join(old, f"{BUCKET_COL}={b}"))
-                if os.path.exists(src):
-                    os.rename(src, dst)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        ).parquet(staging)
+        fresh = self._entries_from_staging(staging)
+        entries = dict(old["entries"])
+        dead = []
+        for b in touched:
+            key = str(b)
+            if key in entries:
+                dead.append(entries.pop(key))
+            if key in fresh:
+                entries[key] = fresh[key]
+        self._commit_manifest(entries)
+        self._gc(dead)
 
     def _touched_buckets(self, keys: DataFrame) -> list[int]:
         rows = keys.select(self._bucket_expr().alias("b")).distinct().collect()
         return [r["b"] for r in rows]
 
     # Measured on a 500k-row/64-bucket table: a scattered update hitting
-    # ~all buckets is SLOWER through per-directory swaps (2.4 s) than one
+    # ~all buckets is SLOWER through per-bucket commits (2.4 s) than one
     # full rewrite (1.6 s) — the pruned path only wins when updates
     # cluster into few buckets (the incremental re-index shape). Past
     # this touched fraction, fall back to the single-rewrite plan.
@@ -165,34 +289,39 @@ class FilesTable:
     def _wide(self, touched: list[int]) -> bool:
         return self.buckets is not None and len(touched) >= self.buckets * self._WIDE_TOUCH_FRACTION
 
+    def _has_manifest(self) -> bool:
+        return self._load_manifest() is not None
+
     def upsert(self, updates: DataFrame) -> None:
         """MERGE: update matched PKs, insert the rest (S7/S8).
 
-        Bucketed: touches only the partitions the update keys hash to.
+        Bucketed: touches only the buckets the update keys hash to.
         """
-        touched = self._touched_buckets(updates) if self.buckets and self.exists() else []
-        if not self.buckets or not self.exists() or self._wide(touched):
+        bucketed = bool(self.buckets) and self.exists() and self._has_manifest()
+        touched = self._touched_buckets(updates) if bucketed else []
+        if not bucketed or self._wide(touched):
             current = self.read()
             kept = current.join(updates.select(*PK), PK, "left_anti")
             self.overwrite(kept.unionByName(updates.select(*_COLS)))
             return
-        slice_df = self._read_raw().filter(F.col(BUCKET_COL).isin(touched)).select(*_COLS)
+        slice_df = self._read_slice(touched)
         kept = slice_df.join(updates.select(*PK), PK, "left_anti")
-        self._swap_partitions(kept.unionByName(updates.select(*_COLS)), touched)
+        self._commit_buckets(kept.unionByName(updates.select(*_COLS)), touched)
 
     def delete(self, keys: DataFrame) -> None:
         """MERGE ... WHEN MATCHED DELETE (S9): anti-join rewrite of the
         touched buckets only (bucketed) or the table (plain)."""
         if not self.exists():
             return
-        touched = self._touched_buckets(keys) if self.buckets else []
-        if not self.buckets or self._wide(touched):
+        bucketed = bool(self.buckets) and self._has_manifest()
+        touched = self._touched_buckets(keys) if bucketed else []
+        if not bucketed or self._wide(touched):
             current = self.read()
             self.overwrite(current.join(keys.select(*PK).distinct(), PK, "left_anti"))
             return
-        slice_df = self._read_raw().filter(F.col(BUCKET_COL).isin(touched)).select(*_COLS)
-        self._swap_partitions(
-            slice_df.join(keys.select(*PK).distinct(), PK, "left_anti"), touched
+        self._commit_buckets(
+            self._read_slice(touched).join(keys.select(*PK).distinct(), PK, "left_anti"),
+            touched,
         )
 
     def delete_paths(self, paths: DataFrame) -> None:
@@ -200,14 +329,17 @@ class FilesTable:
         prunable because bucketing hashes ``path`` only."""
         if not self.exists():
             return
-        touched = self._touched_buckets(paths) if self.buckets else []
-        if not self.buckets or self._wide(touched):
+        bucketed = bool(self.buckets) and self._has_manifest()
+        touched = self._touched_buckets(paths) if bucketed else []
+        if not bucketed or self._wide(touched):
             current = self.read()
             self.overwrite(current.join(paths.select("path").distinct(), ["path"], "left_anti"))
             return
-        slice_df = self._read_raw().filter(F.col(BUCKET_COL).isin(touched)).select(*_COLS)
-        self._swap_partitions(
-            slice_df.join(paths.select("path").distinct(), ["path"], "left_anti"), touched
+        self._commit_buckets(
+            self._read_slice(touched).join(
+                paths.select("path").distinct(), ["path"], "left_anti"
+            ),
+            touched,
         )
 
     # -- JSON interchange (S11, reference indexer.go:294-338) ----------

@@ -40,10 +40,10 @@ class IndexMetadata:
         return self.read_all().get(key)
 
     def set_many(self, items: dict[str, str]) -> None:
-        """Unique-tmp + move-aside swap (same pattern as
-        FilesTable.overwrite): the live copy is never deleted before its
-        replacement is in place, and concurrent writers don't share a
-        tmp path."""
+        """Unique-tmp + move-aside swap (the single-file analogue of
+        FilesTable's manifest commit): the live copy is never deleted
+        before its replacement is in place, and concurrent writers
+        don't share a tmp path."""
         import shutil
         import uuid
 

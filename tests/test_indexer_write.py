@@ -260,23 +260,23 @@ def test_bucketed_upsert_rewrites_only_touched_partitions(spark, bucketed):
     bucketed.overwrite(initial)
     assert bucketed.read().count() == 60
 
-    loc = bucketed.location
-    before = {
-        d: sorted(os.listdir(os.path.join(loc, d)))
-        for d in os.listdir(loc)
-        if d.startswith(BUCKET_COL)
-    }
+    # the manifest maps bucket -> immutable data dir; an upsert must
+    # remap ONLY the touched bucket (untouched dirs are never rewritten)
+    def entries():
+        import json
+
+        with open(os.path.join(bucketed.location, "_MANIFEST")) as fh:
+            return json.load(fh)["entries"]
+
+    before = entries()
     assert len(before) > 1  # paths actually spread over buckets
 
     updates = _mk_rows(spark, [("/dir3", "f0", "NEW", 999), ("/dir3", "fX", "ins", 1)])
     bucketed.upsert(updates)
 
-    after = {
-        d: sorted(os.listdir(os.path.join(loc, d)))
-        for d in os.listdir(loc)
-        if d.startswith(BUCKET_COL)
-    }
-    changed = [d for d in before if before[d] != after.get(d)]
+    after = entries()
+    assert set(after) == set(before)
+    changed = [b for b in before if before[b] != after[b]]
     assert len(changed) == 1  # exactly the bucket /dir3 hashes to
 
     got = {(r["path"], r["filename"]): (r["checksum"], r["file_size"]) for r in bucketed.read().collect()}
@@ -284,6 +284,66 @@ def test_bucketed_upsert_rewrites_only_touched_partitions(spark, bucketed):
     assert got[("/dir3", "f0")] == ("NEW", 999)
     assert got[("/dir3", "fX")] == ("ins", 1)
     assert got[("/dir0", "f0")] == ("c00", 0)
+
+
+def test_crash_mid_commit_leaves_consistent_table(spark, bucketed, monkeypatch):
+    """Crash-injection for the manifest protocol: kill the writer at
+    every window — (a) after staging, before the manifest rename, and
+    (b) at the rename itself — and the table must still read the
+    LAST COMMITTED generation exactly. A retried upsert then lands, and
+    vacuum() reclaims the crashed attempt's orphan staging dir."""
+    import file_indexer_spark.indexer.files_table as ft
+
+    rows = [(f"/d{i}", f"f{j}", f"c{i}{j}", i + j) for i in range(8) for j in range(2)]
+    bucketed.overwrite(_mk_rows(spark, rows))
+    committed = {(r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()}
+    assert len(committed) == 16
+
+    class Boom(RuntimeError):
+        pass
+
+    updates = _mk_rows(spark, [("/d1", "f0", "NEW", 999), ("/dNEW", "fN", "ins", 1)])
+
+    # window (a): staging written, commit never reached
+    monkeypatch.setattr(
+        ft.FilesTable,
+        "_commit_manifest",
+        lambda self, entries: (_ for _ in ()).throw(Boom()),
+    )
+    with pytest.raises(Boom):
+        bucketed.upsert(updates)
+    monkeypatch.undo()
+    got = {(r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()}
+    assert got == committed, "crash before commit must not change reads"
+
+    # window (b): crash inside the atomic rename itself
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if os.path.basename(dst) == "_MANIFEST":
+            raise Boom()
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ft.os, "replace", exploding_replace)
+    with pytest.raises(Boom):
+        bucketed.upsert(updates)
+    monkeypatch.undo()
+    got = {(r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()}
+    assert got == committed, "failed rename must not change reads"
+
+    # both crashed attempts left orphan staging dirs; vacuum reclaims
+    # them without touching live data
+    orphans = bucketed.vacuum()
+    assert len(orphans) >= 2
+    assert {
+        (r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()
+    } == committed
+
+    # the retry (no injection) commits normally
+    bucketed.upsert(updates)
+    got = {(r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()}
+    assert got[("/d1", "f0")] == "NEW" and got[("/dNEW", "fN")] == "ins"
+    assert len(got) == 17
 
 
 def test_bucketed_delete_and_delete_paths(spark, bucketed):
