@@ -50,6 +50,10 @@ _DRIVER_PRIORITY = [
     "e11_event_transitions", "inf1_classifier_scores", "sp4_shard_assignment",
     "w5_incremental_update", "e12_gap_percentiles", "ct4_boilerplate_ngrams",
     "t9_cube_token_totals",
+    # round-4 additions (never driver-checked either): skew-safe
+    # sessionization, approx-percentile 100TB paths, real-format decode
+    "e1b_sessionization_skew", "t6a_length_percentiles_approx",
+    "e12a_gap_percentiles_approx", "m2b_ppm_decode",
 ]
 
 

@@ -163,8 +163,25 @@ def main() -> None:
         if reps:
             timings[name] = round(min(reps), 4)
 
-    headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
-    llm_total = round(sum(timings[n] for n in LLM_EXTENSION if n in timings), 4)
+    # a total whose member set is incomplete is NOT comparable with
+    # other rounds: null it out and list what's missing instead of
+    # silently reporting a smaller (better-looking) sum.
+    def total(members: list[str]) -> float | None:
+        if any(n in errors for n in members):
+            return None
+        return round(sum(timings[n] for n in members if n in timings), 4)
+
+    headline_total = total(HEADLINE)
+    llm_total = total(LLM_EXTENSION)
+    all_total = total(HEADLINE + LLM_EXTENSION)
+    incomplete = {
+        label: sorted(n for n in members if n in errors)
+        for label, members in [
+            ("r1_headline", HEADLINE),
+            ("llm_extension", LLM_EXTENSION),
+        ]
+        if any(n in errors for n in members)
+    }
     print(
         json.dumps(
             {
@@ -180,13 +197,136 @@ def main() -> None:
                 "subtotals": {
                     "r1_headline": headline_total,
                     "llm_extension": llm_total,
-                    "all_queries": round(sum(timings.values()), 4),
+                    "all_queries": all_total,
                 },
-                **({"errors": errors} if errors else {}),
+                **({"errors": errors, "incomplete_totals": incomplete} if errors else {}),
             }
         )
     )
 
 
+# ---------------------------------------------------------------- scale mode
+# ``python bench.py --scale`` records the 10x fact-growth sweep as an
+# artifact (BENCH_SCALE.json) so round-over-round scaling is tracked,
+# not re-measured by hand. Facts grow 10x in the realistic mode per
+# table (events: 10x users at constant per-user density via shifted
+# user_id; documents/embeddings: 10x corpus; orders/lineitem: 10x
+# orders with consistent key shifts); dimensions stay fixed.
+
+_FACT_SHIFT = {
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+}
+_DIMS = ["region", "nation", "customer", "supplier", "part"]
+_KEY_SHIFT = 10**9
+
+SCALE_QUERIES = [
+    "e1_sessionization",
+    "e1b_sessionization_skew",
+    "e7_asof_last_view",
+    "e9_preceding_window_counts",
+    "e10_sliding_counts",
+    "e11_event_transitions",
+    "t6_length_percentiles",
+    "t6a_length_percentiles_approx",
+    "t7_rollup_token_totals",
+    "t8_lang_pivot",
+    "inf1_classifier_scores",
+    "sp4_shard_assignment",
+    "h1_regional_revenue",
+    "h2_returned_top_customers",
+    "h3_late_order_priorities",
+    "dd1_exact_dedup",
+    "dd3_minhash_lsh",
+    "dd7_dedup_clusters",
+]
+
+
+def materialize_scale(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    done_marker = os.path.join(dst_dir, "_DONE")
+    if os.path.isfile(done_marker):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    for table in _DIMS:
+        src = os.path.join(src_dir, f"{table}.parquet")
+        if os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                os.path.join(dst_dir, f"{table}.parquet")
+            )
+    for table, keys in _FACT_SHIFT.items():
+        src = os.path.join(src_dir, f"{table}.parquet")
+        if not os.path.exists(src):
+            continue
+        base = spark.read.parquet(src)
+        copies = []
+        for i in range(factor):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * _KEY_SHIFT))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{table}.parquet"))
+    with open(done_marker, "w") as fh:
+        fh.write(str(factor))
+
+
+def main_scale() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{factor}"
+    )
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SCALE_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"),
+    )
+    spark = get_spark("file_indexer_spark_scale")
+    materialize_scale(spark, sf_dir, scale_dir, factor)
+
+    errors: dict[str, str] = {}
+    names = [n for n in SCALE_QUERIES if n in registry.QUERIES]
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        per_dir = {}
+        for label, d in [("x1", sf_dir), (f"x{factor}", scale_dir)]:
+            run_query_safe(fn, spark, d, errors, name)  # warm-up
+            _reap(spark)
+            reps = []
+            for _ in range(2):
+                t = run_query_safe(fn, spark, d, errors, name)
+                if t is not None:
+                    reps.append(t)
+                _reap(spark)
+            if reps:
+                per_dir[label] = round(min(reps), 4)
+        if "x1" in per_dir and f"x{factor}" in per_dir and per_dir["x1"] > 0:
+            per_dir["ratio"] = round(per_dir[f"x{factor}"] / per_dir["x1"], 2)
+        results[name] = per_dir
+    ratios = [r["ratio"] for r in results.values() if "ratio" in r]
+    doc = {
+        "metric": "scale_sweep_max_ratio",
+        "value": max(ratios) if ratios else None,
+        "unit": "ratio",
+        "factor": factor,
+        "sf_dir": sf_dir,
+        "queries": results,
+        **({"errors": errors} if errors else {}),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc))
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale" in sys.argv[1:]:
+        main_scale()
+    else:
+        main()
