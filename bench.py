@@ -92,6 +92,24 @@ LLM_EXTENSION = [
     "e12_gap_percentiles",
     "ct4_boilerplate_ngrams",
     "t9_cube_token_totals",
+    # round 2 curation set + MLlib parity paths (now that every round's
+    # additions are benched, not just a subset)
+    "ct1_contamination",
+    "ct2_pii_scrub",
+    "ct3_repetition_stats",
+    "ch1_token_chunking",
+    "mx1_mixture_resample",
+    "sd1_semantic_dedup",
+    "dd6_minhash_lsh_ml",
+    "sim3_brp_lsh_ann",
+    # round 4: skew-safe sessionization, approx-percentile 100TB paths,
+    # real-format decode, Q1/Q3 star-join shapes
+    "e1b_sessionization_skew",
+    "t6a_length_percentiles_approx",
+    "e12a_gap_percentiles_approx",
+    "m2b_ppm_decode",
+    "h4_pricing_summary",
+    "h5_shipping_priority",
 ]
 
 

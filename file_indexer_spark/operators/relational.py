@@ -175,3 +175,86 @@ def order_priority_counts(
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def pricing_summary(
+    lineitem: DataFrame, ship_before: str = "2001-01-01 00:00:00"
+) -> DataFrame:
+    """h4 (TPC-H Q1 shape): the pricing-summary report — one scan, one
+    hash aggregate on the 6-value (returnflag, linestatus) key, with
+    map-side partials carrying ~all of the work.
+
+    Every measure is FIXED-POINT BIGINT (qty e2, price e2, discounted
+    e4, charge e6) so partial-agg order cannot drift from the oracle;
+    the averages are exact integer-sum ratios rounded once at the end.
+    At 100 TB the e6 charge sum approaches BIGINT range — swap to
+    DECIMAL(38, 6) sums (same plan, Spark and DuckDB both support it).
+    The date predicate pushes into the parquet scan; only the 7 used
+    columns are read.
+    """
+    qty_e2 = F.round(F.col("l_quantity") * 100).cast("long")
+    price_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price_e4 = price_e2 * (F.lit(100) - disc_pct)
+    charge_e6 = disc_price_e4 * (F.lit(100) + tax_pct)
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(ship_before))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_e2).alias("sum_qty_e2"),
+            F.sum(price_e2).alias("sum_base_price_e2"),
+            F.sum(disc_price_e4).alias("sum_disc_price_e4"),
+            F.sum(charge_e6).alias("sum_charge_e6"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_e2",
+            "sum_base_price_e2",
+            "sum_disc_price_e4",
+            "sum_charge_e6",
+            F.round(F.col("sum_qty_e2") / F.col("count_order") / 100.0, 4).alias("avg_qty"),
+            F.round(F.col("sum_base_price_e2") / F.col("count_order") / 100.0, 4).alias(
+                "avg_price"
+            ),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1997-06-30 00:00:00",
+) -> DataFrame:
+    """h5 (TPC-H Q3 shape): top-10 undelivered orders of one market
+    segment by discounted revenue.
+
+    Join order is declared smallest-first (filtered customer → orders →
+    lineitem) but LEFT TO AQE — customer grows with scale factor, so no
+    forced broadcast. Both date predicates and the segment equality
+    push into their scans; revenue is the fixed-point e4 convention.
+    The top-10 is a TakeOrderedAndProject over the aggregated
+    (orderkey, date, priority) rows — O(orders), never the lineitem
+    stream.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < F.lit(cutoff)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lines = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff)).select(
+        "l_orderkey", _revenue_e4().alias("revenue_e4")
+    )
+    return (
+        cust.join(ords, cust["c_custkey"] == ords["o_custkey"])
+        .join(lines, ords["o_orderkey"] == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("revenue_e4").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "o_orderdate", "o_orderkey")
+        .limit(10)
+    )

@@ -2141,6 +2141,69 @@ def h3_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "h4_pricing_summary",
+    """
+    WITH l AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2,
+               CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qty_e2) AS BIGINT) AS sum_qty_e2,
+           CAST(SUM(price_e2) AS BIGINT) AS sum_base_price_e2,
+           CAST(SUM(price_e2 * (100 - disc_pct)) AS BIGINT) AS sum_disc_price_e4,
+           CAST(SUM(price_e2 * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT)
+               AS sum_charge_e6,
+           round(CAST(SUM(qty_e2) AS DOUBLE) / COUNT(*) / 100.0, 4) AS avg_qty,
+           round(CAST(SUM(price_e2) AS DOUBLE) / COUNT(*) / 100.0, 4) AS avg_price,
+           COUNT(*) AS count_order
+    FROM l
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def h4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one lineitem scan, one 6-group hash agg, every
+    measure fixed-point BIGINT so partial-agg order can't drift."""
+    tune_session(spark)
+    return rel.pricing_summary(_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "h5_shipping_priority",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_e4 DESC, o_orderdate, o_orderkey
+    LIMIT 10
+    """,
+)
+def h5_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer → orders → lineitem,
+    join strategy left to AQE (customer grows with SF — no forced
+    broadcast); top-10 is TakeOrderedAndProject over O(orders) rows."""
+    tune_session(spark)
+    return rel.shipping_priority(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+    )
+
+
 # ------------------------------------------------ events round-3 additions
 
 

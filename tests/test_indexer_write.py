@@ -286,6 +286,32 @@ def test_bucketed_upsert_rewrites_only_touched_partitions(spark, bucketed):
     assert got[("/dir0", "f0")] == ("c00", 0)
 
 
+def test_legacy_layout_reads_and_migrates_to_manifest(spark, tmp_path):
+    """Pre-manifest tables (parquet at the table root, no _MANIFEST)
+    must read as-is, and the first write must migrate them to the
+    manifest layout — removing the legacy root files it replaced."""
+    loc = str(tmp_path / "legacy_db")
+    rows = _mk_rows(spark, [(f"/p{i}", "f", f"c{i}", i) for i in range(6)])
+    rows.write.parquet(loc)  # legacy: data directly at the root
+    assert not os.path.exists(os.path.join(loc, "_MANIFEST"))
+
+    table = FilesTable(spark, loc)
+    got = {r["path"]: r["checksum"] for r in table.read().collect()}
+    assert got == {f"/p{i}": f"c{i}" for i in range(6)}
+
+    table.upsert(_mk_rows(spark, [("/p1", "f", "NEW", 9), ("/p9", "f", "ins", 9)]))
+    assert os.path.exists(os.path.join(loc, "_MANIFEST"))
+    got = {r["path"]: r["checksum"] for r in table.read().collect()}
+    assert got["/p1"] == "NEW" and got["/p9"] == "ins" and len(got) == 7
+    # legacy root parquet files replaced by manifest-managed data dirs
+    stray = [
+        n for n in os.listdir(loc)
+        if not (n.startswith("data-") or n == "_MANIFEST")
+    ]
+    assert stray == [], stray
+    assert table.vacuum() == []
+
+
 def test_crash_mid_commit_leaves_consistent_table(spark, bucketed, monkeypatch):
     """Crash-injection for the manifest protocol: kill the writer at
     every window — (a) after staging, before the manifest rename, and

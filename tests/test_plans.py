@@ -170,6 +170,22 @@ def test_relational_star_join_plan_shapes(spark, sf_smoke):
     assert "LeftSemi" not in plan, plan
     assert any("l_shipdate" in f for f in pi.pushed_filters(h3)), pi.pushed_filters(h3)
 
+    # h4: single scan reading only the 7 used columns, date pushed,
+    # no join anywhere in the plan
+    h4 = rel.pricing_summary(t("lineitem"))
+    assert any("l_shipdate" in f for f in pi.pushed_filters(h4))
+    assert "l_partkey" not in pi.scan_columns(h4)
+    assert "Join" not in pi.simple_plan(h4)
+
+    # h5: both date predicates and the segment filter reach their
+    # scans; no forced broadcast (customer grows with SF)
+    h5 = rel.shipping_priority(t("customer"), t("orders"), t("lineitem"))
+    assert any("c_mktsegment" in f for f in pi.pushed_filters(h5))
+    assert any("o_orderdate" in f for f in pi.pushed_filters(h5))
+    assert any("l_shipdate" in f for f in pi.pushed_filters(h5))
+    assert not pi.has_broadcast_hint(h5)
+    assert "TakeOrdered" in pi.simple_plan(h5)
+
     e7 = ev.asof_last_match(events_df(spark, sf_smoke))
     plan = pi.simple_plan(e7)
     assert "Join" not in plan, plan
