@@ -54,6 +54,9 @@ _DRIVER_PRIORITY = [
     # sessionization, approx-percentile 100TB paths, real-format decode
     "e1b_sessionization_skew", "t6a_length_percentiles_approx",
     "e12a_gap_percentiles_approx", "m2b_ppm_decode",
+    "h4_pricing_summary", "h5_shipping_priority",
+    "sp5_stratified_sample", "dd8_duplicate_spans", "ct5_quality_rank_filter",
+    "mx2_temperature_mixture", "t10_distinctive_terms", "h6_revenue_forecast",
 ]
 
 

@@ -110,6 +110,14 @@ LLM_EXTENSION = [
     "m2b_ppm_decode",
     "h4_pricing_summary",
     "h5_shipping_priority",
+    # round 4 (cont.): stratified sampling, span-level dedup, rank-based
+    # quality filter, temperature mixture, distinctive terms, Q6 shape
+    "sp5_stratified_sample",
+    "dd8_duplicate_spans",
+    "ct5_quality_rank_filter",
+    "mx2_temperature_mixture",
+    "t10_distinctive_terms",
+    "h6_revenue_forecast",
 ]
 
 

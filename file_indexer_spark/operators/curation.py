@@ -343,3 +343,113 @@ def boilerplate_ngrams(
         .orderBy(F.desc("doc_freq"), F.desc("n_occurrences"), "gram")
         .limit(k)
     )
+
+
+# ------------------------------------------- ct5 quality rank filter
+
+KEEP_FRACTION = 0.75
+
+
+def quality_rank_filter(docs: DataFrame, keep_fraction: float = KEEP_FRACTION) -> DataFrame:
+    """ct5: per-source quality thresholding by RANK, not by value — keep
+    the top ``keep_fraction`` of each source's documents by composite
+    quality score (the same signal t2 computes), and report the
+    per-source cutoff the filter induced.
+
+    Rank-based thresholding is the robust form: a fixed score cutoff
+    drops whole sources whose score distribution sits low (transcripts,
+    OCR), while a per-source rank keeps every source represented at its
+    best. Ranking on the ROUNDED score with doc_id tie-breaks makes the
+    kept set integer-deterministic — no knife-edge float comparisons
+    between engines (a value cutoff on an interpolated percentile can
+    flip membership on 1-ulp differences).
+
+    Scale shape: score is map-side codegen (t2's expressions); the two
+    windows (count + row_number) share one shuffle on ``source``.
+    Source is low-cardinality/high-volume, so at 100 TB the window sort
+    within a giant source is the cost — swap to approx_percentile
+    value-cutoff (t6a-style) if exact rank semantics aren't required.
+    """
+    from pyspark.sql.window import Window
+
+    from file_indexer_spark.operators.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct_tokens"),
+        F.expr(f"size(filter(split(text, ' '), t -> t in ({stop_list})))").alias("n_stopwords"),
+    )
+    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
+    length_credit = F.least(F.col("n_tokens").cast("double") / 300.0, F.lit(1.0))
+    score = F.round(0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_credit, 6)
+    scored = d.select("doc_id", "source", score.alias("quality_score"))
+    w = Window.partitionBy("source")
+    wr = w.orderBy(F.desc("quality_score"), "doc_id")
+    ranked = scored.select(
+        "source",
+        "quality_score",
+        F.count("*").over(w).alias("n_docs"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    kept = ranked.filter(
+        F.col("rn") <= F.ceil(F.col("n_docs").cast("double") * keep_fraction).cast("long")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_kept"),
+            F.min("quality_score").alias("cutoff_score"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- mx2 temperature mixture
+
+MIX_ALPHA = 0.5  # temperature exponent: weight ∝ n^alpha
+MIX_BUDGET = 10_000  # documents in the hypothetical training mix
+
+
+def temperature_mixture(docs: DataFrame, budget: int = MIX_BUDGET) -> DataFrame:
+    """mx2: temperature-based mixture weighting — per-source sampling
+    weights proportional to ``n_docs ** alpha`` (alpha = 0.5), the
+    standard multilingual/multi-source rebalancing (mT5-style alpha
+    sampling): big sources are dampened, tail sources up-weighted
+    relative to their natural share.
+
+    Determinism across engines: sqrt is IEEE-correctly-rounded in both
+    Spark and DuckDB; the normalizing SUM runs over DECIMAL(20,9)
+    (exact, order-independent — a double sum's value depends on
+    partial-aggregation order), and the final weight division happens
+    once per source on doubles, rounded to 6 places.
+
+    Scale shape: one tiny per-source agg, one window over the O(sources)
+    rollup — nothing corpus-sized past the first aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    w_dec = F.round(F.sqrt(F.col("n_docs").cast("double")), 9).cast("decimal(20,9)")
+    tagged = counts.select("source", "n_docs", w_dec.alias("w"))
+    tot = Window.partitionBy()
+    weight = F.round(
+        F.col("w").cast("double") / F.sum("w").over(tot).cast("double"), 6
+    )
+    share = F.round(
+        F.col("n_docs").cast("double") / F.sum("n_docs").over(tot).cast("double"), 6
+    )
+    return (
+        tagged.select(
+            "source",
+            "n_docs",
+            share.alias("base_share"),
+            weight.alias("temp_weight"),
+            F.floor(weight * budget).cast("long").alias("target_docs"),
+        )
+        .orderBy("source")
+    )

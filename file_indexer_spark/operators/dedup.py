@@ -315,6 +315,51 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = H.HAMMING_MAX) -> DataFram
     )
 
 
+DUP_SPAN_FLAG = 0.5
+
+
+def duplicate_spans(docs: DataFrame, flag_threshold: float = DUP_SPAN_FLAG) -> DataFrame:
+    """dd8: per-document duplicated-span profiling — for every document,
+    the fraction of its distinct word 3-gram shingles that also occur in
+    at least one OTHER document. This is the span-level complement of
+    dd1-dd4's whole-document verdicts: a doc can be globally unique yet
+    be 90 % recycled boilerplate, and span fraction is the signal
+    C4-style pipelines threshold on before training ingestion.
+
+    Shape: reuses the checkpointed shingle sets (hash60 of word
+    3-grams, distinct per doc — ``_shingle_sets``), one COUNT window
+    partitioned on the shingle hash (document frequency, no join-back
+    — the window co-partitions exactly like the agg+join alternative
+    but skips the extra exploded-side shuffle), then one agg on doc_id
+    counting shared shingles. Two shuffles total, no joins on the
+    corpus, no pair generation at all — cost is O(total shingles)
+    regardless of how duplicated the corpus is (unlike pair-emitting
+    dd2). Shingle-key skew is bounded: shingles are distinct per doc,
+    so a shingle's partition holds at most n_docs rows, and COUNT
+    windows stream without buffering.
+    """
+    from pyspark.sql.window import Window
+
+    sets = _shingle_sets(docs)
+    exploded = sets.select("doc_id", F.explode("shingles").alias("h"))
+    df = F.count("*").over(Window.partitionBy("h"))
+    per_doc = (
+        exploded.withColumn("df", df)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long")).cast("long").alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")
+    return (
+        per_doc.withColumn("shared_fraction", F.round(frac, 6))
+        .withColumn("flagged", frac >= F.lit(flag_threshold))
+        .select("doc_id", "n_shingles", "n_shared", "shared_fraction", "flagged")
+        .orderBy("doc_id")
+    )
+
+
 def _connected_components(
     pairs: DataFrame, max_iter: int = 25, durable_checkpoint: bool = False
 ) -> tuple[DataFrame, int]:

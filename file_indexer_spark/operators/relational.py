@@ -258,3 +258,44 @@ def shipping_priority(
         .orderBy(F.desc("revenue_e4"), "o_orderdate", "o_orderkey")
         .limit(10)
     )
+
+
+def revenue_forecast(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01 00:00:00",
+    date_to: str = "1997-01-01 00:00:00",
+    discount_lo_pct: int = 4,
+    discount_hi_pct: int = 8,
+    max_quantity: int = 24,
+) -> DataFrame:
+    """h6: the TPC-H Q6 shape — forecast revenue change from dropping
+    a discount band: SUM(extendedprice * discount) over one year of
+    shipments within a discount window and below a quantity cap.
+
+    The purest pushdown showcase in the suite: a single fact scan with
+    every predicate on scan columns (shipdate range, discount band,
+    quantity cap all reach the parquet reader as PushedFilters, so at
+    100 TB only the qualifying row groups are read), zero joins, and a
+    one-row global aggregate whose shuffle carries exactly one partial
+    per mapper. Revenue is fixed-point (cents x discount-percent,
+    BIGINT 1e-4 dollar units) — integer partial sums are associative,
+    so no engine-dependent float drift (same convention as h1-h5).
+
+    Discount bounds are integer PERCENTS compared against the rounded
+    cents-precision discount column, sidestepping the classic Q6
+    gotcha that ``BETWEEN 0.04 AND 0.08`` on a double column is
+    representation-sensitive.
+    """
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    filtered = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from))
+        & (F.col("l_shipdate") < F.lit(date_to))
+        & (disc_pct >= discount_lo_pct)
+        & (disc_pct <= discount_hi_pct)
+        & (F.col("l_quantity") < max_quantity)
+    )
+    revenue = F.round(F.col("l_extendedprice") * 100).cast("long") * disc_pct
+    return filtered.select(revenue.alias("rev")).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("rev").cast("long").alias("revenue_e4"),
+    )

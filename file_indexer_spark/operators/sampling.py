@@ -131,6 +131,74 @@ def sequence_pack(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     )
 
 
+STRATUM_TARGET = 60  # expected docs kept per stratum (lang)
+STRAT_SALT = "strat"
+
+
+def stratified_sample(docs: DataFrame, target_per_stratum: int = STRATUM_TARGET) -> DataFrame:
+    """sp5: rate-based stratified sampling accounting, stratified by
+    ``lang`` — the balancing pass that keeps ~``target_per_stratum``
+    docs from every language regardless of how skewed the corpus is
+    (English is usually 100x the tail languages; an unstratified sample
+    reproduces the skew).
+
+    Per-stratum keep rate = min(1, target / n_stratum); a doc is kept
+    iff the first 4 hex digits of ``md5(doc_id:strat:lang)`` fall under
+    ``floor(rate * 65536)`` — the same content-stable thresholding as
+    mx1 (no ``rand()``: task retries and speculative execution replay
+    the identical decision). Expected kept count is target ± binomial
+    noise; the exact-cap alternative is sp2's per-key window.
+
+    Scale shape: one tiny per-lang count agg (broadcast back onto the
+    scan — AQE chooses broadcast since the stratum table is O(langs)
+    rows), then a map-side hash + filter. No window over the corpus, so
+    a 10^11-doc stratum costs the same per row as a 10^3-doc one.
+    """
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    rate = F.least(F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("n_docs").cast("double"))
+    strata = counts.select("lang", "n_docs", rate.alias("rate"))
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(STRAT_SALT), "lang")),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    tagged = (
+        docs.select("doc_id", "lang")
+        .join(strata, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "rate",
+            # explicit floor: Spark's double→long cast truncates but
+            # DuckDB's rounds, so the threshold must be floored before
+            # any cast for the two engines to agree.
+            (bucket < F.floor(F.col("rate") * 65536).cast("long")).alias("keep"),
+        )
+    )
+    return (
+        tagged.groupBy("lang", "n_docs", "rate")
+        .agg(
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.col("keep").cast("long")).cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("achieved_rate"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round("rate", 6).alias("target_rate"),
+            "n_kept",
+            "achieved_rate",
+        )
+        .orderBy("lang")
+    )
+
+
 N_SHARDS = 16
 
 

@@ -355,3 +355,50 @@ def cube_token_totals(docs: DataFrame) -> DataFrame:
         )
         .orderBy(F.col("gid"), F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first())
     )
+
+
+# --------------------------------------------- t10 distinctive terms
+
+TERMS_TOP_K = 10
+
+
+def distinctive_terms(docs: DataFrame, k: int = TERMS_TOP_K) -> DataFrame:
+    """t10: per-language top-k distinctive vocabulary — term frequency
+    weighted by an INTEGER idf surrogate ``(n_langs - df + 1)`` where
+    df = number of languages the word appears in. Words shared by every
+    language score their raw tf; words unique to one language score
+    ``tf * n_langs``. The corpus-profiling table a curation pass reads
+    to sanity-check language labels (a "distinctive" English term
+    showing up under zh flags mislabeled docs).
+
+    The idf surrogate is deliberately integer, not ``ln(n/df)`` —
+    transcendental libm results are not guaranteed identical across
+    engines, and a 1-ulp difference can flip a rank; integer scores
+    hash-match everywhere and preserve the tf-idf ordering semantics
+    for fixed n_langs.
+
+    Scale shape: explode words map-side; one hash agg on (lang, word)
+    with map-side partials (the classic word-count shuffle); language
+    df is a second agg over the ALREADY-AGGREGATED (lang, word) rollup
+    — O(vocab) rows, not O(corpus); n_langs rides along as
+    countDistinct over the same rollup via a size-1 broadcast cross
+    join. Final top-k per lang is one window over O(vocab) rows.
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("lang", "word").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    n_langs = tf.select(F.countDistinct("lang").cast("long").alias("n_langs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_langs))
+        .withColumn("score", (F.col("tf") * (F.col("n_langs") - F.col("df") + 1)).cast("long"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "word", "tf", "df", "score")
+        .orderBy("lang", "rank")
+    )

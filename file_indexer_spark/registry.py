@@ -2727,3 +2727,182 @@ def t9_cube_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over (source, lang): all four grains from one Expand +
     single hash agg, incl. the per-lang grain ROLLUP can't emit."""
     return tx.cube_token_totals(_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- round-4 additions
+
+
+@register(
+    "sp5_stratified_sample",
+    f"""
+    -- Rate-based stratified sampling by lang: rate = min(1, target/n),
+    -- keep iff first 4 hex digits of md5(doc_id:strat:lang) fall under
+    -- floor(rate * 65536). floor() is explicit on both sides: Spark's
+    -- double->long cast truncates, DuckDB's rounds.
+    WITH strata AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               least(1.0, {float(sp.STRATUM_TARGET)} / COUNT(*)) AS rate
+        FROM documents GROUP BY lang),
+    tagged AS (
+        SELECT d.lang, s.n_docs, s.rate,
+               ('0x' || substring(
+                    md5(d.doc_id::VARCHAR || ':{sp.STRAT_SALT}:' || d.lang), 1, 4))::BIGINT
+                 < CAST(floor(s.rate * 65536) AS BIGINT) AS keep
+        FROM documents d JOIN strata s USING (lang))
+    SELECT lang, n_docs,
+           round(rate, 6) AS target_rate,
+           SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           round(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / n_docs, 6)
+               AS achieved_rate
+    FROM tagged GROUP BY lang, n_docs, rate ORDER BY lang
+    """,
+)
+def sp5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling accounting: tiny per-lang rate agg broadcast
+    back onto a map-side md5-threshold filter — no corpus window."""
+    return sp.stratified_sample(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd8_duplicate_spans",
+    f"""
+    WITH sets AS (SELECT doc_id, {H.duck_shingle_hashes()} AS shingles FROM documents),
+    expl AS (SELECT doc_id, unnest(shingles) AS h FROM sets),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM expl GROUP BY h),
+    per_doc AS (
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM expl e JOIN dfreq d USING (h) GROUP BY e.doc_id)
+    SELECT doc_id, n_shingles, n_shared,
+           round(CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+               AS shared_fraction,
+           (CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE))
+               >= {dd.DUP_SPAN_FLAG} AS flagged
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def dd8_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span fraction: shingle df via one COUNT window
+    on the shingle hash, one agg back on doc_id — no pair generation."""
+    return dd.duplicate_spans(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ct5_quality_rank_filter",
+    f"""
+    -- Rank-based per-source quality filter: keep top 75% by rounded
+    -- t2 composite score (doc_id tie-break => integer-deterministic
+    -- membership; no knife-edge float cutoff comparisons).
+    WITH m AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS INTEGER)
+                   AS n_stopwords
+        FROM documents),
+    scored AS (
+        SELECT doc_id, source,
+               round(0.5 * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                     + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                     + 0.2 * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0), 6) AS quality_score
+        FROM m),
+    ranked AS (
+        SELECT source, quality_score,
+               COUNT(*) OVER (PARTITION BY source) AS n_docs,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id) AS rn
+        FROM scored)
+    SELECT source,
+           CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(quality_score) AS cutoff_score
+    FROM ranked
+    WHERE rn <= CAST(ceil(n_docs * {cu.KEEP_FRACTION}) AS BIGINT)
+    GROUP BY source ORDER BY source
+    """,
+)
+def ct5_quality_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-75% quality retention: map-side t2 score, one
+    shared window shuffle on source, tiny rollup."""
+    return cu.quality_rank_filter(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mx2_temperature_mixture",
+    f"""
+    -- alpha-sampling mixture weights: weight ∝ n_docs^0.5, normalized
+    -- over DECIMAL(20,9) (exact, order-free sum), divided as doubles
+    -- once per source.
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source),
+    tagged AS (
+        SELECT source, n_docs,
+               CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 9) AS DECIMAL(20,9)) AS w
+        FROM counts)
+    SELECT source, n_docs,
+           round(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6)
+               AS base_share,
+           round(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 6) AS temp_weight,
+           CAST(floor(round(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 6)
+                      * {cu.MIX_BUDGET}) AS BIGINT) AS target_docs
+    FROM tagged ORDER BY source
+    """,
+)
+def mx2_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture weights: one tiny per-source agg + an
+    O(sources) window — nothing corpus-sized after the first shuffle."""
+    return cu.temperature_mixture(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t10_distinctive_terms",
+    f"""
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+    tf AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM words GROUP BY lang, word),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    nl AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs FROM tf),
+    scored AS (
+        SELECT t.lang, t.word, t.tf, d.df,
+               CAST(t.tf * (nl.n_langs - d.df + 1) AS BIGINT) AS score
+        FROM tf t JOIN df d USING (word) CROSS JOIN nl),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY score DESC, word) AS rank
+        FROM scored)
+    SELECT lang, CAST(rank AS BIGINT) AS rank, word, tf, df, score
+    FROM ranked WHERE rank <= {tx.TERMS_TOP_K} ORDER BY lang, rank
+    """,
+)
+def t10_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang distinctive vocabulary: word-count shuffle, then all
+    further aggs run over the O(vocab) rollup; integer idf surrogate
+    (ln() is not bit-identical across engines)."""
+    return tx.distinctive_terms(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "h6_revenue_forecast",
+    """
+    -- TPC-H Q6 shape: single fact scan, every predicate pushed to the
+    -- parquet reader, zero joins, fixed-point BIGINT revenue.
+    WITH l AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 4 AND 8
+          AND l_quantity < 24)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(price_e2 * disc_pct) AS BIGINT) AS revenue_e4
+    FROM l
+    """,
+)
+def h6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure pushdown scan + one-row global agg."""
+    tune_session(spark)
+    return rel.revenue_forecast(_table(spark, sf_dir, "lineitem"))

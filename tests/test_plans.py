@@ -68,6 +68,9 @@ _NESTED_LOOP_OK = {
     # sd1 = dd5's pair generation + a rollup; the nested loop is the
     # same bounded broadcast-centroid scoring pass as dd5/sim2.
     "sd1_semantic_dedup",
+    # t10 crosses the O(vocab) rollup with a broadcast 1-row global
+    # n_langs aggregate — bounded by construction (1 x vocab).
+    "t10_distinctive_terms",
 }
 
 
@@ -223,3 +226,48 @@ def test_inference_and_sharding_stay_jvm_side(spark, sf_smoke):
     plan = pi.simple_plan(rollup)
     assert "Expand" in plan, plan
     assert "Union" not in plan, plan
+
+
+def test_round4_operator_plan_shapes(spark, sf_smoke):
+    """Round-4 additions keep their 100 TB shapes: h6 pushes every
+    predicate into the scan and reads only needed columns; dd8 plans no
+    join at all (window df, not agg+join-back); ct5's two windows share
+    one source shuffle; sp5/mx2 never window the corpus (only tiny
+    per-stratum rollups)."""
+    from file_indexer_spark.operators import curation as cu
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.operators import relational as rel
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    lineitem = load_table(spark, sf_smoke, "lineitem")
+
+    # h6 (Q6): all three predicates reach the parquet reader; the scan
+    # reads only the four referenced columns; no join anywhere.
+    h6 = rel.revenue_forecast(lineitem)
+    pushed = pi.pushed_filters(h6)
+    assert any("l_shipdate" in f for f in pushed), pushed
+    assert any("l_quantity" in f for f in pushed), pushed
+    assert pi.scan_columns(h6) == {
+        "l_shipdate", "l_quantity", "l_discount", "l_extendedprice"
+    }
+    assert "Join" not in pi.simple_plan(h6)
+
+    # dd8: window-based df — no join; shuffles = repartition(shingle
+    # checkpoint) + window on h + agg on doc_id + presentation sort.
+    dd8 = dd.duplicate_spans(docs)
+    plan = pi.simple_plan(dd8)
+    assert "Join" not in plan, plan
+    assert pi.count_exchanges(dd8) <= 4, plan
+
+    # ct5: the count window and the row_number window share one
+    # exchange on source; + final rollup agg and sort.
+    ct5 = cu.quality_rank_filter(docs)
+    assert "EvalPython" not in pi.simple_plan(ct5)
+    assert pi.count_exchanges(ct5) <= 3, pi.simple_plan(ct5)
+
+    # sp5/mx2: no window function over corpus-sized input — windows (if
+    # any) run over the O(strata)/O(sources) rollup only; no Python.
+    for df in (sp.stratified_sample(docs), cu.temperature_mixture(docs)):
+        assert "EvalPython" not in pi.simple_plan(df)
