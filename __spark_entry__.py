@@ -56,7 +56,7 @@ _DRIVER_PRIORITY = [
     "e12a_gap_percentiles_approx", "m2b_ppm_decode",
     "h4_pricing_summary", "h5_shipping_priority",
     "sp5_stratified_sample", "dd8_duplicate_spans", "ct5_quality_rank_filter",
-    "mx2_temperature_mixture", "t10_distinctive_terms", "h6_revenue_forecast",
+    "mx2_temperature_mixture", "t10_distinctive_terms", "h6_revenue_forecast", "sim5_knn_join",
 ]
 
 

@@ -118,6 +118,7 @@ LLM_EXTENSION = [
     "mx2_temperature_mixture",
     "t10_distinctive_terms",
     "h6_revenue_forecast",
+    "sim5_knn_join",
 ]
 
 

@@ -2906,3 +2906,45 @@ def h6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure pushdown scan + one-row global agg."""
     tune_session(spark)
     return rel.revenue_forecast(_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "sim5_knn_join",
+    f"""
+    -- k-NN graph under the IVF constraint: neighbors share a centroid
+    -- list (top-2 multi-assignment; shared-list pairs deduped). The
+    -- assignment/ranking replicate operators/similarity.py exactly
+    -- (deterministic centroids, IEEE left-to-right fold).
+    WITH c AS ({_DUCK_NORMS}),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
+                ON c.vec_id = reps.vec_id),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                        / (v.norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM c v, cents) t
+        WHERE rn <= {sim.KNN_ASSIGN}),
+    vecs AS (SELECT c.vec_id, c.embedding AS emb, c.norm AS nrm, a.centroid_id
+             FROM c JOIN assign a ON a.vec_id = c.vec_id),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="a.emb", b="b.emb")} / (a.nrm * b.nrm) AS cosine
+        FROM vecs a JOIN vecs b
+          ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id),
+    ranked AS (
+        SELECT vec_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs)
+    SELECT vec_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= {sim.KNN_K} ORDER BY vec_id, rank
+    """,
+)
+def sim5_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph for every vector: IVF-bucketed + salted scoring join
+    (dd5's shape), one top-k window per query vector."""
+    return sim.knn_join(_table(spark, sf_dir, "embeddings"))

@@ -439,3 +439,30 @@ def test_events_operators_accept_both_timestamp_types(spark):
         got_ntz = [{c: norm(v) for c, v in r.asDict().items()} for r in op(ntz).collect()]
         assert got_tz, op.__name__
         assert got_tz == got_ntz, op.__name__
+
+
+def test_knn_join_recall_and_within_list_exactness(embeddings):
+    """sim5's graph is exact WITHIN a centroid list (every same-list
+    pair is scored), and its global recall against the unconstrained
+    exact graph should be high on the clustered synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    knn = sim.knn_join(embeddings)
+    got = {(r["vec_id"], r["neighbor_id"]) for r in knn.collect()}
+    # exact global top-k for every vector (brute force, test-only)
+    exact_df = sim.cosine_topk(embeddings, queries=embeddings, k=sim.KNN_K)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_df.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"knn-join recall {recall:.2f} vs exact graph"
+    # ranks are dense 1..k' per vector and cosines non-increasing
+    bad = (
+        knn.groupBy("vec_id")
+        .agg(
+            F.max("rank").alias("mx"),
+            F.count("*").alias("n"),
+            (F.min("cosine") <= F.max("cosine")).alias("mono"),
+        )
+        .filter((F.col("mx") != F.col("n")) | (F.col("mx") > sim.KNN_K) | ~F.col("mono"))
+        .count()
+    )
+    assert bad == 0

@@ -71,6 +71,9 @@ _NESTED_LOOP_OK = {
     # t10 crosses the O(vocab) rollup with a broadcast 1-row global
     # n_langs aggregate — bounded by construction (1 x vocab).
     "t10_distinctive_terms",
+    # sim5 = dd5's bounded broadcast-centroid assignment pass feeding
+    # the salted equi-join k-NN scoring — same shape as dd5/sim2.
+    "sim5_knn_join",
 }
 
 
