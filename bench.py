@@ -158,6 +158,21 @@ def _reap(spark) -> None:
         pass
 
 
+def _cpu_canary() -> float:
+    """Fixed single-thread CPU workload (~0.4 s on a 2.1 GHz core),
+    reported alongside the timings so round-over-round numbers can be
+    normalized for HOST speed: identical code measured 3.7 s vs 5.9 s
+    headline totals on two different container hosts — without a
+    canary that reads as a code regression."""
+    import hashlib
+
+    start = time.perf_counter()
+    h = b"x" * 4096
+    for _ in range(50_000):
+        h = hashlib.md5(h).digest() * 256  # keep 4096-byte blocks
+    return round(time.perf_counter() - start, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([\d.]+)", sf_dir)
@@ -221,6 +236,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cpu_canary_sec": _cpu_canary(),
                 "subtotals": {
                     "r1_headline": headline_total,
                     "llm_extension": llm_total,
@@ -269,6 +285,18 @@ SCALE_QUERIES = [
     "dd1_exact_dedup",
     "dd3_minhash_lsh",
     "dd7_dedup_clusters",
+    # round-4 additions. (sim5/dd5/sd1 are excluded on purpose: with
+    # the centroid count held fixed, 10x vectors grows within-list pair
+    # work ~100x by construction — the real-scale mitigation is scaling
+    # the centroid count with the corpus, documented in similarity.py.)
+    "h4_pricing_summary",
+    "h5_shipping_priority",
+    "h6_revenue_forecast",
+    "sp5_stratified_sample",
+    "dd8_duplicate_spans",
+    "ct5_quality_rank_filter",
+    "mx2_temperature_mixture",
+    "t10_distinctive_terms",
 ]
 
 

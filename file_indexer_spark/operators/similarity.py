@@ -422,12 +422,16 @@ def knn_join(embeddings: DataFrame, k: int = KNN_K, n_assign: int = KNN_ASSIGN) 
     )
     b = vecs.withColumn("salt", F.col("vec_id") % s).alias("b")
     cos = _cosine("a.emb", "a.nrm", "b.emb", "b.nrm")
-    pairs = (
+    # score each unordered pair ONCE (a < b): cosine is bit-symmetric
+    # (zip_with multiplies the same element pairs in the same fold
+    # order), so the reverse direction is a projection, not a second
+    # 64-dim dot product — measured 2x on the scoring stage.
+    half = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_id"),
@@ -435,8 +439,15 @@ def knn_join(embeddings: DataFrame, k: int = KNN_K, n_assign: int = KNN_ASSIGN) 
             cos.alias("cosine"),
         )
         # a pair sharing several centroid lists (multi-assignment)
-        # scores identically in each — dedup before ranking
+        # scores identically in each — dedup before ranking/mirroring
         .distinct()
+    )
+    pairs = half.unionByName(
+        half.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
