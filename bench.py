@@ -119,6 +119,8 @@ LLM_EXTENSION = [
     "t10_distinctive_terms",
     "h6_revenue_forecast",
     "sim5_knn_join",
+    "e13_daily_uniques",
+    "e13a_daily_uniques_approx",
 ]
 
 

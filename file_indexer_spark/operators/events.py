@@ -491,3 +491,43 @@ def gap_percentiles_approx(events: DataFrame, accuracy: int = 10000) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+def daily_uniques(events: DataFrame) -> DataFrame:
+    """e13: exact distinct users (and sessions-proxy event counts) per
+    day — the canonical cardinality rollup.
+
+    Exact COUNT(DISTINCT) is a two-phase aggregate: Spark first
+    deduplicates (day, user_id) with map-side partials, then counts per
+    day — the shuffle carries one row per distinct pair, which at
+    100 TB IS the bottleneck (billions of distinct users × days). e13a
+    is the sketch path that caps that shuffle at kilobytes per group.
+    """
+    return (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
+def daily_uniques_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """e13a: HyperLogLog++ distinct users per day — the 100 TB path.
+
+    ``approx_count_distinct`` keeps one fixed-size HLL sketch per group
+    (map-side mergeable, O(kB) regardless of group size), so the
+    distinct-count shuffle carries sketches instead of one row per
+    distinct (day, user) pair. Standard error ``rsd`` (default 5 %);
+    sketch internals are engine-specific, so this registers rows-only —
+    pytest pins the relative error against exact e13.
+    """
+    return (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).cast("long").alias("n_users_approx"),
+        )
+        .orderBy("day")
+    )

@@ -2948,3 +2948,27 @@ def sim5_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph for every vector: IVF-bucketed + salted scoring join
     (dd5's shape), one top-k window per query vector."""
     return sim.knn_join(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "e13_daily_uniques",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def e13_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct users: two-phase distinct agg (shuffle =
+    one row per distinct (day, user) pair — e13a is the sketch path)."""
+    return ev.daily_uniques(_events(spark, sf_dir))
+
+
+@register("e13a_daily_uniques_approx")
+def e13a_daily_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13a: HLL++ sketch variant — the 100 TB distinct-count path
+    (fixed-size mergeable sketch per group instead of a row per
+    distinct pair). Rows-only driver check; relative error vs exact
+    e13 pinned in pytest."""
+    return ev.daily_uniques_approx(_events(spark, sf_dir))

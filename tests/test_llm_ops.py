@@ -466,3 +466,23 @@ def test_knn_join_recall_and_within_list_exactness(embeddings):
         .count()
     )
     assert bad == 0
+
+
+def test_daily_uniques_approx_matches_exact_within_rsd(spark, sf_oracle):
+    """e13a's HLL++ estimate must sit within a few standard errors of
+    exact e13 for every day, and the non-sketch columns must be
+    identical."""
+    exact = {
+        r["day"]: (r["n_events"], r["n_users"])
+        for r in ev.daily_uniques(events_df(spark, sf_oracle)).collect()
+    }
+    approx = {
+        r["day"]: (r["n_events"], r["n_users_approx"])
+        for r in ev.daily_uniques_approx(events_df(spark, sf_oracle)).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for day, (n_ev, n_u) in exact.items():
+        a_ev, a_u = approx[day]
+        assert a_ev == n_ev, f"{day}: event counts must be exact"
+        # rsd=0.05 => allow 4 sigma (20%) + small-count slack
+        assert abs(a_u - n_u) <= max(0.2 * n_u, 2), f"{day}: {a_u} vs exact {n_u}"
