@@ -174,6 +174,48 @@ class FileIndexService:
 
         return database_stats(self.files).collect()[0].asDict()
 
+    def visualization(self) -> dict:
+        """The three chart tables the reference serves in one response
+        (routers.py:204-215, database.py:459-550, models.py:147-152):
+        size distribution bands, extension top-20, monthly timeline —
+        all three are the registered a9/a10/a11 operators."""
+        from file_indexer_spark.operators.stats import (
+            extension_stats,
+            modification_timeline,
+            size_histogram,
+        )
+
+        return {
+            "size_distribution": [
+                r.asDict() for r in size_histogram(self.files).collect()
+            ],
+            "extension_stats": [
+                r.asDict() for r in extension_stats(self.files).collect()
+            ],
+            "modification_timeline": [
+                {**r.asDict(), "month": r["month"].isoformat() if r["month"] else None}
+                for r in modification_timeline(self.files).collect()
+            ],
+        }
+
+    def health(self) -> dict:
+        """Health contract (reference routers.py:36-57, models.py:155-159):
+        status + connectivity + file count. 'Connected' here means the
+        snapshot is queryable — the count doubles as the probe."""
+        try:
+            n = int(self.files.count())
+            return {
+                "status": "healthy",
+                "database_connected": True,
+                "total_files": n,
+            }
+        except Exception:  # noqa: BLE001 - any failure = unhealthy, never raise
+            return {
+                "status": "unhealthy",
+                "database_connected": False,
+                "total_files": 0,
+            }
+
 
 def create_app(files: DataFrame):  # pragma: no cover - fastapi not shipped
     """FastAPI wiring (reference main.py:77-100) — import-gated; the
@@ -213,5 +255,13 @@ def create_app(files: DataFrame):  # pragma: no cover - fastapi not shipped
     @app.get("/stats/")
     def stats():
         return svc.stats()
+
+    @app.get("/visualization/")
+    def visualization():
+        return svc.visualization()
+
+    @app.get("/health/")
+    def health():
+        return svc.health()
 
     return app

@@ -223,3 +223,23 @@ def test_service_contracts(spark, sf_smoke):
 
     with _pytest.raises(NotImplementedError):
         create_app(files_df(spark, sf_smoke))
+
+
+def test_service_visualization_and_health(spark, sf_smoke):
+    """Reference parity: /visualization (routers.py:204, the a9/a10/a11
+    chart tables in one response) and /health (routers.py:36-57)."""
+    from file_indexer_spark.serving import FileIndexService
+
+    svc = FileIndexService(files_df(spark, sf_smoke).cache())
+
+    viz = svc.visualization()
+    assert set(viz) == {"size_distribution", "extension_stats", "modification_timeline"}
+    assert viz["size_distribution"], "smoke corpus spans several size bands"
+    for band in viz["size_distribution"]:
+        assert {"size_range", "count", "total_size"} <= set(band)
+    assert 0 < len(viz["extension_stats"]) <= 20
+    assert all(isinstance(m["month"], (str, type(None))) for m in viz["modification_timeline"])
+
+    h = svc.health()
+    assert h["status"] == "healthy" and h["database_connected"]
+    assert h["total_files"] == 500
