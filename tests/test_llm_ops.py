@@ -486,3 +486,62 @@ def test_daily_uniques_approx_matches_exact_within_rsd(spark, sf_oracle):
         assert a_ev == n_ev, f"{day}: event counts must be exact"
         # rsd=0.05 => allow 4 sigma (20%) + small-count slack
         assert abs(a_u - n_u) <= max(0.2 * n_u, 2), f"{day}: {a_u} vs exact {n_u}"
+
+
+def test_stratified_sample_rates_and_mixture_weights(docs):
+    """sp5: every stratum's target_rate is min(1, target/n) and the
+    kept count is plausible for a binomial at that rate; mx2: weights
+    are a probability vector that dampens big sources relative to
+    their natural share."""
+    from file_indexer_spark.operators import curation as cu
+    from file_indexer_spark.operators import sampling as sp
+
+    rows = sp.stratified_sample(docs).collect()
+    assert rows
+    for r in rows:
+        expect = min(1.0, sp.STRATUM_TARGET / r["n_docs"])
+        assert abs(r["target_rate"] - round(expect, 6)) < 1e-9
+        # 5-sigma binomial envelope around the expected kept count
+        mu = r["n_docs"] * expect
+        sigma = (mu * (1 - expect)) ** 0.5
+        assert abs(r["n_kept"] - mu) <= 5 * sigma + 1, r
+
+    mix = cu.temperature_mixture(docs).collect()
+    assert abs(sum(m["temp_weight"] for m in mix) - 1.0) < 1e-4
+    # alpha < 1 compresses shares toward uniform: the biggest source's
+    # temp weight must not exceed its natural share, the smallest's
+    # must not fall below it
+    big = max(mix, key=lambda m: m["n_docs"])
+    small = min(mix, key=lambda m: m["n_docs"])
+    assert big["temp_weight"] <= big["base_share"] + 1e-9
+    assert small["temp_weight"] >= small["base_share"] - 1e-9
+
+
+def test_duplicate_spans_brute_force_parity(spark):
+    """dd8 on a tiny planted corpus: shared fractions match a pure-
+    Python shingle computation (exact semantics, not just oracle
+    agreement)."""
+    from file_indexer_spark.functions import hashing as H
+    from file_indexer_spark.operators import dedup as dd
+
+    texts = {
+        1: "a b c d e f",
+        2: "a b c x y z",   # shares the 'a b c' shingle with 1
+        3: "p q r s t u",   # unique
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dd.duplicate_spans(docs).collect()}
+
+    def shingles(t):
+        w = t.split(" ")
+        n = H.SHINGLE_N
+        return {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    sets = {i: shingles(t) for i, t in texts.items()}
+    for i, s in sets.items():
+        shared = {g for g in s if any(g in o for j, o in sets.items() if j != i)}
+        assert got[i]["n_shingles"] == len(s)
+        assert got[i]["n_shared"] == len(shared), (i, shared)
+        assert got[i]["flagged"] == (len(shared) / len(s) >= dd.DUP_SPAN_FLAG)
