@@ -2972,3 +2972,28 @@ def e13a_daily_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct pair). Rows-only driver check; relative error vs exact
     e13 pinned in pytest."""
     return ev.daily_uniques_approx(_events(spark, sf_dir))
+
+
+@register("st6_streaming_uniques")
+def st6_streaming_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: streaming per-day distinct users via HLL sketches — e13a as
+    a REAL stream (two file arrivals -> two micro-batches; per-window
+    state is one mergeable sketch, so the final estimate equals the
+    batch approx bit-for-bit — pinned in tests). Rows-only driver
+    check: sketch internals have no SQL rendition."""
+    import os
+
+    from file_indexer_spark.streaming import windows as sw
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st6", sf_dir)
+    src = os.path.join(base, "src")
+    ev2 = events_df(spark, sf_dir)
+    _land_arrivals(
+        src,
+        [ev2.filter(F.col("event_id") % 2 == 0), ev2.filter(F.col("event_id") % 2 == 1)],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sink = f"st6_sink_{tag}"
+    sw.run_to_memory_sink(sw.windowed_uniques(stream), sink)
+    return spark.table(sink).orderBy("day")

@@ -90,3 +90,36 @@ def run_to_memory_sink(stream_df: DataFrame, table_name: str):
     )
     query.awaitTermination()
     return query
+
+
+def windowed_uniques(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark_delay: str = "2 days",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """st6: streaming distinct-user counts per tumbling window via
+    HyperLogLog++ sketches — the streaming rendition of e13a.
+
+    Exact COUNT(DISTINCT) is not supported in streaming aggregations
+    (state would be one row per distinct key, unbounded); the HLL
+    sketch IS the streaming-native answer: per-window state is one
+    fixed-size mergeable sketch, micro-batches merge registers
+    losslessly, so the final estimate is bit-identical to running
+    ``approx_count_distinct`` over the same rows in batch (the test
+    pins stream == batch). Watermark evicts closed windows, keeping
+    state O(open windows).
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).cast("long").alias("n_users_approx"),
+        )
+        .select(
+            F.col("win.start").alias("day"),
+            "n_events",
+            "n_users_approx",
+        )
+    )

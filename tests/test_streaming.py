@@ -190,3 +190,22 @@ def test_streaming_dedup_filters_rearrivals_across_batches(spark, tmp_path):
     sd.run_to_memory_sink(sd.dedup_stream(stream), "st4_test_sink")
     rows = [r["content_hash"] for r in spark.table("st4_test_sink").collect()]
     assert len(rows) == 3 and len(set(rows)) == 3  # aaa, bbb, ccc — each once
+
+
+def test_streaming_uniques_equal_batch_sketch(spark, sf_smoke):
+    """st6's merged HLL sketches must produce the IDENTICAL estimate as
+    the batch approx_count_distinct over the same rows (register merge
+    is lossless), and the exact event counts must match batch e13."""
+    from file_indexer_spark import registry
+    from file_indexer_spark.operators import events as ev
+    from file_indexer_spark.tables import events_df
+
+    stream_rows = {
+        r["day"]: (r["n_events"], r["n_users_approx"])
+        for r in registry.QUERIES["st6_streaming_uniques"](spark, sf_smoke).collect()
+    }
+    batch_rows = {
+        r["day"]: (r["n_events"], r["n_users_approx"])
+        for r in ev.daily_uniques_approx(events_df(spark, sf_smoke)).collect()
+    }
+    assert stream_rows == batch_rows
