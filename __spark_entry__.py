@@ -57,7 +57,9 @@ _DRIVER_PRIORITY = [
     "h4_pricing_summary", "h5_shipping_priority",
     "sp5_stratified_sample", "dd8_duplicate_spans", "ct5_quality_rank_filter",
     "mx2_temperature_mixture", "t10_distinctive_terms", "h6_revenue_forecast", "sim5_knn_join",
-    "e13_daily_uniques", "e13a_daily_uniques_approx",
+    # e13a/st6 are rows-only (sketch paths, pytest-pinned) — the 50th
+    # window slot goes to w6, which the driver can fully hash-check
+    "e13_daily_uniques", "w6_sharded_export",
 ]
 
 

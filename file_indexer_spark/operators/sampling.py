@@ -235,3 +235,29 @@ def shard_assignment(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def export_sharded(docs: DataFrame, out_dir: str, n_shards: int = N_SHARDS) -> None:
+    """Materialize sp4's layout physically: write the corpus as
+    parquet partitioned by the content-stable shard key — one
+    ``shard=K/`` directory per shard, the on-disk layout a training job
+    consumes shard-by-shard.
+
+    ``partitionBy`` routes rows to their directory during the write
+    (no pre-shuffle needed — the key is a map-side expression), and
+    because the key is a pure function of doc_id, re-running the export
+    rewrites byte-identical shard memberships. At 100 TB add
+    ``maxRecordsPerFile`` to bound individual file sizes inside each
+    shard directory.
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    ).alias("shard")
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars", shard)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )

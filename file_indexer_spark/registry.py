@@ -2997,3 +2997,58 @@ def st6_streaming_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"st6_sink_{tag}"
     sw.run_to_memory_sink(sw.windowed_uniques(stream), sink)
     return spark.table(sink).orderBy("day")
+
+
+@register(
+    "w6_sharded_export",
+    f"""
+    WITH tagged AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % {sp.N_SHARDS} AS BIGINT) AS shard,
+               len(string_split(text, ' ')) AS n_tokens,
+               source
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM tagged
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def w6_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: the sharded-export WRITE gate — physically materialize sp4's
+    layout (parquet partitioned by the content-stable shard key), read
+    the partitioned directory back, and recompute the balance report
+    from the READ-BACK rows. The oracle is sp4's (the source table is
+    unchanged), so a row lost in the write, a shard routed wrong, or a
+    partition-column type drift (partition values come back via
+    directory-name inference) all hash-mismatch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w6_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    sp.export_sharded(_table(spark, sf_dir, "documents"), base)
+
+    back = spark.read.parquet(base)
+    return (
+        back.select(
+            F.col("shard").cast("long").alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "source",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("shard")
+    )
