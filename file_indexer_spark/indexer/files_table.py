@@ -68,13 +68,28 @@ BUCKET_COL = "pk_bucket"
 
 
 class FilesTable:
-    def __init__(self, spark: SparkSession, location: str, buckets: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        buckets: int | None = None,
+        keep_history: bool = False,
+    ):
+        """``keep_history=True`` switches on TIME TRAVEL: every commit
+        also appends its manifest to ``_manifest_log/<generation>.json``
+        and replaced data dirs are NOT garbage-collected inline —
+        :meth:`read_at` reads any retained generation, and
+        :meth:`vacuum` (with ``retain_generations``) is the only thing
+        that reclaims space. Off by default: the non-history write path
+        is byte-identical to the plain manifest protocol."""
         self.spark = spark
         self.location = os.path.abspath(location)
         self.buckets = buckets
+        self.keep_history = keep_history
         self._validate_layout()
 
     _MANIFEST = "_MANIFEST"
+    _MANIFEST_LOG = "_manifest_log"
     _BUCKET_MARKER = "_buckets"  # legacy pre-manifest layout only
 
     # -- manifest -----------------------------------------------------
@@ -92,11 +107,25 @@ class FilesTable:
     def _commit_manifest(self, entries: dict[str, str]) -> None:
         """THE commit point: one atomic rename publishes the new
         generation. Everything before this is invisible to readers;
-        a crash before it leaves the previous generation live."""
+        a crash before it leaves the previous generation live. With
+        history on, the manifest is first logged under its generation
+        number — a crash between log and publish leaves a log entry the
+        next commit overwrites (the log is advisory; ``_MANIFEST`` is
+        the single source of liveness)."""
         os.makedirs(self.location, exist_ok=True)
+        prev = self._load_manifest()
+        gen = (prev.get("generation", 0) if prev else 0) + 1
+        doc = {"buckets": self.buckets, "entries": entries, "generation": gen}
+        if self.keep_history:
+            log_dir = os.path.join(self.location, self._MANIFEST_LOG)
+            os.makedirs(log_dir, exist_ok=True)
+            with open(os.path.join(log_dir, f"{gen}.json"), "w") as fh:
+                json.dump(doc, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
         tmp = os.path.join(self.location, f"{self._MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
-            json.dump({"buckets": self.buckets, "entries": entries}, fh)
+            json.dump(doc, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_path())
@@ -121,7 +150,10 @@ class FilesTable:
         """Remove data paths no longer referenced by the committed
         manifest, then any data dir left empty. Only paths THIS commit
         replaced — unknown dirs may be another writer's staging; see
-        vacuum() for orphan reclamation."""
+        vacuum() for orphan reclamation. With history on, replaced dirs
+        stay readable via read_at() until vacuum() reclaims them."""
+        if self.keep_history:
+            return
         for rel in dead_paths:
             shutil.rmtree(os.path.join(self.location, rel), ignore_errors=True)
         for name in os.listdir(self.location):
@@ -129,21 +161,72 @@ class FilesTable:
             if name.startswith("data-") and os.path.isdir(full) and not os.listdir(full):
                 os.rmdir(full)
 
-    def vacuum(self) -> list[str]:
-        """Reclaim orphaned data dirs (crashed writers' staging, dirs
-        whose commit lost a race). Safe ONLY while no writer is staging
-        — the single-writer contract's maintenance window. Returns the
-        removed (relative) dirs."""
+    def vacuum(self, retain_generations: int = 1) -> list[str]:
+        """Reclaim data dirs not referenced by the last
+        ``retain_generations`` generations (current included; 1 = only
+        the live generation survives, i.e. the no-history behavior),
+        plus crashed writers' staging dirs. Safe ONLY while no writer
+        is staging — the single-writer contract's maintenance window.
+        Returns the removed (relative) dirs. Manifest-log entries whose
+        generation was vacuumed are dropped too, so read_at() fails
+        loudly instead of reading a half-deleted snapshot."""
         m = self._load_manifest()
         if m is None or not os.path.isdir(self.location):
             return []
+        keep = max(int(retain_generations), 1)
+        current_gen = m.get("generation", 1)
+        cutoff = current_gen - keep + 1
         live_roots = {rel.split("/", 1)[0] for rel in m["entries"].values()}
+        log_dir = os.path.join(self.location, self._MANIFEST_LOG)
+        if os.path.isdir(log_dir):
+            for name in sorted(os.listdir(log_dir)):
+                gen = int(name.split(".", 1)[0])
+                if gen >= cutoff:
+                    with open(os.path.join(log_dir, name)) as fh:
+                        doc = json.load(fh)
+                    live_roots |= {
+                        rel.split("/", 1)[0] for rel in doc["entries"].values()
+                    }
+                else:
+                    os.remove(os.path.join(log_dir, name))
         removed = []
         for name in os.listdir(self.location):
             if name.startswith("data-") and name not in live_roots:
                 shutil.rmtree(os.path.join(self.location, name), ignore_errors=True)
                 removed.append(name)
         return removed
+
+    def generations(self) -> list[int]:
+        """Generation numbers readable via read_at() (history tables)."""
+        log_dir = os.path.join(self.location, self._MANIFEST_LOG)
+        if not os.path.isdir(log_dir):
+            return []
+        return sorted(int(n.split(".", 1)[0]) for n in os.listdir(log_dir))
+
+    def read_at(self, generation: int) -> DataFrame:
+        """TIME TRAVEL: the table exactly as of ``generation`` — reads
+        the logged manifest's immutable dirs (Delta/Iceberg snapshot
+        semantics). Raises if the generation was never logged (history
+        off, or commit predates keep_history) or was vacuumed away."""
+        log_path = os.path.join(
+            self.location, self._MANIFEST_LOG, f"{generation}.json"
+        )
+        try:
+            with open(log_path) as fh:
+                doc = json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"generation {generation} is not retained at {self.location} "
+                f"(retained: {self.generations()})"
+            ) from None
+        if not doc["entries"]:
+            return self._empty().select(*_COLS)
+        for rel in doc["entries"].values():
+            if not os.path.isdir(os.path.join(self.location, rel.split("/", 1)[0])):
+                raise ValueError(
+                    f"generation {generation}'s data was vacuumed from {self.location}"
+                )
+        return self._read_dirs(sorted(doc["entries"].values())).select(*_COLS)
 
     def _validate_layout(self) -> None:
         """The bucket count is part of the on-disk layout: the manifest
@@ -244,7 +327,7 @@ class FilesTable:
         """First manifest commit over a legacy layout: drop the old
         root-level parquet files/dirs the manifest doesn't know."""
         for name in os.listdir(self.location):
-            if name == self._MANIFEST or name.startswith("data-"):
+            if name in (self._MANIFEST, self._MANIFEST_LOG) or name.startswith("data-"):
                 continue
             full = os.path.join(self.location, name)
             if os.path.isdir(full):

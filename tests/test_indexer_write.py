@@ -443,3 +443,67 @@ def test_wide_update_falls_back_to_full_rewrite(spark, tmp_path):
     assert len(t._touched_buckets(one)) == 1
     t.delete(one.select("path", "filename"))
     assert t.read().count() == 199
+
+
+def test_time_travel_generations(spark, tmp_path):
+    """keep_history=True: every commit is a retained generation —
+    read_at() reproduces each snapshot exactly, vacuum(retain) prunes
+    the tail and read_at() on a vacuumed generation fails loudly."""
+    t = FilesTable(spark, str(tmp_path / "hist_db"), keep_history=True)
+
+    t.overwrite(_mk_rows(spark, [("/a", "f1", "v1", 1), ("/a", "f2", "v1", 2)]))
+    t.upsert(_mk_rows(spark, [("/a", "f1", "v2", 1), ("/b", "f3", "v2", 3)]))
+    t.delete(_mk_rows(spark, [("/a", "f2", "x", 0)]).select("path", "filename"))
+    assert t.generations() == [1, 2, 3]
+
+    def snap(gen):
+        return {
+            (r["path"], r["filename"]): r["checksum"]
+            for r in t.read_at(gen).collect()
+        }
+
+    assert snap(1) == {("/a", "f1"): "v1", ("/a", "f2"): "v1"}
+    assert snap(2) == {("/a", "f1"): "v2", ("/a", "f2"): "v1", ("/b", "f3"): "v2"}
+    assert snap(3) == {("/a", "f1"): "v2", ("/b", "f3"): "v2"}
+    # the live read is generation 3
+    assert snap(3) == {
+        (r["path"], r["filename"]): r["checksum"] for r in t.read().collect()
+    }
+
+    removed = t.vacuum(retain_generations=2)
+    assert removed, "generation 1's dir should be reclaimed"
+    assert t.generations() == [2, 3]
+    assert snap(2) and snap(3)  # retained generations still read
+    with pytest.raises(ValueError, match="not retained"):
+        t.read_at(1)
+
+    # a table WITHOUT history keeps the old inline-GC behavior: no log,
+    # read_at refuses, vacuum(1) is the default no-op on a clean table
+    plain = FilesTable(spark, str(tmp_path / "plain_db"))
+    plain.overwrite(_mk_rows(spark, [("/p", "f", "c", 1)]))
+    plain.upsert(_mk_rows(spark, [("/p", "f", "c2", 1)]))
+    assert plain.generations() == []
+    with pytest.raises(ValueError, match="not retained"):
+        plain.read_at(1)
+    assert plain.vacuum() == []
+
+
+def test_time_travel_bucketed_partial_commits(spark, tmp_path):
+    """History composes with bucketed partial commits: untouched
+    buckets' dirs are SHARED between generations (no copy), and
+    read_at still reproduces the pre-upsert snapshot."""
+    t = FilesTable(spark, str(tmp_path / "hist_bucketed"), buckets=8, keep_history=True)
+    rows = [(f"/d{i}", f"f{j}", f"c{i}{j}", i + j) for i in range(8) for j in range(2)]
+    t.overwrite(_mk_rows(spark, rows))
+    t.upsert(_mk_rows(spark, [("/d1", "f0", "NEW", 99)]))
+    before = {
+        (r["path"], r["filename"]): r["checksum"] for r in t.read_at(1).collect()
+    }
+    after = {
+        (r["path"], r["filename"]): r["checksum"] for r in t.read_at(2).collect()
+    }
+    assert before[("/d1", "f0")] == "c10" and after[("/d1", "f0")] == "NEW"
+    assert len(before) == 16 and len(after) == 16
+    assert {k: v for k, v in after.items() if k != ("/d1", "f0")} == {
+        k: v for k, v in before.items() if k != ("/d1", "f0")
+    }
