@@ -3052,3 +3052,35 @@ def w6_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "w7_time_travel",
+    with_files_cte("SELECT * FROM files ORDER BY path, filename"),
+)
+def w7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: time-travel gate — commit the files derivation as generation
+    1 of a history-keeping FilesTable, MUTATE the live table (upsert a
+    changed checksum + delete a row = generations 2 and 3), then return
+    ``read_at(1)``. The oracle is the plain files derivation, so any
+    leakage of later generations into the snapshot — or any loss in the
+    generation-log roundtrip — hash-mismatches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w7_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    t = FilesTable(spark, os.path.join(base, "db"), keep_history=True)
+    original = files_df(spark, sf_dir)
+    t.overwrite(original)
+    one_key = original.orderBy("path", "filename").limit(1)
+    t.upsert(one_key.withColumn("checksum", F.lit("MUTATED")))
+    t.delete(one_key.select("path", "filename"))
+    return t.read_at(1).orderBy("path", "filename")
