@@ -323,6 +323,48 @@ class FilesTable:
         else:
             self._gc_legacy()
 
+    def compact(self, files_per_bucket: int = 1, min_files: int = 2) -> list[str]:
+        """OPTIMIZE: rewrite fragmented data dirs into ``files_per_bucket``
+        parquet files each — the small-file maintenance every lakehouse
+        table needs (each partial commit writes one file per shuffle
+        task; after many commits a bucket dir accumulates files whose
+        per-file open/footer cost dominates scans at 100 TB).
+
+        Rows are untouched: compaction stages byte-equivalent data into
+        fresh dirs and commits them through the SAME manifest swap as
+        any write, so it is crash-safe, readers never see a torn state,
+        and with history on it is just another generation (read_at on
+        older generations still works). Dirs already at or below
+        ``min_files`` files are skipped. Returns the (relative) dirs
+        that were rewritten. Single-writer contract applies.
+        """
+        m = self._load_manifest()
+        if m is None or not m["entries"]:
+            return []
+        entries = dict(m["entries"])
+        dead, rewritten = [], []
+        for key, rel in sorted(m["entries"].items()):
+            full = os.path.join(self.location, rel)
+            n_files = sum(1 for n in os.listdir(full) if n.endswith(".parquet"))
+            if n_files <= files_per_bucket or n_files < min_files:
+                continue
+            staging = self._staging_dir()
+            (
+                self.spark.read.schema(FILES_SCHEMA)
+                .parquet(full)
+                .coalesce(files_per_bucket)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            entries[key] = os.path.basename(staging)
+            dead.append(rel)
+            rewritten.append(rel)
+        if not rewritten:
+            return []
+        self._commit_manifest(entries)
+        self._gc(dead)
+        return rewritten
+
     def _gc_legacy(self) -> None:
         """First manifest commit over a legacy layout: drop the old
         root-level parquet files/dirs the manifest doesn't know."""

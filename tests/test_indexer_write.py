@@ -507,3 +507,40 @@ def test_time_travel_bucketed_partial_commits(spark, tmp_path):
     assert {k: v for k, v in after.items() if k != ("/d1", "f0")} == {
         k: v for k, v in before.items() if k != ("/d1", "f0")
     }
+
+
+def test_compact_rewrites_fragmented_buckets(spark, tmp_path):
+    """compact() must shrink per-dir file counts to the target without
+    changing a single row, commit through the manifest (crash-safe),
+    and compose with history (older generations stay readable)."""
+    import glob
+
+    t = FilesTable(spark, str(tmp_path / "frag_db"), buckets=4, keep_history=True)
+    rows = [(f"/d{i}", f"f{j}", f"c{i}{j}", i + j) for i in range(16) for j in range(4)]
+    # force fragmentation: many shuffle partitions -> many files per dir
+    t.overwrite(_mk_rows(spark, rows).repartition(16))
+    before = {(r["path"], r["filename"]): r["checksum"] for r in t.read().collect()}
+
+    def files_per_dir():
+        m = t._load_manifest()
+        return {
+            rel: len(glob.glob(os.path.join(t.location, rel, "*.parquet")))
+            for rel in m["entries"].values()
+        }
+
+    assert any(n > 1 for n in files_per_dir().values()), "fixture must fragment"
+    rewritten = t.compact(files_per_bucket=1)
+    assert rewritten, "fragmented dirs should be rewritten"
+    assert all(n == 1 for n in files_per_dir().values())
+    after = {(r["path"], r["filename"]): r["checksum"] for r in t.read().collect()}
+    assert after == before, "compaction must not change rows"
+    # compaction is a generation like any other: the pre-compact
+    # snapshot still reads, and a second compact is a no-op
+    gens = t.generations()
+    assert len(gens) == 2
+    pre = {
+        (r["path"], r["filename"]): r["checksum"]
+        for r in t.read_at(gens[0]).collect()
+    }
+    assert pre == before
+    assert t.compact(files_per_bucket=1) == []
