@@ -121,6 +121,7 @@ LLM_EXTENSION = [
     "sim5_knn_join",
     "e13_daily_uniques",
     "e13a_daily_uniques_approx",
+    "dd9_duplicate_span_extents",
 ]
 
 

@@ -478,3 +478,63 @@ def dedup_clusters(
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+SPAN_N = H.SHINGLE_N  # tokens per span gram
+
+
+def duplicate_span_extents(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """dd9: exact-substring dedup EXTENTS — for every document, the
+    merged token intervals covered by word n-grams that occur at least
+    twice anywhere in the corpus (including self-repetition). This is
+    the actionable output of Lee et al.-style exact-substring dedup:
+    dd8 says HOW MUCH of a doc is duplicated; dd9 says exactly WHICH
+    token ranges a strip pass should cut.
+
+    Shape: positions explode map-side (one row per gram occurrence,
+    keeping its token offset); occurrence counts come from one COUNT
+    window on the gram hash (same trick as dd8 — no join back); the
+    interval merge is gaps-and-islands per doc: sorted by position,
+    a new island starts when the gap to the previous gram exceeds the
+    gram width, islands are cumulative sums of those flags, and each
+    island aggregates to (start, end, tokens). Shuffles: hash-window +
+    doc window + island agg — all linear in total gram occurrences.
+    """
+    from pyspark.sql.window import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    shingle = f"array_join(slice(words, i, {n}), ' ')"
+    grams = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
+                    f"i -> {H.spark_hash60(shingle)})"
+                )
+            ).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("p"), "h")
+    )
+    occ = F.count("*").over(Window.partitionBy("h"))
+    marked = grams.withColumn("occ", occ).filter(F.col("occ") >= 2).select("doc_id", "p")
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    flagged = marked.withColumn(
+        "new_island",
+        (F.col("p") > F.coalesce(F.lag("p").over(wdoc), F.lit(-10)) + n).cast("long"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + (n - 1)).cast("long").alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )

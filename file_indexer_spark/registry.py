@@ -3084,3 +3084,43 @@ def w7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.upsert(one_key.withColumn("checksum", F.lit("MUTATED")))
     t.delete(one_key.select("path", "filename"))
     return t.read_at(1).orderBy("path", "filename")
+
+
+@register(
+    "dd9_duplicate_span_extents",
+    f"""
+    -- Exact-substring dedup extents: gaps-and-islands over positions
+    -- of word 3-grams occurring >= 2 times corpus-wide.
+    WITH grams AS (
+        SELECT doc_id, u.p AS p, u.h AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> {{'p': i, 'h': {H.duck_hash60("array_to_string(string_split(text, ' ')[i:i+2], ' ')")}}})) AS u
+            FROM documents)),
+    marked AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS occ FROM grams)
+        WHERE occ >= 2),
+    flagged AS (
+        SELECT doc_id, p,
+               CASE WHEN p > coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), -10) + 3
+                    THEN 1 ELSE 0 END AS new_island
+        FROM marked),
+    islands AS (
+        SELECT doc_id, p,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged)
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) + 2 AS BIGINT) AS span_end,
+           CAST(MAX(p) + 2 - MIN(p) + 1 AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, island ORDER BY doc_id, span_start
+    """,
+)
+def dd9_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup extents (the strip-pass instruction list):
+    COUNT window on the gram hash marks duplicated positions, one
+    gaps-and-islands window per doc merges them into token intervals."""
+    return dd.duplicate_span_extents(_table(spark, sf_dir, "documents"))

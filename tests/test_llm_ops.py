@@ -545,3 +545,48 @@ def test_duplicate_spans_brute_force_parity(spark):
         assert got[i]["n_shingles"] == len(s)
         assert got[i]["n_shared"] == len(shared), (i, shared)
         assert got[i]["flagged"] == (len(shared) / len(s) >= dd.DUP_SPAN_FLAG)
+
+
+def test_duplicate_span_extents_brute_force_parity(spark):
+    """dd9 on a tiny planted corpus: extents match a pure-Python
+    interval computation (marking + merge semantics, not just oracle
+    agreement)."""
+    from file_indexer_spark.operators import dedup as dd
+
+    texts = {
+        # "a b c" (pos 1) and "c d e" (pos 3) duplicated across docs;
+        # doc 3 repeats "x y z x y z" => self-repetition marks too
+        1: "a b c d e q r s",
+        2: "a b c m n c d e",
+        3: "x y z x y z",
+        4: "u v w",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.duplicate_span_extents(docs).collect()
+    ]
+    n = dd.SPAN_N
+    from collections import Counter
+
+    def grams(t):
+        w = t.split(" ")
+        return [
+            (" ".join(w[i:i + n]), i + 1)
+            for i in range(max(len(w) - n + 1, 1))
+        ]
+
+    occ = Counter(g for t in texts.values() for g, _ in grams(t))
+    expect = []
+    for i, t in sorted(texts.items()):
+        marked = [p for g, p in grams(t) if occ[g] >= 2]
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1] - n + 1 + n:  # p <= prev_p + n
+                spans[-1] = (spans[-1][0], p + n - 1)
+            else:
+                spans.append((p, p + n - 1))
+        expect += [(i, s, e, e - s + 1) for s, e in spans]
+    assert got == expect, (got, expect)
