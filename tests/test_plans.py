@@ -274,3 +274,25 @@ def test_round4_operator_plan_shapes(spark, sf_smoke):
     # any) run over the O(strata)/O(sources) rollup only; no Python.
     for df in (sp.stratified_sample(docs), cu.temperature_mixture(docs)):
         assert "EvalPython" not in pi.simple_plan(df)
+
+
+def test_dd9_and_e13_plan_shapes(spark, sf_smoke):
+    """dd9 must plan with no join (window df + islands windows only);
+    e13a must plan a single aggregation pass (HLL partials), while
+    exact e13 legitimately needs the two-phase distinct expansion."""
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.operators import events as ev
+    from file_indexer_spark.tables import events_df, load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    dd9 = dd.duplicate_span_extents(docs)
+    plan = pi.simple_plan(dd9)
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+    evs = events_df(spark, sf_smoke)
+    approx = ev.daily_uniques_approx(evs)
+    # sketch path: one agg (partial+final) + sort — no Expand, no
+    # second distinct-dedup exchange
+    assert "Expand" not in pi.simple_plan(approx)
+    assert pi.count_exchanges(approx) <= 2, pi.simple_plan(approx)
