@@ -53,13 +53,13 @@ _DRIVER_PRIORITY = [
     # round-4 additions (never driver-checked either): skew-safe
     # sessionization, approx-percentile 100TB paths, real-format decode
     "e1b_sessionization_skew", "t6a_length_percentiles_approx",
-    "e12a_gap_percentiles_approx", "m2b_ppm_decode",
+    "m2b_ppm_decode",  # e12a is rows-only (pytest-pinned) — slot goes to dd9
     "h4_pricing_summary", "h5_shipping_priority",
     "sp5_stratified_sample", "dd8_duplicate_spans", "ct5_quality_rank_filter",
     "mx2_temperature_mixture", "t10_distinctive_terms", "h6_revenue_forecast", "sim5_knn_join",
     # e13a/st6 are rows-only (sketch paths, pytest-pinned) — the 50th
     # window slot goes to w6, which the driver can fully hash-check
-    "e13_daily_uniques", "w6_sharded_export",
+    "e13_daily_uniques", "w6_sharded_export", "dd9_duplicate_span_extents",
 ]
 
 
