@@ -52,7 +52,9 @@ _DRIVER_PRIORITY = [
     "t9_cube_token_totals",
     # round-4 additions (never driver-checked either): skew-safe
     # sessionization, approx-percentile 100TB paths, real-format decode
-    "e1b_sessionization_skew", "t6a_length_percentiles_approx",
+    "e1b_sessionization_skew",
+    # t6a/e12a/e13a/st6 are rows-only sketch paths (pytest-pinned) —
+    # their window slots go to fully hash-checkable entries
     "m2b_ppm_decode",  # e12a is rows-only (pytest-pinned) — slot goes to dd9
     "h4_pricing_summary", "h5_shipping_priority",
     "sp5_stratified_sample", "dd8_duplicate_spans", "ct5_quality_rank_filter",
@@ -60,6 +62,7 @@ _DRIVER_PRIORITY = [
     # e13a/st6 are rows-only (sketch paths, pytest-pinned) — the 50th
     # window slot goes to w6, which the driver can fully hash-check
     "e13_daily_uniques", "w6_sharded_export", "dd9_duplicate_span_extents",
+    "pp1_curation_pipeline",
 ]
 
 

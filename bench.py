@@ -122,6 +122,7 @@ LLM_EXTENSION = [
     "e13_daily_uniques",
     "e13a_daily_uniques_approx",
     "dd9_duplicate_span_extents",
+    "pp1_curation_pipeline",
 ]
 
 

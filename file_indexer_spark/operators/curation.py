@@ -453,3 +453,77 @@ def temperature_mixture(docs: DataFrame, budget: int = MIX_BUDGET) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- pp1 curation pipeline
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """pp1: the end-to-end curation funnel as ONE composed query —
+    per-source accounting of a real training-data pass:
+
+      raw → exact dedup (md5 keeper rule, dd1's semantics)
+          → quality filter (t2's composite score ≥ 0.5)
+          → decontamination (drop benchmark docs and ct1-contaminated
+            candidates)
+
+    with final token totals and retention. This is the table a data
+    lead reviews before a training run; each stage reuses the exact
+    deterministic rule its standalone operator (dd1/t2/ct1) is gated
+    on, so the funnel is fully oracle-checkable.
+
+    Scale shape: one md5 window for the keeper rule (shuffle on the
+    content hash), map-side quality signals, ct1's bounded-benchmark
+    overlap join + per-doc rollup joined back on doc_id, then a tiny
+    per-source rollup. No stage materializes an intermediate corpus.
+    """
+    from pyspark.sql.window import Window
+
+    from file_indexer_spark.operators.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_hash"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct_tokens"),
+        F.expr(f"size(filter(split(text, ' '), t -> t in ({stop_list})))").alias("n_stopwords"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == BENCH_HEX).alias("is_bench"),
+    )
+    keeper = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("content_hash"))
+    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
+    length_credit = F.least(F.col("n_tokens").cast("double") / 300.0, F.lit(1.0))
+    quality_ok = (0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_credit) >= F.lit(0.5)
+
+    contaminated = benchmark_contamination(docs).select("doc_id", "contaminated")
+    staged = (
+        base.withColumn("keep_dedup", keeper.cast("long"))
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "keep_dedup",
+            ((F.col("keep_dedup") == 1) & quality_ok).cast("long").alias("keep_quality"),
+            (
+                (F.col("keep_dedup") == 1)
+                & quality_ok
+                & ~F.col("is_bench")
+                & ~F.coalesce("contaminated", F.lit(False))
+            ).cast("long").alias("keep_final"),
+        )
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.sum("keep_dedup").cast("long").alias("n_after_dedup"),
+            F.sum("keep_quality").cast("long").alias("n_after_quality"),
+            F.sum("keep_final").cast("long").alias("n_final"),
+            F.sum(F.col("n_tokens") * F.col("keep_final")).cast("long").alias("tokens_final"),
+            F.round(
+                F.sum("keep_final").cast("double") / F.count("*").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )

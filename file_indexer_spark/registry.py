@@ -3124,3 +3124,67 @@ def dd9_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT window on the gram hash marks duplicated positions, one
     gaps-and-islands window per doc merges them into token intervals."""
     return dd.duplicate_span_extents(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pp1_curation_pipeline",
+    f"""
+    -- End-to-end curation funnel: dd1 keeper rule -> t2 quality
+    -- composite >= 0.5 -> ct1 decontamination, per-source accounting.
+    WITH m AS (
+        SELECT doc_id, source, md5(text) AS content_hash,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS INTEGER)
+                   AS n_stopwords,
+               substring(md5(doc_id::VARCHAR), 1, 1) = '{cu.BENCH_HEX}' AS is_bench
+        FROM documents),
+    keeper AS (
+        SELECT *, (doc_id = MIN(doc_id) OVER (PARTITION BY content_hash)) AS keep_dedup
+        FROM m),
+    sets AS (
+        SELECT doc_id, {H.duck_shingle_hashes()} AS shingles,
+               substring(md5(doc_id::VARCHAR), 1, 1) = '{cu.BENCH_HEX}' AS is_bench
+        FROM documents),
+    bench AS (SELECT DISTINCT unnest(shingles) AS h FROM sets WHERE is_bench),
+    cand AS (SELECT doc_id, unnest(shingles) AS h FROM sets WHERE NOT is_bench),
+    overlap AS (
+        SELECT c.doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+        FROM cand c LEFT JOIN (SELECT h, h AS hit FROM bench) b USING (h)
+        GROUP BY c.doc_id),
+    cont AS (
+        SELECT doc_id, (CAST(n_ov AS DOUBLE) / CAST(n_sh AS DOUBLE))
+                       >= {cu.CONTAMINATION_THRESHOLD} AS contaminated
+        FROM overlap),
+    staged AS (
+        SELECT k.source, k.n_tokens,
+               CASE WHEN k.keep_dedup THEN 1 ELSE 0 END AS keep_dedup,
+               CASE WHEN k.keep_dedup AND
+                         (0.5 * (CAST(k.n_distinct_tokens AS DOUBLE) / CAST(k.n_tokens AS DOUBLE))
+                          + 0.3 * (1.0 - CAST(k.n_stopwords AS DOUBLE) / CAST(k.n_tokens AS DOUBLE))
+                          + 0.2 * least(CAST(k.n_tokens AS DOUBLE) / 300.0, 1.0)) >= 0.5
+                    THEN 1 ELSE 0 END AS keep_quality,
+               CASE WHEN k.keep_dedup AND
+                         (0.5 * (CAST(k.n_distinct_tokens AS DOUBLE) / CAST(k.n_tokens AS DOUBLE))
+                          + 0.3 * (1.0 - CAST(k.n_stopwords AS DOUBLE) / CAST(k.n_tokens AS DOUBLE))
+                          + 0.2 * least(CAST(k.n_tokens AS DOUBLE) / 300.0, 1.0)) >= 0.5
+                         AND NOT k.is_bench
+                         AND NOT coalesce(c.contaminated, FALSE)
+                    THEN 1 ELSE 0 END AS keep_final
+        FROM keeper k LEFT JOIN cont c ON c.doc_id = k.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(keep_dedup) AS BIGINT) AS n_after_dedup,
+           CAST(SUM(keep_quality) AS BIGINT) AS n_after_quality,
+           CAST(SUM(keep_final) AS BIGINT) AS n_final,
+           CAST(SUM(n_tokens * keep_final) AS BIGINT) AS tokens_final,
+           round(CAST(SUM(keep_final) AS DOUBLE) / COUNT(*), 6) AS retention
+    FROM staged GROUP BY source ORDER BY source
+    """,
+)
+def pp1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation funnel (dd1 -> t2 -> ct1) with per-source
+    accounting — every stage reuses its standalone operator's exact
+    deterministic rule, so the whole funnel hash-matches."""
+    return cu.curation_pipeline(_table(spark, sf_dir, "documents"))
