@@ -123,6 +123,7 @@ LLM_EXTENSION = [
     "e13a_daily_uniques_approx",
     "dd9_duplicate_span_extents",
     "pp1_curation_pipeline",
+    "t11_token_rarity",
 ]
 
 

@@ -402,3 +402,48 @@ def distinctive_terms(docs: DataFrame, k: int = TERMS_TOP_K) -> DataFrame:
         .select("lang", F.col("rank").cast("long").alias("rank"), "word", "tf", "df", "score")
         .orderBy("lang", "rank")
     )
+
+
+# ------------------------------------------------ t11 token rarity
+
+RARE_RANK = 16  # ranks past this (by corpus frequency) count as rare
+
+
+def token_rarity(docs: DataFrame, rare_rank: int = RARE_RANK) -> DataFrame:
+    """t11: per-document token-rarity profile — every token is ranked
+    by global corpus frequency (dense_rank, most frequent = 1), and
+    each document gets its mean token rank and rare-token fraction.
+    The integer-rank stand-in for unigram-LM surprisal: high mean rank
+    = unusual vocabulary (jargon, misspellings, noise), near-zero rare
+    fraction = all-stopword boilerplate. Deterministic across engines
+    (integer ranks; ties broken by word — no ln() / float logprobs).
+
+    Scale shape: one word-count shuffle to the O(vocab) rollup; the
+    rank window sorts ONLY the vocab (fine to millions of rows on one
+    task; range-partition the sort if vocab outgrows that); the rank
+    table joins back to the exploded token stream on word (AQE
+    broadcasts the vocab side), then one per-doc agg.
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("tf"))
+    ranked = vocab.withColumn(
+        "rank",
+        F.dense_rank().over(Window.orderBy(F.desc("tf"), "word")).cast("long"),
+    ).select("word", "rank")
+    frac = F.sum((F.col("rank") > rare_rank).cast("long")).cast("double") / F.count("*").cast("double")
+    return (
+        words.join(ranked, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("rank").cast("double") / F.count("*").cast("double"), 6).alias(
+                "mean_token_rank"
+            ),
+            F.max("rank").cast("long").alias("max_rank"),
+            F.sum((F.col("rank") > rare_rank).cast("long")).cast("long").alias("n_rare_tokens"),
+            F.round(frac, 6).alias("rare_fraction"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3188,3 +3188,30 @@ def pp1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting — every stage reuses its standalone operator's exact
     deterministic rule, so the whole funnel hash-matches."""
     return cu.curation_pipeline(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t11_token_rarity",
+    f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    vocab AS (SELECT word, COUNT(*) AS tf FROM words GROUP BY word),
+    ranked AS (
+        SELECT word, CAST(dense_rank() OVER (ORDER BY tf DESC, word) AS BIGINT) AS rank
+        FROM vocab)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(r.rank) AS DOUBLE) / COUNT(*), 6) AS mean_token_rank,
+           CAST(MAX(r.rank) AS BIGINT) AS max_rank,
+           CAST(SUM(CASE WHEN r.rank > {tx.RARE_RANK} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare_tokens,
+           round(CAST(SUM(CASE WHEN r.rank > {tx.RARE_RANK} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_fraction
+    FROM words w JOIN ranked r USING (word)
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+)
+def t11_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal: integer frequency ranks (no libm),
+    vocab-only window, rank table broadcast back onto the token stream."""
+    return tx.token_rarity(_table(spark, sf_dir, "documents"))
