@@ -302,6 +302,10 @@ SCALE_QUERIES = [
     "ct5_quality_rank_filter",
     "mx2_temperature_mixture",
     "t10_distinctive_terms",
+    "t11_token_rarity",
+    "pp1_curation_pipeline",
+    "dd9_duplicate_span_extents",
+    "e13_daily_uniques",
 ]
 
 
