@@ -37,7 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # window verifies them; the already-verified ones keep local regression
 # coverage.
 _DRIVER_PRIORITY = [
-    "dd7_dedup_clusters", "sp1_hash_split", "sp2_source_cap",
+    # round 5: w7/t11 are the last two oracle-bearing queries never
+    # driver-checked (both pass the identical local oracle diff); they
+    # displace sp1/sp2, which are r4-green AND locally gated.
+    "w7_time_travel", "t11_token_rarity",
+    "dd7_dedup_clusters",
     "sp3_sequence_packing", "st4_streaming_dedup", "e6_retention_cohorts",
     "sim4_filtered_ann", "t5_quality_retention", "w2_two_phase_roundtrip",
     "ct1_contamination", "ct2_pii_scrub", "ct3_repetition_stats",

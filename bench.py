@@ -229,25 +229,50 @@ def main() -> None:
         ]
         if any(n in errors for n in members)
     }
+    canary = _cpu_canary()
+    # Full per-query map first (for humans / artifacts)...
     print(
         json.dumps(
             {
-                # "value" sums the SAME 11 headline queries as BENCH_r01
-                # (round-over-round comparability); the 16 LLM-extension
-                # queries added in round 2 are timed in "queries" and
-                # summed in "subtotals.llm_extension" / "all_queries".
-                "metric": "headline_queries_total_sec",
+                "metric": "headline_queries_total_sec_full",
                 "value": headline_total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "cpu_canary_sec": _cpu_canary(),
+                "cpu_canary_sec": canary,
                 "subtotals": {
                     "r1_headline": headline_total,
                     "llm_extension": llm_total,
                     "all_queries": all_total,
                 },
                 **({"errors": errors, "incomplete_totals": incomplete} if errors else {}),
+            }
+        )
+    )
+    # ...then a COMPACT summary as the FINAL line: the driver's tail
+    # capture failed to parse BENCH_r04 ("parsed": null) because the
+    # single JSON line outgrew its buffer once the benched set passed 60
+    # queries. The last line stays small: headline queries only (the
+    # round-over-round comparable set), subtotals, canary.
+    print(
+        json.dumps(
+            {
+                # "value" sums the SAME 11 headline queries as BENCH_r01
+                # (round-over-round comparability); the 60+ extension
+                # queries are timed in the full line above and summed
+                # in "subtotals.llm_extension" / "all_queries".
+                "metric": "headline_queries_total_sec",
+                "value": headline_total,
+                "unit": "sec",
+                "queries": {n: timings[n] for n in HEADLINE if n in timings},
+                "sf": sf,
+                "cpu_canary_sec": canary,
+                "subtotals": {
+                    "r1_headline": headline_total,
+                    "llm_extension": llm_total,
+                    "all_queries": all_total,
+                },
+                **({"incomplete_totals": incomplete} if errors else {}),
             }
         )
     )

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -91,6 +92,22 @@ class FilesTable:
     _MANIFEST = "_MANIFEST"
     _MANIFEST_LOG = "_manifest_log"
     _BUCKET_MARKER = "_buckets"  # legacy pre-manifest layout only
+    # only <generation>.json counts as a log entry — stray files
+    # (editor temps, partial writes) must not break table maintenance
+    _LOG_NAME = re.compile(r"^(\d+)\.json$")
+
+    def _log_generations(self) -> list[tuple[int, str]]:
+        """(generation, filename) pairs actually present in the log,
+        ignoring anything that isn't a ``<digits>.json`` entry."""
+        log_dir = os.path.join(self.location, self._MANIFEST_LOG)
+        if not os.path.isdir(log_dir):
+            return []
+        out = []
+        for name in os.listdir(log_dir):
+            m = self._LOG_NAME.match(name)
+            if m:
+                out.append((int(m.group(1)), name))
+        return sorted(out)
 
     # -- manifest -----------------------------------------------------
     def _manifest_path(self) -> str:
@@ -176,32 +193,42 @@ class FilesTable:
         keep = max(int(retain_generations), 1)
         current_gen = m.get("generation", 1)
         cutoff = current_gen - keep + 1
-        live_roots = {rel.split("/", 1)[0] for rel in m["entries"].values()}
         log_dir = os.path.join(self.location, self._MANIFEST_LOG)
-        if os.path.isdir(log_dir):
-            for name in sorted(os.listdir(log_dir)):
-                gen = int(name.split(".", 1)[0])
-                if gen >= cutoff:
-                    with open(os.path.join(log_dir, name)) as fh:
-                        doc = json.load(fh)
-                    live_roots |= {
-                        rel.split("/", 1)[0] for rel in doc["entries"].values()
-                    }
-                else:
-                    os.remove(os.path.join(log_dir, name))
+        # live set at FULL relative-path granularity: bucketed partial
+        # commits reference data-x/pk_bucket=N subdirs inside roots that
+        # other (still-live) buckets share — root-level tracking alone
+        # would leak every replaced bucket subdir until its whole root
+        # rotated out.
+        live_rels = set(m["entries"].values())
+        for gen, name in self._log_generations():
+            if gen >= cutoff:
+                with open(os.path.join(log_dir, name)) as fh:
+                    doc = json.load(fh)
+                live_rels |= set(doc["entries"].values())
+            else:
+                os.remove(os.path.join(log_dir, name))
+        live_roots = {rel.split("/", 1)[0] for rel in live_rels}
         removed = []
         for name in os.listdir(self.location):
             if name.startswith("data-") and name not in live_roots:
                 shutil.rmtree(os.path.join(self.location, name), ignore_errors=True)
                 removed.append(name)
+        # dead bucket subdirs inside RETAINED roots (skip roots that are
+        # referenced whole — unbucketed "all" entries)
+        for root in sorted(live_roots - live_rels):
+            full_root = os.path.join(self.location, root)
+            if not os.path.isdir(full_root):
+                continue
+            for sub in os.listdir(full_root):
+                rel = f"{root}/{sub}"
+                if sub.startswith(f"{BUCKET_COL}=") and rel not in live_rels:
+                    shutil.rmtree(os.path.join(full_root, sub), ignore_errors=True)
+                    removed.append(rel)
         return removed
 
     def generations(self) -> list[int]:
         """Generation numbers readable via read_at() (history tables)."""
-        log_dir = os.path.join(self.location, self._MANIFEST_LOG)
-        if not os.path.isdir(log_dir):
-            return []
-        return sorted(int(n.split(".", 1)[0]) for n in os.listdir(log_dir))
+        return [gen for gen, _ in self._log_generations()]
 
     def read_at(self, generation: int) -> DataFrame:
         """TIME TRAVEL: the table exactly as of ``generation`` — reads

@@ -509,6 +509,7 @@ def duplicate_span_extents(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("words"))
         .select(
             "doc_id",
+            F.size("words").alias("n_tokens"),
             F.posexplode(
                 F.expr(
                     f"transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
@@ -516,10 +517,14 @@ def duplicate_span_extents(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
                 )
             ).alias("pos0", "h"),
         )
-        .select("doc_id", (F.col("pos0") + 1).alias("p"), "h")
+        .select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("p"), "h")
     )
     occ = F.count("*").over(Window.partitionBy("h"))
-    marked = grams.withColumn("occ", occ).filter(F.col("occ") >= 2).select("doc_id", "p")
+    marked = (
+        grams.withColumn("occ", occ)
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "n_tokens", "p")
+    )
     wdoc = Window.partitionBy("doc_id").orderBy("p")
     flagged = marked.withColumn(
         "new_island",
@@ -532,7 +537,10 @@ def duplicate_span_extents(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
         flagged.groupBy("doc_id", "island")
         .agg(
             F.min("p").cast("long").alias("span_start"),
-            (F.max("p") + (n - 1)).cast("long").alias("span_end"),
+            # clamp to the document's token count: a doc shorter than
+            # the gram width n uses the whole-doc fallback gram, whose
+            # unclamped end (p + n - 1) would point past the last token
+            F.least(F.max("p") + (n - 1), F.max("n_tokens")).cast("long").alias("span_end"),
         )
         .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
         .select("doc_id", "span_start", "span_end", "span_tokens")

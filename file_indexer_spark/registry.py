@@ -3092,30 +3092,32 @@ def w7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- Exact-substring dedup extents: gaps-and-islands over positions
     -- of word 3-grams occurring >= 2 times corpus-wide.
     WITH grams AS (
-        SELECT doc_id, u.p AS p, u.h AS h FROM (
-            SELECT doc_id,
+        SELECT doc_id, n_tokens, u.p AS p, u.h AS h FROM (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                    unnest(list_transform(
                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
                        i -> {{'p': i, 'h': {H.duck_hash60("array_to_string(string_split(text, ' ')[i:i+2], ' ')")}}})) AS u
             FROM documents)),
     marked AS (
-        SELECT doc_id, p FROM (
-            SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS occ FROM grams)
+        SELECT doc_id, n_tokens, p FROM (
+            SELECT doc_id, n_tokens, p, COUNT(*) OVER (PARTITION BY h) AS occ FROM grams)
         WHERE occ >= 2),
     flagged AS (
-        SELECT doc_id, p,
+        SELECT doc_id, n_tokens, p,
                CASE WHEN p > coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), -10) + 3
                     THEN 1 ELSE 0 END AS new_island
         FROM marked),
     islands AS (
-        SELECT doc_id, p,
+        SELECT doc_id, n_tokens, p,
                SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
                                      ROWS UNBOUNDED PRECEDING) AS island
         FROM flagged)
+    -- span_end clamped to the doc's token count (sub-gram-width docs
+    -- use a whole-doc fallback gram whose raw end exceeds the doc)
     SELECT doc_id,
            CAST(MIN(p) AS BIGINT) AS span_start,
-           CAST(MAX(p) + 2 AS BIGINT) AS span_end,
-           CAST(MAX(p) + 2 - MIN(p) + 1 AS BIGINT) AS span_tokens
+           CAST(LEAST(MAX(p) + 2, MAX(n_tokens)) AS BIGINT) AS span_end,
+           CAST(LEAST(MAX(p) + 2, MAX(n_tokens)) - MIN(p) + 1 AS BIGINT) AS span_tokens
     FROM islands GROUP BY doc_id, island ORDER BY doc_id, span_start
     """,
 )

@@ -107,16 +107,22 @@ class DuplicatesResponse:
     has_more: bool
 
 
+API_VERSION = "0.1.0"  # reference main.py:80, routers.py:46
+
+
 class FileIndexService:
     """Read-side service over a ``files`` DataFrame (cache it for
     interactive serving — immutable snapshots make concurrent reads
     safe, the reference's read-only-connection trick for free)."""
 
-    def __init__(self, files: DataFrame, cache: bool = True):
+    def __init__(self, files: DataFrame, cache: bool = True, source_path: str | None = None):
         # paginate() runs a count job plus the page job per request;
         # caching the immutable snapshot makes the second and later
         # requests scan memory, not parquet.
         self.files = files.cache() if cache else files
+        # reference HealthCheck.database_path (models.py:158) — the
+        # backing store's path; None is valid (in-memory snapshot)
+        self.source_path = source_path
 
     def search(self, req: SearchRequest) -> Page:
         from file_indexer_spark.operators.search import search_files
@@ -207,13 +213,17 @@ class FileIndexService:
             return {
                 "status": "healthy",
                 "database_connected": True,
+                "database_path": self.source_path,
                 "total_files": n,
+                "api_version": API_VERSION,
             }
         except Exception:  # noqa: BLE001 - any failure = unhealthy, never raise
             return {
                 "status": "unhealthy",
                 "database_connected": False,
+                "database_path": self.source_path,
                 "total_files": 0,
+                "api_version": API_VERSION,
             }
 
 
@@ -256,6 +266,10 @@ def create_app(files: DataFrame):  # pragma: no cover - fastapi not shipped
     def stats():
         return svc.stats()
 
+    # reference serves visualization under the stats router prefix
+    # (routers.py:188 prefix="/stats", :204 "/visualization") — register
+    # the parity path plus the legacy root alias
+    @app.get("/stats/visualization")
     @app.get("/visualization/")
     def visualization():
         return svc.visualization()

@@ -243,3 +243,15 @@ def test_service_visualization_and_health(spark, sf_smoke):
     h = svc.health()
     assert h["status"] == "healthy" and h["database_connected"]
     assert h["total_files"] == 500
+    # full HealthCheck contract (reference models.py:155-159): all five
+    # fields present; database_path is None for an in-memory snapshot
+    assert set(h) == {
+        "status", "database_connected", "database_path", "total_files", "api_version",
+    }
+    assert h["api_version"] == "0.1.0"
+    assert h["database_path"] is None
+
+    svc2 = FileIndexService(
+        files_df(spark, sf_smoke), cache=False, source_path="/data/files"
+    )
+    assert svc2.health()["database_path"] == "/data/files"

@@ -544,3 +544,49 @@ def test_compact_rewrites_fragmented_buckets(spark, tmp_path):
     }
     assert pre == before
     assert t.compact(files_per_bucket=1) == []
+
+
+def test_manifest_log_ignores_stray_files(spark, tmp_path):
+    """generations()/vacuum() must skip log-dir files that are not
+    ``<generation>.json`` (editor temps, partial writes) instead of
+    raising ValueError and bricking table maintenance."""
+    t = FilesTable(spark, str(tmp_path / "stray_db"), keep_history=True)
+    t.overwrite(_mk_rows(spark, [("/a", "f1", "v1", 1)]))
+    t.upsert(_mk_rows(spark, [("/a", "f1", "v2", 1)]))
+    log_dir = os.path.join(t.location, t._MANIFEST_LOG)
+    for stray in (".DS_Store", "2.json.tmp-abc", "notes.txt"):
+        with open(os.path.join(log_dir, stray), "w") as fh:
+            fh.write("junk")
+    assert t.generations() == [1, 2]
+    assert t.vacuum(retain_generations=2) == []  # must not raise
+    assert {(r["checksum"]) for r in t.read_at(1).collect()} == {"v1"}
+
+
+def test_vacuum_reclaims_dead_bucket_subdirs(spark, tmp_path):
+    """Bucketed history: a replaced pk_bucket subdir whose root is
+    still shared by retained generations must be reclaimed once no
+    retained generation references it (space leak otherwise)."""
+    t = FilesTable(spark, str(tmp_path / "leak_db"), buckets=8, keep_history=True)
+    rows = [(f"/d{i}", f"f{j}", f"c{i}{j}", i + j) for i in range(8) for j in range(2)]
+    t.overwrite(_mk_rows(spark, rows))  # gen 1: one root, 8 subdirs
+    gen1_entries = dict(t._load_manifest()["entries"])
+    # two successive partial commits to the SAME key's bucket
+    t.upsert(_mk_rows(spark, [("/d1", "f0", "v2", 99)]))  # gen 2
+    t.upsert(_mk_rows(spark, [("/d1", "f0", "v3", 100)]))  # gen 3
+    bucket = str(t._touched_buckets(_mk_rows(spark, [("/d1", "f0", "x", 0)]))[0])
+    dead_rel = gen1_entries[bucket]  # gen 1's subdir for that bucket
+    assert os.path.isdir(os.path.join(t.location, dead_rel))
+
+    removed = t.vacuum(retain_generations=2)  # keeps gens 2 and 3
+    # gen 1's replaced bucket subdir is dead even though its root is
+    # still live via the 7 untouched buckets gens 2/3 share
+    assert dead_rel in removed, (dead_rel, removed)
+    assert not os.path.isdir(os.path.join(t.location, dead_rel))
+    root = dead_rel.split("/", 1)[0]
+    assert os.path.isdir(os.path.join(t.location, root)), "shared root survives"
+    # retained snapshots are intact
+    for gen, want in [(2, "v2"), (3, "v3")]:
+        got = {
+            (r["path"], r["filename"]): r["checksum"] for r in t.read_at(gen).collect()
+        }
+        assert len(got) == 16 and got[("/d1", "f0")] == want

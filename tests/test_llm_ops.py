@@ -560,6 +560,10 @@ def test_duplicate_span_extents_brute_force_parity(spark):
         2: "a b c m n c d e",
         3: "x y z x y z",
         4: "u v w",
+        # sub-gram-width duplicates: the whole-doc fallback gram's raw
+        # end (p + n - 1 = 3) must clamp to the 2-token doc length
+        5: "p q",
+        6: "p q",
     }
     docs = spark.createDataFrame(
         [(i, t) for i, t in texts.items()], "doc_id long, text string"
@@ -581,12 +585,14 @@ def test_duplicate_span_extents_brute_force_parity(spark):
     occ = Counter(g for t in texts.values() for g, _ in grams(t))
     expect = []
     for i, t in sorted(texts.items()):
+        n_tokens = len(t.split(" "))
         marked = [p for g, p in grams(t) if occ[g] >= 2]
         spans = []
         for p in marked:
+            end = min(p + n - 1, n_tokens)  # clamp to doc length
             if spans and p <= spans[-1][1] - n + 1 + n:  # p <= prev_p + n
-                spans[-1] = (spans[-1][0], p + n - 1)
+                spans[-1] = (spans[-1][0], end)
             else:
-                spans.append((p, p + n - 1))
+                spans.append((p, end))
         expect += [(i, s, e, e - s + 1) for s, e in spans]
     assert got == expect, (got, expect)
