@@ -317,8 +317,9 @@ SCALE_QUERIES = [
     "dd7_dedup_clusters",
     # round-4 additions. (sim5/dd5/sd1 are excluded on purpose: with
     # the centroid count held fixed, 10x vectors grows within-list pair
-    # work ~100x by construction — the real-scale mitigation is scaling
-    # the centroid count with the corpus, documented in similarity.py.)
+    # work ~100x by construction — the real-scale path scales the
+    # centroid count with the corpus and is swept separately with
+    # ``--scale-neardup`` => BENCH_SCALE_NEARDUP.json.)
     "h4_pricing_summary",
     "h5_shipping_priority",
     "h6_revenue_forecast",
@@ -420,8 +421,138 @@ def main_scale() -> None:
     print(json.dumps(doc))
 
 
+# ------------------------------------------------------ near-dup scale mode
+# ``python bench.py --scale-neardup`` records BENCH_SCALE_NEARDUP.json:
+# the near-dup FAMILY swept 10x on a LARGE-VOCABULARY synthetic corpus.
+# The main sweep excludes dd2/dd3/dd5/sim5 because the driver's 31-word
+# corpus makes their OUTPUT quadratic in corpus size (a corpus artifact).
+# Here: 50k-word vocab + planted duplicate pairs every 50 docs keeps
+# text-dedup output linear; embeddings come in 10-vector near-identical
+# groups so pair output is linear too. The IVF ops scale their centroid
+# count to hold the AVERAGE LIST SIZE constant (k = n / LIST_SIZE) —
+# the rule that keeps within-list pair work O(n). (k ~ sqrt(n) is the
+# right rule for the sim2 QUERY path, where per-query cost is
+# k + n/k; for all-pairs dedup it would give O(n^1.5) pair work.)
+
+NEARDUP_LIST_SIZE = 50  # target vectors per IVF list
+_ND_VOCAB = 50_000
+_ND_WORDS = 60
+_ND_DIM = 64
+
+
+def _synth_docs(spark, n: int):
+    from pyspark.sql import functions as F
+
+    # every 50th doc duplicates its predecessor's text exactly
+    content = "CASE WHEN id % 50 = 1 THEN id - 1 ELSE id END"
+    word = (
+        f"concat('w', pmod(xxhash64(concat(cast(({content}) as string), '_', "
+        f"cast(i as string))), {_ND_VOCAB}))"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(0, {_ND_WORDS - 1}), i -> {word}), ' ')"
+        ).alias("text"),
+    )
+
+
+def _synth_embeddings(spark, n: int):
+    from pyspark.sql import functions as F
+
+    # 10-vector groups share a base direction; small per-vector noise
+    # => within-group cosine ~1 (the planted near-dups), cross-group
+    # cosine ~0 (random 64-dim directions)
+    base = f"(pmod(xxhash64(concat(cast(div(id, 10) as string), '_', cast(j as string))), 2001) - 1000) / 1000.0"
+    noise = f"(pmod(xxhash64(concat(cast(id as string), '@', cast(j as string))), 2001) - 1000) / 20000.0"
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {_ND_DIM - 1}), j -> cast({base} + {noise} as float))"
+        ).alias("embedding"),
+        F.expr("cast(pmod(div(id, 10), 20) as int)").alias("label"),
+    )
+
+
+def main_scale_neardup() -> None:
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.operators import similarity as sm
+
+    n1 = int(os.environ.get("SPARK_GRAFT_ND_N", "5000"))
+    factor = 10
+    out_path = os.environ.get(
+        "SPARK_GRAFT_ND_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE_NEARDUP.json"
+        ),
+    )
+    spark = get_spark("file_indexer_spark_neardup_scale")
+    errors: dict[str, str] = {}
+    results: dict[str, dict] = {}
+    meta: dict[str, dict] = {}
+
+    def bench_case(name, label, make_df):
+        def run():
+            start = time.perf_counter()
+            make_df().write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - start
+
+        try:
+            run()  # warm-up
+            _reap(spark)
+            reps = []
+            for _ in range(2):
+                reps.append(run())
+                _reap(spark)
+            results.setdefault(name, {})[label] = round(min(reps), 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"{name}:{label}"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    for label, n in [("x1", n1), (f"x{factor}", n1 * factor)]:
+        docs_path = f"/tmp/spark_graft_nd_docs_{n}.parquet"
+        vecs_path = f"/tmp/spark_graft_nd_vecs_{n}.parquet"
+        if not os.path.exists(docs_path):
+            _synth_docs(spark, n).write.mode("overwrite").parquet(docs_path)
+        if not os.path.exists(vecs_path):
+            _synth_embeddings(spark, n).write.mode("overwrite").parquet(vecs_path)
+        docs = spark.read.parquet(docs_path)
+        vecs = spark.read.parquet(vecs_path)
+        k = max(n // NEARDUP_LIST_SIZE, 1)
+        meta[label] = {"n": n, "n_centroids": k}
+        bench_case("dd2_ngram_jaccard", label, lambda: dd.ngram_jaccard_pairs(docs))
+        bench_case("dd3_minhash_lsh", label, lambda: dd.minhash_lsh_pairs(docs))
+        bench_case(
+            "dd5_embedding_neardup",
+            label,
+            lambda: sm.embedding_neardup_pairs(vecs, n_centroids=k),
+        )
+        bench_case(
+            "sim5_knn_join", label, lambda: sm.knn_join(vecs, n_centroids=k)
+        )
+
+    for name, per in results.items():
+        if "x1" in per and f"x{factor}" in per and per["x1"] > 0:
+            per["ratio"] = round(per[f"x{factor}"] / per["x1"], 2)
+    ratios = [r["ratio"] for r in results.values() if "ratio" in r]
+    doc = {
+        "metric": "neardup_scale_max_ratio",
+        "value": max(ratios) if ratios else None,
+        "unit": "ratio",
+        "factor": factor,
+        "scales": meta,
+        "list_size": NEARDUP_LIST_SIZE,
+        "queries": results,
+        **({"errors": errors} if errors else {}),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc))
+
+
 if __name__ == "__main__":
     if "--scale" in sys.argv[1:]:
         main_scale()
+    elif "--scale-neardup" in sys.argv[1:]:
+        main_scale_neardup()
     else:
         main()

@@ -5,7 +5,8 @@ __main__.py:5-8; size parsing cli.py:11-42, formatting utils.py:6-19).
 table:
 
     index      <root> --db DIR [--two-phase] [--max-checksum-size SIZE]
-    search     --db DIR [--filename PAT] [--path PAT] [--has-checksum|--no-checksum]
+    search     --db DIR [--filename PAT] [--path PAT] [--checksum HEX]
+               [--has-checksum|--no-checksum]
     duplicates --db DIR [--min-group-size N]
     stats      --db DIR
     cleanup    --db DIR
@@ -71,6 +72,8 @@ def _build_parser() -> argparse.ArgumentParser:
     add_db(p_search)
     p_search.add_argument("--filename")
     p_search.add_argument("--path")
+    p_search.add_argument("--checksum",
+                          help="exact checksum match (reference --search-checksum)")
     checks = p_search.add_mutually_exclusive_group()
     checks.add_argument("--has-checksum", action="store_true")
     checks.add_argument("--no-checksum", action="store_true")
@@ -155,6 +158,7 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession) -> int:
             table.read(),
             filename_pattern=args.filename,
             path_pattern=args.path,
+            checksum=args.checksum,
             has_checksum=has_checksum,
             limit=args.limit,
         ).collect()

@@ -80,15 +80,28 @@ def sessionize_skew_safe(
        local session becomes a FRAGMENT row (start, end, counts,
        distinct-type set, raw value sum).
     2. Re-run gaps-and-islands per user over the FRAGMENTS (≤ sessions
-       + days rows per user — orders of magnitude smaller than events)
-       and merge boundary fragments whose gap ≤ the threshold. The
-       fragment-level rule (start > prev_end + gap starts a new
-       session) is exactly the event-level rule because day buckets
-       partition time: every event of fragment k precedes every event
-       of fragment k+1.
+       + days rows per user) and merge boundary fragments whose gap ≤
+       the threshold. The fragment-level rule (start > prev_end + gap
+       starts a new session) is exactly the event-level rule because
+       day buckets partition time: every event of fragment k precedes
+       every event of fragment k+1.
+
+    Pass 2's cost is bounded by the SESSION count, not the event count
+    — the win is large exactly when sessions are long (the skewed-bot
+    case this operator exists for). On a corpus of near-singleton
+    sessions (fragments ≈ events) pass 2 is inherently ~full volume;
+    two measured refinements that tried to shrink it LOST on the 100×
+    sweep (documented in PERFORMANCE.md "e1b refinement experiments"):
+    routing only edge-touching USERS to pass 2 (93% of multi-day users
+    touch a day edge → routes nearly everything, +60%) and a
+    fragment-level scheme merging only the 4% edge fragments with
+    day-offset renumbering (its checkpoint + extra joins cost more
+    than the saved shuffle, +28%). The simple two-window form below is
+    the measured optimum at both 1× and 100×.
 
     Correctness vs the plain path is pinned by a property test with one
-    user holding ~90% of events (tests/test_properties.py).
+    user holding ~90% of events (tests/test_properties.py), including
+    midnight-straddling sessions.
     """
     gap = F.make_interval(mins=F.lit(int(gap_minutes)))
     order = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")

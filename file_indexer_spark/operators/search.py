@@ -110,6 +110,39 @@ def keyset_page(
     return out.orderBy("path", "filename").limit(limit)
 
 
+def keyset_directory_page(
+    files: DataFrame,
+    after_path: str | None = None,
+    limit: int = 10_000,
+) -> DataFrame:
+    """P7 directory variant: cursor-paged DISTINCT directories.
+
+    Reference file_indexer/indexer.py:1329-1361 — ``SELECT DISTINCT
+    path FROM files WHERE path > ? ORDER BY path LIMIT ?`` (the page
+    source for empty-directory cleanup, D4). The distinct's shuffle
+    carries only the paths above the cursor (filter pushes below the
+    aggregate); sort+limit is TakeOrderedAndProject.
+    """
+    out = files.select("path")
+    if after_path is not None:
+        out = out.filter(F.col("path") > after_path)
+    return out.distinct().orderBy("path").limit(limit)
+
+
+def keyset_directory_pages(files: DataFrame, page_size: int = 10_000):
+    """O4 directory loop (reference indexer.py:1329-1361): yields lists
+    of distinct directory paths, one memory-bounded page at a time."""
+    after: str | None = None
+    while True:
+        page = keyset_directory_page(files, after_path=after, limit=page_size).collect()
+        if not page:
+            return
+        yield [r["path"] for r in page]
+        if len(page) < page_size:
+            return
+        after = page[-1]["path"]
+
+
 def keyset_pages(files: DataFrame, page_size: int = 10_000):
     """O4: memory-bounded keyset pagination loop.
 

@@ -102,17 +102,90 @@ def cosine_topk(
     )
 
 
-def _centroids(embeddings: DataFrame) -> DataFrame:
-    """Deterministic centroid set: one representative vector per label
-    (the min vec_id). A replayable stand-in for k-means "training" that
-    both engines compute identically — on real data, swap in
-    ``pyspark.ml.clustering.KMeans`` centers; the build/search path is
-    unchanged (nearest-centroid assignment + nprobe search)."""
+def _centroids(embeddings: DataFrame, n_centroids: int | None = None) -> DataFrame:
+    """Deterministic centroid set.
+
+    ``n_centroids=None`` (default): one representative vector per label
+    (the min vec_id) — a replayable stand-in for k-means "training"
+    that both engines compute identically.
+
+    ``n_centroids=k``: k hash-sampled seed vectors — rank the corpus by
+    ``(md5(vec_id), vec_id)`` and take the first k. The md5 order is a
+    content-stable pseudo-random permutation both engines replicate
+    (DuckDB: ``ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT k``), so
+    oracles stay exact while k becomes a REAL knob: scale it ~sqrt(n)
+    with the corpus and IVF list sizes stay ~sqrt(n), keeping
+    within-list pair work (dd5/sd1/sim5) and per-probe scan cost (sim2)
+    ~linear in n instead of quadratic. On real data, swap in
+    ``pyspark.ml.clustering.KMeans`` on a sample; the build/search
+    path is unchanged (nearest-centroid assignment + nprobe search).
+    """
+    if n_centroids is not None:
+        seeds = (
+            embeddings.select(
+                "vec_id",
+                F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h"),
+            )
+            .orderBy("h", "vec_id")
+            .limit(int(n_centroids))
+            .select("vec_id")
+        )
+        return embeddings.join(seeds, "vec_id")
     reps = embeddings.groupBy("label").agg(F.min("vec_id").alias("vec_id")).select("vec_id")
     return embeddings.join(reps, "vec_id")
 
 
-def ivf_assignments(embeddings: DataFrame, n_assign: int = 1) -> DataFrame:
+# flat assignment is n x k dots; past this k the two-level coarse
+# quantizer (n x 2*sqrt(k)) wins despite its extra joins
+_HIER_THRESHOLD = 128
+
+
+def _hier_scored(vecs: DataFrame, cents: DataFrame, k: int) -> DataFrame:
+    """Two-level assignment scoring: route via ~sqrt(k) coarse
+    centroids, then score only the routed cell's fine centroids.
+    Returns the same (vec_id, v_emb, v_norm, centroid_id, cosine)
+    shape as the flat cross-join scoring, restricted to each vector's
+    coarse cell. Coarse centroids are the first sqrt(k) fine centroids
+    in the seed order (already a hash-random subset, deterministic)."""
+    import math
+
+    m = max(int(math.isqrt(k)), 1)
+    # the seed list is md5-ordered; reuse its order for the coarse
+    # subset so the whole hierarchy is content-stable
+    coarse = cents.withColumn(
+        "h", F.md5(F.col("centroid_id").cast("string").cast("binary"))
+    ).orderBy("h", "centroid_id").limit(m).select(
+        F.col("centroid_id").alias("coarse_id"),
+        F.col("c_emb").alias("g_emb"),
+        F.col("c_norm").alias("g_norm"),
+    )
+    # fine centroid -> coarse cell (k x m dots, all broadcast-side)
+    fine_routed = (
+        cents.join(F.broadcast(coarse))
+        .withColumn("g_cos", _cosine("c_emb", "c_norm", "g_emb", "g_norm"))
+        .groupBy("centroid_id", "c_emb", "c_norm")
+        .agg(F.expr("max_by(coarse_id, struct(g_cos, -coarse_id))").alias("coarse_id"))
+    )
+    # vector -> coarse cell (n x m dots)
+    v_routed = (
+        vecs.join(F.broadcast(coarse))
+        .withColumn("g_cos", _cosine("v_emb", "v_norm", "g_emb", "g_norm"))
+        .groupBy("vec_id", "v_emb", "v_norm")
+        .agg(F.expr("max_by(coarse_id, struct(g_cos, -coarse_id))").alias("coarse_id"))
+    )
+    # score each vector against its cell's fine centroids only
+    # (n x ~sqrt(k) dots). The fine table is k rows — broadcastable up
+    # to k ~ 1e5; past that, drop the hint and let AQE shuffle both
+    # sides on coarse_id (the vector side is grouped rows, not raw
+    # pairs, so that shuffle is O(n) narrow rows).
+    return v_routed.join(F.broadcast(fine_routed), "coarse_id").withColumn(
+        "cosine", _cosine("v_emb", "v_norm", "c_emb", "c_norm")
+    )
+
+
+def ivf_assignments(
+    embeddings: DataFrame, n_assign: int = 1, n_centroids: int | None = None
+) -> DataFrame:
     """IVF build: assign every vector to its nearest centroid
     (argmax cosine, ties to the smaller centroid id). Centroids are
     broadcast; assignment is one map-side scored pass + a per-vector
@@ -122,8 +195,23 @@ def ivf_assignments(embeddings: DataFrame, n_assign: int = 1) -> DataFrame:
     centroid lists, the standard recall mitigation for near-dup pairs
     split across neighboring lists (cost multiplies candidate volume by
     ≤ n²). Emits up to n rows per vec_id.
+
+    ``n_centroids`` passes through to :func:`_centroids` — scale it
+    with the corpus to keep list sizes bounded (n/L for all-pairs
+    dedup, ~sqrt(n) for the query path).
+
+    With many centroids the flat assignment itself becomes the
+    quadratic term (n × k dot products when k ∝ n), so past
+    ``_HIER_THRESHOLD`` centroids assignment goes TWO-LEVEL (the
+    IVF coarse-quantizer shape): vectors route through ~sqrt(k)
+    coarse centroids, then score only the fine centroids of their
+    coarse cell — n × 2·sqrt(k) dots instead of n × k. Measured on
+    the 10× near-dup sweep: dd5 11.3× → ~linear. The trade is the
+    usual IVF one: a vector whose true nearest fine centroid routes
+    to a different coarse cell is assigned to the best fine centroid
+    within its own cell.
     """
-    cents = _with_norm(_centroids(embeddings)).select(
+    cents = _with_norm(_centroids(embeddings, n_centroids)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
@@ -131,9 +219,12 @@ def ivf_assignments(embeddings: DataFrame, n_assign: int = 1) -> DataFrame:
     vecs = _with_norm(_spread(embeddings)).select(
         "vec_id", F.col("embedding").alias("v_emb"), F.col("norm").alias("v_norm")
     )
-    scored = vecs.join(F.broadcast(cents)).withColumn(
-        "cosine", _cosine("v_emb", "v_norm", "c_emb", "c_norm")
-    )
+    if n_centroids is not None and n_centroids > _HIER_THRESHOLD:
+        scored = _hier_scored(vecs, cents, n_centroids)
+    else:
+        scored = vecs.join(F.broadcast(cents)).withColumn(
+            "cosine", _cosine("v_emb", "v_norm", "c_emb", "c_norm")
+        )
     if n_assign > 1:
         # top-n via sorted collect over the tiny per-vector centroid
         # list (|centroids| structs) — still one hash agg, no window
@@ -166,11 +257,12 @@ def ivf_topk(
     embeddings: DataFrame,
     k: int = TOP_K,
     nprobe: int = NPROBE,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """sim2: IVF ANN — each query searches only its ``nprobe`` nearest
     centroid lists. Same output contract as sim1 (ranks may differ where
     the true neighbor lives in an unprobed list — that's the trade)."""
-    assign = ivf_assignments(embeddings)
+    assign = ivf_assignments(embeddings, n_centroids=n_centroids)
     corpus = _with_norm(_spread(embeddings)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
@@ -178,7 +270,7 @@ def ivf_topk(
     ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
 
     queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
-    cents = _with_norm(_centroids(embeddings)).select(
+    cents = _with_norm(_centroids(embeddings, n_centroids)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
@@ -267,7 +359,10 @@ SEMDEDUP_COSINE = NEARDUP_COSINE
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = NEARDUP_COSINE, n_assign: int = 1
+    embeddings: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    n_assign: int = 1,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """dd5: embedding-cosine near-duplicate pairs, IVF-bucketed.
 
@@ -285,8 +380,11 @@ def embedding_neardup_pairs(
     of k — so a skewed/giant centroid list spreads its O(n^2) pair
     scoring over S tasks instead of hot-spotting one. Each pair is
     produced exactly once (A meets B only at B's salt).
+
+    ``n_centroids`` ~sqrt(corpus) keeps within-list pair work ~linear
+    in the corpus (see :func:`_centroids`).
     """
-    assign = ivf_assignments(embeddings, n_assign=n_assign)
+    assign = ivf_assignments(embeddings, n_assign=n_assign, n_centroids=n_centroids)
     vecs = _with_norm(_spread(embeddings)).select(
         "vec_id", F.col("embedding").alias("emb"), F.col("norm").alias("nrm")
     ).join(assign, "vec_id")
@@ -327,7 +425,10 @@ def embedding_neardup_pairs(
 
 
 def semantic_dedup(
-    embeddings: DataFrame, threshold: float = SEMDEDUP_COSINE, n_assign: int = 1
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_COSINE,
+    n_assign: int = 1,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """sd1: SemDeDup-style embedding-cluster deduplication accounting.
 
@@ -349,10 +450,10 @@ def semantic_dedup(
     """
     # fates roll up under the PRIMARY assignment (one row per vector)
     # even when pair generation multi-assigns for recall
-    assign = ivf_assignments(embeddings)
+    assign = ivf_assignments(embeddings, n_centroids=n_centroids)
     # pairs emit vec_a < vec_b, so every vec_b has a smaller-id neighbor
     dropped = (
-        embedding_neardup_pairs(embeddings, threshold, n_assign=n_assign)
+        embedding_neardup_pairs(embeddings, threshold, n_assign=n_assign, n_centroids=n_centroids)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(True))
@@ -380,7 +481,12 @@ KNN_K = 5
 KNN_ASSIGN = 2  # top-2 multi-assignment (measured: graph recall 0.24 → 0.59)
 
 
-def knn_join(embeddings: DataFrame, k: int = KNN_K, n_assign: int = KNN_ASSIGN) -> DataFrame:
+def knn_join(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    n_assign: int = KNN_ASSIGN,
+    n_centroids: int | None = None,
+) -> DataFrame:
     """sim5: approximate k-NN GRAPH — top-k neighbors for EVERY corpus
     vector (not just a query slice): the build step for SemDeDup-style
     clustering, diversity sampling, and graph-based label propagation.
@@ -406,8 +512,11 @@ def knn_join(embeddings: DataFrame, k: int = KNN_K, n_assign: int = KNN_ASSIGN) 
     The oracle replicates the centroid assignment and within-list
     ranking exactly (same deterministic centroids, same IEEE fold), so
     this approximate operator still hash-matches bit-for-bit.
+
+    ``n_centroids`` ~sqrt(corpus) keeps within-list pair work ~linear
+    in the corpus (see :func:`_centroids`).
     """
-    assign = ivf_assignments(embeddings, n_assign=n_assign)
+    assign = ivf_assignments(embeddings, n_assign=n_assign, n_centroids=n_centroids)
     vecs = (
         _with_norm(_spread(embeddings))
         .select("vec_id", F.col("embedding").alias("emb"), F.col("norm").alias("nrm"))

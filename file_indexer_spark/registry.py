@@ -3128,9 +3128,9 @@ def dd9_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_extents(_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "pp1_curation_pipeline",
-    f"""
+# shared by pp1 (batch) and st7 (the same funnel as a stream): both
+# emit the identical per-source review table, so one oracle gates both
+_PP1_SQL = f"""
     -- End-to-end curation funnel: dd1 keeper rule -> t2 quality
     -- composite >= 0.5 -> ct1 decontamination, per-source accounting.
     WITH m AS (
@@ -3183,13 +3183,57 @@ def dd9_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens * keep_final) AS BIGINT) AS tokens_final,
            round(CAST(SUM(keep_final) AS DOUBLE) / COUNT(*), 6) AS retention
     FROM staged GROUP BY source ORDER BY source
-    """,
-)
+    """
+
+
+@register("pp1_curation_pipeline", _PP1_SQL)
 def pp1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation funnel (dd1 -> t2 -> ct1) with per-source
     accounting — every stage reuses its standalone operator's exact
     deterministic rule, so the whole funnel hash-matches."""
     return cu.curation_pipeline(_table(spark, sf_dir, "documents"))
+
+
+@register("st7_streaming_curation", _PP1_SQL)
+def st7_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: pp1's funnel applied AT INGESTION as a real stream — dd1
+    keeper via streaming ``dropDuplicates`` state, t2 quality map-side,
+    ct1 decontamination against a static benchmark broadcast — then
+    per-source accounting over the decision sink. The stream reproduces
+    the batch table exactly, so the FULL pp1 oracle hash-gates it.
+
+    Arrival order: each content hash's keeper (min doc_id) lands in
+    batch 1, re-arrivals in batch 2 — the deterministic rendition of an
+    ingestion log's "first copy arrives first" contract, under which
+    streaming first-seen == the batch min-doc_id rule (the general
+    ordering caveat is documented in streaming/curation.py)."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from file_indexer_spark.streaming import curation as sc
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st7", sf_dir)
+    src = os.path.join(base, "src")
+    docs = _table(spark, sf_dir, "documents")
+    ranked = docs.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id")),
+    )
+    cols = ["doc_id", "source", "text"]
+    _land_arrivals(
+        src,
+        [
+            ranked.filter("rk = 1").select(*cols),
+            ranked.filter("rk > 1").select(*cols),
+        ],
+    )
+    bench = sc.bench_shingle_set(docs)
+    stream = sc.read_source_docs_stream(spark, src, max_files_per_trigger=1)
+    sink = f"st7_sink_{tag}"
+    sc.run_to_memory_sink(sc.curation_stream(stream, bench), sink)
+    return sc.curation_accounting(docs, spark.table(sink))
 
 
 @register(

@@ -80,6 +80,18 @@ def test_cli_index_search_duplicates_stats(spark, tree, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "4 file(s)" in out
 
+    # exact --checksum search (reference cli.py:99 --search-checksum):
+    # a.txt/b.txt share content, so their checksum matches exactly 2 rows
+    import hashlib
+
+    digest = hashlib.sha256(b"hello world").hexdigest()
+    assert main(["search", "--db", db, "--checksum", digest], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "2 file(s)" in out
+    assert "a.txt" in out and "b.txt" in out
+    assert main(["search", "--db", db, "--checksum", "no-such"], spark=spark) == 0
+    assert "0 file(s)" in capsys.readouterr().out
+
     assert main(["duplicates", "--db", db], spark=spark) == 0
     out = capsys.readouterr().out
     assert "1 duplicate group(s)" in out

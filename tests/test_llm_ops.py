@@ -40,6 +40,60 @@ def test_ivf_recall_vs_exact(embeddings):
     assert recall >= 0.7, f"IVF recall {recall:.2f} too low"
 
 
+def test_parameterized_centroids(embeddings):
+    """n_centroids decouples the IVF centroid count from the label
+    cardinality (the 100 TB knob): exactly k centroids, every vector
+    assigned, pairs are a verified subset of the exact near-dup set
+    with usable recall, and larger k shrinks per-list pair work."""
+    from pyspark.sql import functions as F
+
+    n = embeddings.count()
+    # k=4/25 exercise flat assignment; k=200 crosses _HIER_THRESHOLD
+    # and exercises the two-level coarse-quantizer path
+    assert 200 > sim._HIER_THRESHOLD
+    for k in (4, 25, 200):
+        assign = sim.ivf_assignments(embeddings, n_centroids=k)
+        assert assign.count() == n, "every vector must be assigned"
+        n_lists = assign.select("centroid_id").distinct().count()
+        assert n_lists <= min(k, n)
+        if k < n // 2:
+            assert n_lists >= k - 2, f"hash-sampled seeds should spread ({n_lists}/{k})"
+
+    # brute-force ground truth (same pattern as the multi-assign test)
+    v = sim._with_norm(sim._spread(embeddings)).select(
+        "vec_id", F.col("embedding").alias("emb"), F.col("norm").alias("nrm")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", sim._cosine("a.emb", "a.nrm", "b.emb", "b.nrm"))
+        .filter(F.col("cosine") >= sim.NEARDUP_COSINE)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.embedding_neardup_pairs(
+            embeddings, n_assign=2, n_centroids=25
+        ).collect()
+    }
+    assert got <= exact, "IVF-bucketed pairs must verify exactly"
+    assert len(got) / max(len(exact), 1) >= 0.3, (len(got), len(exact))
+
+    # pair work shrinks as k grows: total within-list candidate pairs
+    def pair_work(k):
+        sizes = (
+            sim.ivf_assignments(embeddings, n_centroids=k)
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("m"))
+            .collect()
+        )
+        return sum(r["m"] * (r["m"] - 1) // 2 for r in sizes)
+
+    assert pair_work(25) < pair_work(4) / 3
+
+
 def test_minhash_lsh_finds_planted_near_dups(docs):
     # the synthetic corpus plants ~25 pairs with Jaccard >= 0.8
     lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in dd.minhash_lsh_pairs(docs).collect()}

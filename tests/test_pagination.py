@@ -36,6 +36,22 @@ def test_keyset_page_matches_offset_page(spark, sf_smoke):
     assert [(r["path"], r["filename"]) for r in page] == expect
 
 
+def test_keyset_directory_pages_cover_dirs_exactly_once(spark, sf_smoke):
+    """Directory keyset variant (reference indexer.py:1329-1361):
+    DISTINCT paths, cursor-paged by path > ?, global order, no repeats."""
+    files = _files(spark, sf_smoke).cache()
+    expect = sorted(r["path"] for r in files.select("path").distinct().collect())
+    seen = []
+    for page in srch.keyset_directory_pages(files, page_size=7):
+        assert len(page) <= 7
+        seen.extend(page)
+    assert seen == expect
+    # a single mid-table page matches the slice of the full ordering
+    cursor = expect[4]
+    page = [r["path"] for r in srch.keyset_directory_page(files, cursor, limit=3).collect()]
+    assert page == expect[5:8]
+
+
 def test_stream_grouped_duplicates_runs_groups(spark, sf_smoke):
     files = _files(spark, sf_smoke).cache()
     groups = list(srch.stream_grouped_duplicates(files))

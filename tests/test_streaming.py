@@ -209,3 +209,47 @@ def test_streaming_uniques_equal_batch_sketch(spark, sf_smoke):
         for r in ev.daily_uniques_approx(events_df(spark, sf_smoke)).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_streaming_curation_matches_batch_pipeline(spark, tmp_path):
+    """st7: the streaming curation funnel (dd1 keeper -> t2 quality ->
+    ct1 decontamination with a static benchmark broadcast) accounted
+    per source must equal the batch curation_pipeline (pp1) on the same
+    corpus. Files arrive in doc_id order with every duplicate pair
+    split across micro-batches, so streaming first-seen == batch
+    min-doc_id."""
+    from file_indexer_spark.operators.curation import curation_pipeline
+    from file_indexer_spark.streaming import curation as sc
+
+    # controlled corpus: cross-source exact dups, quality spread
+    # (degenerate repetition => low TTR fails t2), and whatever docs the
+    # md5 rule marks as benchmark members
+    rows = []
+    for i in range(40):
+        src = ["web", "books", "code"][i % 3]
+        if i % 7 == 1 and i > 1:
+            text = rows[i - 7][2]  # duplicate of an EARLIER doc (cross-batch)
+        elif i % 5 == 4:
+            text = "spam " * 30 + "spam"  # degenerate: fails quality
+        else:
+            text = " ".join(f"tok{i}_{j} common the and of" for j in range(12))
+        rows.append((i, src, text.strip() if isinstance(text, str) else text))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    src_dir = str(tmp_path / "docs_stream")
+    for start in range(0, 40, 5):  # 8 ordered files; dup pairs are 7 apart
+        docs.filter((F.col("doc_id") >= start) & (F.col("doc_id") < start + 5)) \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+
+    bench = sc.bench_shingle_set(docs)
+    stream = sc.read_source_docs_stream(spark, src_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    sc.run_to_memory_sink(sc.curation_stream(stream, bench), "st7_sink")
+    got = sc.curation_accounting(docs, spark.table("st7_sink")).collect()
+    want = curation_pipeline(docs).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # the funnel actually funnels on this corpus
+    want_by_src = {r["source"]: r for r in want}
+    assert sum(r["n_raw"] for r in want) == 40
+    assert any(r["n_after_dedup"] < r["n_raw"] for r in want)
+    assert any(r["n_after_quality"] < r["n_after_dedup"] for r in want)
