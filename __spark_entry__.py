@@ -38,13 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage.
 _DRIVER_PRIORITY = [
     # round 5: w7/t11 are the last two oracle-bearing queries never
-    # driver-checked (both pass the identical local oracle diff), and
-    # st7 is new this round (streaming curation funnel, full pp1
-    # oracle); they displace sp1/sp2/sp3, which are r4-green AND
-    # locally gated.
+    # driver-checked (both pass the identical local oracle diff);
+    # st7 (streaming curation funnel, full pp1 oracle) and sim6
+    # (two-level IVF assignment) are new this round. They displace
+    # sp1/sp2/sp3/st4, which are r4-green AND locally gated.
     "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
+    "sim6_hier_ivf_assign",
     "dd7_dedup_clusters",
-    "st4_streaming_dedup", "e6_retention_cohorts",
+    "e6_retention_cohorts",
     "sim4_filtered_ann", "t5_quality_retention", "w2_two_phase_roundtrip",
     "ct1_contamination", "ct2_pii_scrub", "ct3_repetition_stats",
     "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",

@@ -124,6 +124,8 @@ LLM_EXTENSION = [
     "dd9_duplicate_span_extents",
     "pp1_curation_pipeline",
     "t11_token_rarity",
+    # round 5: two-level IVF assignment (the parameterized-k build path)
+    "sim6_hier_ivf_assign",
 ]
 
 

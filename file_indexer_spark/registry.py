@@ -937,6 +937,64 @@ def sim3_brp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brp_lsh_neighbors(_table(spark, sf_dir, "embeddings"))
 
 
+_SIM6_K = 160  # > _HIER_THRESHOLD => exercises the two-level path
+_SIM6_M = 12  # isqrt(160): coarse centroid count the implementation derives
+
+
+@register(
+    "sim6_hier_ivf_assign",
+    f"""
+    -- Two-level (coarse-quantizer) IVF assignment: k hash-sampled seed
+    -- centroids, sqrt(k) coarse routers; every vector routes to its
+    -- nearest coarse cell, then argmax-assigns among that cell's fine
+    -- centroids. Deterministic end-to-end (md5 seed order, IEEE fold
+    -- dots, smaller-id tie-breaks) => full hash gate on the 100 TB
+    -- assignment path.
+    WITH c AS ({_DUCK_NORMS}),
+    seeds AS (SELECT vec_id FROM embeddings
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_SIM6_K}),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c JOIN seeds ON c.vec_id = seeds.vec_id),
+    coarse AS (SELECT centroid_id AS coarse_id, c_emb AS g_emb, c_norm AS g_norm
+               FROM cents ORDER BY md5(centroid_id::VARCHAR), centroid_id LIMIT {_SIM6_M}),
+    fine_routed AS (
+        SELECT centroid_id, c_emb, c_norm, coarse_id FROM (
+            SELECT f.centroid_id, f.c_emb, f.c_norm, g.coarse_id,
+                   row_number() OVER (PARTITION BY f.centroid_id ORDER BY
+                        {_DUCK_DOT.format(a="f.c_emb", b="g.g_emb")}
+                        / (f.c_norm * g.g_norm) DESC, g.coarse_id) AS rn
+            FROM cents f, coarse g) t WHERE rn = 1),
+    v_routed AS (
+        SELECT vec_id, embedding, norm, coarse_id FROM (
+            SELECT v.vec_id, v.embedding, v.norm, g.coarse_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="g.g_emb")}
+                        / (v.norm * g.g_norm) DESC, g.coarse_id) AS rn
+            FROM c v, coarse g) t WHERE rn = 1),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, f.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="f.c_emb")}
+                        / (v.norm * f.c_norm) DESC, f.centroid_id) AS rn
+            FROM v_routed v JOIN fine_routed f ON f.coarse_id = v.coarse_id) t
+        WHERE rn = 1)
+    SELECT vec_id, centroid_id FROM assign ORDER BY vec_id
+    """,
+)
+def sim6_hier_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM6: the parameterized-k IVF build through the two-level coarse
+    quantizer (n x 2*sqrt(k) dots instead of n x k — the assignment
+    shape that stays linear when k scales with the corpus; see
+    similarity.py _hier_scored and BENCH_SCALE_NEARDUP.json)."""
+    return (
+        sim.ivf_assignments(
+            _table(spark, sf_dir, "embeddings"), n_centroids=_SIM6_K
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ------------------------------------------------ LLM pillar: multimodal
 
 from file_indexer_spark.operators import multimodal as mm  # noqa: E402

@@ -296,3 +296,23 @@ def test_dd9_and_e13_plan_shapes(spark, sf_smoke):
     # second distinct-dedup exchange
     assert "Expand" not in pi.simple_plan(approx)
     assert pi.count_exchanges(approx) <= 2, pi.simple_plan(approx)
+
+
+def test_hierarchical_ivf_plan_shape(spark, sf_smoke):
+    """The two-level IVF assignment (n_centroids > _HIER_THRESHOLD)
+    must stay JVM-side and join only broadcast-sized sides: no
+    EvalPython, coarse routing and fine scoring both via broadcast —
+    the vector stream is never hash-exchanged onto a centroid key."""
+    from file_indexer_spark.operators import similarity as sm
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    assign = sm.ivf_assignments(emb, n_centroids=sm._HIER_THRESHOLD + 72)
+    plan = pi.simple_plan(assign)
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # flat path unchanged: small k still plans the single broadcast
+    flat = sm.ivf_assignments(emb, n_centroids=8)
+    assert "BroadcastNestedLoopJoin" in pi.simple_plan(flat) or "BroadcastHashJoin" in (
+        pi.simple_plan(flat)
+    ), pi.simple_plan(flat)

@@ -253,3 +253,58 @@ def test_streaming_curation_matches_batch_pipeline(spark, tmp_path):
     assert sum(r["n_raw"] for r in want) == 40
     assert any(r["n_after_dedup"] < r["n_raw"] for r in want)
     assert any(r["n_after_quality"] < r["n_after_dedup"] for r in want)
+
+
+def test_bounded_dedup_state_readmits_past_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate INSIDE the horizon is
+    filtered; the same content re-arriving far past the horizon is
+    admitted again (state for the old hash was dropped) — the bounded
+    state contract for unbounded ingestion streams."""
+    from pyspark.sql import types as T
+
+    from file_indexer_spark.streaming import dedup as sd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    src = str(tmp_path / "docs_ts")
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    # batch 1: first copy at t0; batch 2: dup 10 min later (inside the
+    # 1h horizon) + a watermark-advancing row; batch 3: the SAME
+    # content 10 DAYS later (far past the horizon) + another advancer
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    b1 = mk([(1, t0, "aaa")])
+    b2 = mk([(2, t0 + dt.timedelta(minutes=10), "aaa"),
+             (3, t0 + dt.timedelta(hours=3), "bbb")])
+    b3 = mk([(4, t0 + dt.timedelta(days=10), "aaa"),
+             (5, t0 + dt.timedelta(days=10, hours=3), "ccc")])
+    b4 = mk([(6, t0 + dt.timedelta(days=20), "aaa"),
+             (7, t0 + dt.timedelta(days=20, hours=3), "ddd")])
+    # pinned mtimes: the file source replays in mtime order, and rapid
+    # writes can land in the same mtime second
+    from file_indexer_spark.registry import _land_arrivals
+
+    _land_arrivals(src, [b1, b2, b3, b4])
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    sd.run_to_memory_sink(sd.dedup_stream_bounded(stream), "st4b_sink")
+    hashes = [r["content_hash"] for r in spark.table("st4b_sink").collect()]
+    import hashlib
+
+    aaa = hashlib.md5(b"aaa").hexdigest()
+    # "aaa" is emitted TWICE: batch 1, then again once its state has
+    # aged out of the store (state eviction lands one micro-batch after
+    # the watermark passes the expiry — measured: the day-10 re-arrival
+    # is still filtered, the day-20 one is re-admitted). The
+    # within-horizon dup (doc 2) is filtered.
+    assert hashes.count(aaa) == 2, hashes
+    assert len(hashes) == 5  # aaa, bbb, ccc, aaa(again), ddd
