@@ -43,10 +43,10 @@ _DRIVER_PRIORITY = [
     # (two-level IVF assignment) are new this round. They displace
     # sp1/sp2/sp3/st4, which are r4-green AND locally gated.
     "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
-    "sim6_hier_ivf_assign",
+    "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
+    "sim7_quantize",
     "dd7_dedup_clusters",
-    "e6_retention_cohorts",
-    "sim4_filtered_ann", "t5_quality_retention", "w2_two_phase_roundtrip",
+    "w2_two_phase_roundtrip",
     "ct1_contamination", "ct2_pii_scrub", "ct3_repetition_stats",
     "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",
     "h1_regional_revenue", "h2_returned_top_customers",

@@ -124,8 +124,12 @@ LLM_EXTENSION = [
     "dd9_duplicate_span_extents",
     "pp1_curation_pipeline",
     "t11_token_rarity",
-    # round 5: two-level IVF assignment (the parameterized-k build path)
+    # round 5: two-level IVF assignment (the parameterized-k build
+    # path), ExactSubstr strip pass, epoch shuffle, int8 quantization
     "sim6_hier_ivf_assign",
+    "dd10_strip_spans",
+    "sp6_epoch_shuffle",
+    "sim7_quantize",
 ]
 
 

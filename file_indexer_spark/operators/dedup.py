@@ -546,3 +546,47 @@ def duplicate_span_extents(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "span_tokens")
         .orderBy("doc_id", "span_start")
     )
+
+
+def strip_duplicated_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """dd10: APPLY dd9's strip list — the pass that actually rewrites
+    the corpus. Every token inside a dd9 extent is removed (Lee et
+    al.-style ExactSubstr dedup strips every occurrence of a duplicated
+    span, originals included — the paper's own semantics); the
+    survivors rejoin into ``stripped_text``. Emits per-doc before/after
+    token accounting, so the output is both the cleaned corpus and its
+    audit trail.
+
+    Shape: dd9's extents (zero joins, linear in gram occurrences)
+    collect to one small span array per affected doc; a LEFT join back
+    to the corpus on doc_id (most docs have no spans and pass through
+    untouched); the strip itself is one map-side higher-order filter
+    over (position, word) pairs — no explode of the corpus, no second
+    shuffle beyond the span collection.
+    """
+    spans = (
+        duplicate_span_extents(docs, n)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    kept = F.expr(
+        "filter(transform(sequence(1, size(words)), "
+        "i -> struct(i as p, element_at(words, i) as w)), "
+        "s -> spans IS NULL OR "
+        "size(filter(spans, sp -> s.p >= sp.span_start AND s.p <= sp.span_end)) = 0)"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .join(spans, "doc_id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.array_join(F.col("kept.w"), " ").alias("stripped_text"),
+            F.size("words").cast("long").alias("n_tokens_before"),
+            F.size("kept").cast("long").alias("n_tokens_after"),
+            (F.size("words") - F.size("kept")).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )

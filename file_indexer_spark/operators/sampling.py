@@ -261,3 +261,43 @@ def export_sharded(docs: DataFrame, out_dir: str, n_shards: int = N_SHARDS) -> N
         .mode("overwrite")
         .parquet(out_dir)
     )
+
+
+EPOCH_SHARDS = 16
+
+
+def epoch_shuffle(docs: DataFrame, seed: int = 0, n_shards: int = EPOCH_SHARDS) -> DataFrame:
+    """sp6: deterministic global training-order shuffle for one epoch.
+
+    Training runs must visit the corpus in a pseudo-random order that
+    is (a) different per epoch, (b) identical across re-runs/retries,
+    and (c) computable without a single-partition global sort. The
+    standard scalable shape: a content-stable order key
+    ``md5(seed:doc_id)`` routes each doc to one of ``n_shards``
+    epoch shards (consumed in shard order), and within a shard the
+    key's lexicographic order is the read order — so the "sort" is
+    n_shards independent window ranks, never one global row_number.
+    Changing ``seed`` reshuffles everything; same seed replays the
+    exact order (pre-emptions and task retries land identically).
+
+    Output: (doc_id, epoch_shard, shard_pos, n_tokens) ordered by
+    (epoch_shard, shard_pos) — the epoch's full read plan.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("epoch_shard")
+    w = Window.partitionBy("epoch_shard").orderBy("order_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            key.alias("order_key"),
+            shard,
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "epoch_shard", "shard_pos", "n_tokens")
+        .orderBy("epoch_shard", "shard_pos")
+    )

@@ -995,6 +995,41 @@ def sim6_hier_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim7_quantize",
+    """
+    -- Symmetric int8 scalar quantization: scale = 127/max|v|, ties
+    -- away from zero in both engines, per-vector error audit.
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS max_abs
+        FROM embeddings),
+    s AS (
+        SELECT vec_id, embedding,
+               CASE WHEN max_abs > 0 THEN 127.0 / max_abs END AS scale
+        FROM m),
+    qv AS (
+        SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                   x -> CAST(round(CASE WHEN scale IS NULL THEN 0.0
+                                        ELSE x::DOUBLE * scale END) AS INTEGER)) AS q
+        FROM s)
+    SELECT vec_id, q, round(scale, 6) AS scale,
+           round(CASE WHEN scale IS NULL THEN 0.0 ELSE
+                 list_max(list_transform(range(1, len(embedding) + 1),
+                     i -> abs(embedding[i]::DOUBLE - q[i]::DOUBLE / scale))) END,
+                 6) AS max_abs_err
+    FROM qv ORDER BY vec_id
+    """,
+)
+def sim7_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM7: int8 embedding storage form (4x smaller than float32) —
+    all map-side expression work, bit-identical across engines because
+    every element op is a pure function of one order-free per-vector
+    max."""
+    return sim.quantize_embeddings(_table(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------ LLM pillar: multimodal
 
 from file_indexer_spark.operators import multimodal as mm  # noqa: E402
@@ -2650,6 +2685,36 @@ def sp4_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sp6_epoch_shuffle",
+    f"""
+    -- Deterministic epoch shuffle: md5(seed:doc_id) routes each doc to
+    -- an epoch shard; within-shard key order is the read order. No
+    -- global row_number — n_shards independent ranks.
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5('0:' || doc_id::VARCHAR) AS order_key
+        FROM documents),
+    sharded AS (
+        SELECT doc_id, n_tokens, order_key,
+               CAST(CAST('0x' || substr(order_key, 1, 8) AS BIGINT)
+                    % {sp.EPOCH_SHARDS} AS BIGINT) AS epoch_shard
+        FROM keyed)
+    SELECT doc_id, epoch_shard,
+           CAST(row_number() OVER (PARTITION BY epoch_shard
+                ORDER BY order_key, doc_id) AS BIGINT) AS shard_pos,
+           n_tokens
+    FROM sharded ORDER BY epoch_shard, shard_pos
+    """,
+)
+def sp6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP6: the epoch's full read plan — content-stable pseudo-random
+    training order, reshuffled by seed, replayed identically across
+    retries; sharded so no global single-partition sort exists."""
+    return sp.epoch_shuffle(_table(spark, sf_dir, "documents"), seed=0)
+
+
+@register(
     "w5_incremental_update",
     """
     -- Incremental re-index (D1): after appending one byte to every
@@ -3144,12 +3209,8 @@ def w7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_at(1).orderBy("path", "filename")
 
 
-@register(
-    "dd9_duplicate_span_extents",
-    f"""
-    -- Exact-substring dedup extents: gaps-and-islands over positions
-    -- of word 3-grams occurring >= 2 times corpus-wide.
-    WITH grams AS (
+# shared by dd9 (the extent list) and dd10 (the strip pass applying it)
+_DD9_CTES = f"""grams AS (
         SELECT doc_id, n_tokens, u.p AS p, u.h AS h FROM (
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                    unnest(list_transform(
@@ -3169,9 +3230,17 @@ def w7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_tokens, p,
                SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
                                      ROWS UNBOUNDED PRECEDING) AS island
-        FROM flagged)
+        FROM flagged)"""
+
+
+@register(
+    "dd9_duplicate_span_extents",
+    f"""
+    -- Exact-substring dedup extents: gaps-and-islands over positions
+    -- of word 3-grams occurring >= 2 times corpus-wide.
     -- span_end clamped to the doc's token count (sub-gram-width docs
     -- use a whole-doc fallback gram whose raw end exceeds the doc)
+    WITH {_DD9_CTES}
     SELECT doc_id,
            CAST(MIN(p) AS BIGINT) AS span_start,
            CAST(LEAST(MAX(p) + 2, MAX(n_tokens)) AS BIGINT) AS span_end,
@@ -3184,6 +3253,47 @@ def dd9_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT window on the gram hash marks duplicated positions, one
     gaps-and-islands window per doc merges them into token intervals."""
     return dd.duplicate_span_extents(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd10_strip_spans",
+    f"""
+    -- The strip pass APPLYING dd9's extents: remove every token inside
+    -- a duplicated-span extent, rejoin the survivors, account.
+    WITH {_DD9_CTES},
+    spansagg AS (
+        SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans FROM (
+            SELECT doc_id,
+                   CAST(MIN(p) AS BIGINT) AS span_start,
+                   CAST(LEAST(MAX(p) + 2, MAX(n_tokens)) AS BIGINT) AS span_end
+            FROM islands GROUP BY doc_id, island)
+        GROUP BY doc_id),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    stripped AS (
+        SELECT d.doc_id, d.words,
+               list_filter(
+                   list_transform(range(1, len(d.words) + 1),
+                                  i -> {{'p': i, 'w': d.words[i]}}),
+                   s -> sp.spans IS NULL OR
+                        len(list_filter(sp.spans,
+                                        x -> s.p >= x.s AND s.p <= x.e)) = 0) AS kept
+        FROM w d LEFT JOIN spansagg sp USING (doc_id))
+    SELECT doc_id,
+           -- a fully-stripped doc is the empty string, not NULL
+           COALESCE(array_to_string(list_transform(kept, z -> z.w), ' '), '')
+               AS stripped_text,
+           CAST(len(words) AS BIGINT) AS n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after,
+           CAST(len(words) - len(kept) AS BIGINT) AS n_removed
+    FROM stripped ORDER BY doc_id
+    """,
+)
+def dd10_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD10: Lee et al.-style ExactSubstr strip — dd9's extent list
+    applied to the corpus (every duplicated-span token removed,
+    originals included, per the paper's semantics) with per-doc
+    before/after accounting."""
+    return dd.strip_duplicated_spans(_table(spark, sf_dir, "documents"))
 
 
 # shared by pp1 (batch) and st7 (the same funnel as a stream): both

@@ -650,3 +650,80 @@ def test_duplicate_span_extents_brute_force_parity(spark):
                 spans.append((p, end))
         expect += [(i, s, e, e - s + 1) for s, e in spans]
     assert got == expect, (got, expect)
+
+
+def test_strip_duplicated_spans_semantics(spark):
+    """dd10 on the dd9 fixture corpus: stripped text = tokens outside
+    every dd9 extent, fully-stripped docs become the empty string, and
+    accounting columns reconcile."""
+    from file_indexer_spark.operators import dedup as dd
+
+    texts = {
+        1: "a b c d e q r s",
+        2: "a b c m n c d e",
+        3: "x y z x y z",
+        4: "u v w",
+        5: "p q",
+        6: "p q",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    spans = {}
+    for r in dd.duplicate_span_extents(docs).collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    got = {r["doc_id"]: r for r in dd.strip_duplicated_spans(docs).collect()}
+    assert set(got) == set(texts), "every doc emits exactly one row"
+    for i, t in texts.items():
+        words = t.split(" ")
+        keep = [
+            w
+            for p, w in enumerate(words, start=1)
+            if not any(s <= p <= e for s, e in spans.get(i, []))
+        ]
+        r = got[i]
+        assert r["stripped_text"] == " ".join(keep), (i, r)
+        assert r["n_tokens_before"] == len(words)
+        assert r["n_tokens_after"] == len(keep)
+        assert r["n_removed"] == len(words) - len(keep)
+    # docs 3 (self-repetition covers everything), 5 and 6 (exact dup
+    # pair) strip to empty; doc 4 (unique) is untouched
+    assert got[3]["stripped_text"] == "" and got[5]["stripped_text"] == ""
+    assert got[4]["stripped_text"] == texts[4] and got[4]["n_removed"] == 0
+
+
+def test_epoch_shuffle_is_seeded_permutation(docs):
+    """sp6: a full permutation of the corpus (each doc exactly once,
+    contiguous 1..m positions per shard), identical across re-runs,
+    different order under a different seed."""
+    from file_indexer_spark.operators import sampling as sp
+
+    n = docs.count()
+    e0 = sp.epoch_shuffle(docs, seed=0).collect()
+    assert len(e0) == n and len({r["doc_id"] for r in e0}) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in e0:
+        by_shard.setdefault(r["epoch_shard"], []).append(r["shard_pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # replay-stable; seed changes the order
+    again = sp.epoch_shuffle(docs, seed=0).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in e0]
+    e1 = {r["doc_id"]: (r["epoch_shard"], r["shard_pos"])
+          for r in sp.epoch_shuffle(docs, seed=1).collect()}
+    e0map = {r["doc_id"]: (r["epoch_shard"], r["shard_pos"]) for r in e0}
+    assert e0map != e1, "different seed must reshuffle"
+
+
+def test_quantize_embeddings_error_bound(embeddings):
+    """sim7: int8 values stay in [-127, 127], the per-vector max
+    reconstruction error respects the scalar-quantization bound
+    (0.5 / scale), and dequantized cosine stays close to exact."""
+    from file_indexer_spark.operators import similarity as sm
+
+    rows = sm.quantize_embeddings(embeddings).collect()
+    assert len(rows) == embeddings.count()
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r["q"])
+        if r["scale"] is not None:
+            assert r["max_abs_err"] <= 0.5 / r["scale"] + 1e-6, r["vec_id"]

@@ -65,6 +65,11 @@ _NESTED_LOOP_OK = {
     "sim2_ivf_ann",
     "sim4_filtered_ann",  # sim1's scoring shape over a filtered corpus
     "dd5_embedding_neardup",
+    # sim6's two-level assignment crosses each row with the BROADCAST
+    # coarse-centroid set (sqrt(k) rows) — the bounded scoring pass
+    # that replaces the n x k flat cross; fine scoring joins on
+    # coarse_id (a real hash join, pinned in its own plan test).
+    "sim6_hier_ivf_assign",
     # sd1 = dd5's pair generation + a rollup; the nested loop is the
     # same bounded broadcast-centroid scoring pass as dd5/sim2.
     "sd1_semantic_dedup",
