@@ -338,6 +338,11 @@ SCALE_QUERIES = [
     "pp1_curation_pipeline",
     "dd9_duplicate_span_extents",
     "e13_daily_uniques",
+    # round 5: strip pass (dd9 + join-back), epoch shuffle (sharded
+    # ranks), int8 quantization (map-side)
+    "dd10_strip_spans",
+    "sp6_epoch_shuffle",
+    "sim7_quantize",
 ]
 
 

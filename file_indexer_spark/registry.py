@@ -155,6 +155,25 @@ def p7_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p7b_directory_page",
+    with_files_cte(
+        """
+        SELECT DISTINCT path FROM files
+        WHERE path > '/src1'
+        ORDER BY path LIMIT 40
+        """
+    ),
+)
+def p7b_directory_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 directory variant (reference indexer.py:1329-1361): cursor-
+    paged DISTINCT directories — the page source for empty-directory
+    cleanup."""
+    return srch.keyset_directory_page(
+        _files(spark, sf_dir), after_path="/src1", limit=40
+    )
+
+
 # P6: batch PK probe. The probe batch is derived from a fixed doc_id set
 # (langs vary per scale factor, so literal keys would not be portable)
 # plus one key that matches nothing — the inner probe must drop it.
