@@ -130,6 +130,7 @@ LLM_EXTENSION = [
     "dd10_strip_spans",
     "sp6_epoch_shuffle",
     "sim7_quantize",
+    "m6_image_ahash",
 ]
 
 

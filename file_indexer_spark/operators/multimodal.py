@@ -100,15 +100,15 @@ def encode_ppm(width: int, height: int, pixels: bytes, maxval: int = 255) -> byt
     return b"P6\n%d %d\n%d\n" % (width, height, maxval) + pixels
 
 
-def _decode_ppm(content: bytes | None) -> tuple:
-    """Parse a binary PPM (P6) header + raster. Pure Python, full spec:
+def _parse_ppm(content: bytes | None) -> tuple:
+    """Parse a binary PPM (P6) header. Pure Python, full spec:
     whitespace-separated width/height/maxval with ``#`` comments, one
-    whitespace byte before the raster, 3 samples/pixel. Returns the
-    DECODED_SCHEMA metadata tuple; errors become ``decode_error``."""
+    whitespace byte before the raster, 3 samples/pixel. Returns
+    ``(w, h, raster_offset, None)`` or ``(None, None, None, error)``."""
     if content is None:
-        return (None, None, None, None, "null content")
+        return (None, None, None, "null content")
     if not content.startswith(PPM_MAGIC):
-        return (None, None, None, None, "not a PPM")
+        return (None, None, None, "not a PPM")
     n = len(content)
     i, tokens = 2, []
     while len(tokens) < 3 and i < n:
@@ -125,20 +125,28 @@ def _decode_ppm(content: bytes | None) -> tuple:
             tokens.append(content[i:j])
         i = j
     if len(tokens) < 3:
-        return (None, None, None, None, "bad header")
+        return (None, None, None, "bad header")
     try:
         w, h, maxval = (int(t) for t in tokens)
     except ValueError:
-        return (None, None, None, None, "bad header")
+        return (None, None, None, "bad header")
     if w <= 0 or h <= 0:
-        return (None, None, None, None, "bad geometry")
+        return (None, None, None, "bad geometry")
     if not 0 < maxval < 256:
-        return (None, None, None, None, "unsupported maxval")
+        return (None, None, None, "unsupported maxval")
     i += 1  # exactly one whitespace byte separates header and raster
-    expected = w * h * 3
-    if n - i < expected:
-        return (None, None, None, None, "truncated payload")
-    return (w, h, 3, expected, None)
+    if n - i < w * h * 3:
+        return (None, None, None, "truncated payload")
+    return (w, h, i, None)
+
+
+def _decode_ppm(content: bytes | None) -> tuple:
+    """DECODED_SCHEMA metadata tuple for a PPM blob; errors become
+    ``decode_error`` (see :func:`_parse_ppm`)."""
+    w, h, _off, err = _parse_ppm(content)
+    if err is not None:
+        return (None, None, None, None, err)
+    return (w, h, 3, w * h * 3, None)
 
 
 def decode_image_real(media: DataFrame) -> DataFrame:
@@ -440,3 +448,69 @@ def ppm_media_from_docs(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "media_type": types, "content": blobs})
 
     return docs.select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.IntegerType(), True),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """m6: perceptual average-hash (aHash) fingerprint from DECODED
+    pixels — the codec-free image near-dup signal (group or band the
+    hash exactly like dd1/dd4 group text hashes).
+
+    Per valid image: grayscale each pixel as the INTEGER sum r+g+b
+    (0..765 — no /3, so no rounding rule to align between engines);
+    bit i of the hash is set iff ``gray_i * n_pixels >= total_gray``
+    (the integer-exact rendition of "pixel above mean"), LSB-first in
+    raster order. Every operation is integer arithmetic on decoded
+    bytes, so the DuckDB oracle recomputes the hash bit-for-bit from
+    the fixture derivation. Decode errors propagate as rows (the D6
+    pattern), never failures.
+
+    Scale shape: mapInPandas over the blobs where they sit (Arrow
+    batches, partition-local, no shuffle); the hash is O(pixels) per
+    image and the output is one narrow row per blob. Real pipelines
+    pool to a fixed 8x8 grid first — that is a resize (m5) composed
+    before this stage; the hash rule is identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                blob = None if c is None else bytes(c)
+                w, h, off, err = _parse_ppm(blob)
+                if err is not None:
+                    rows.append((int(mid), None, None, None, None, err))
+                    continue
+                n = w * h
+                raster = blob[off : off + n * 3]
+                grays = [
+                    raster[3 * i] + raster[3 * i + 1] + raster[3 * i + 2]
+                    for i in range(n)
+                ]
+                total = sum(grays)
+                ahash = 0
+                for i, g in enumerate(grays):
+                    if i >= 63:  # keep the fingerprint in a signed long
+                        break
+                    if g * n >= total:
+                        ahash |= 1 << i
+                rows.append((int(mid), w, h, n, ahash, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "ahash", "decode_error",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)

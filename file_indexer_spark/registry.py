@@ -1530,6 +1530,59 @@ def m2b_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m6_image_ahash",
+    """
+    -- Perceptual average-hash from DECODED PPM pixels: grayscale =
+    -- integer r+g+b per pixel, bit i set iff gray_i * n >= total
+    -- (integer-exact "above mean"), LSB-first in raster order. The
+    -- oracle recomputes every bit from the fixture derivation
+    -- (raster byte j = text byte j mod len — ASCII-asserted corpus).
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS L,
+               1 + doc_id % 8 AS w, 1 + doc_id % 5 AS h
+        FROM documents),
+    valid AS (
+        SELECT doc_id, w, h, w * h AS n,
+               list_transform(range(0, w * h), i ->
+                   ascii(substr(text, CAST(((3 * i) % L) + 1 AS BIGINT), 1))
+                 + ascii(substr(text, CAST(((3 * i + 1) % L) + 1 AS BIGINT), 1))
+                 + ascii(substr(text, CAST(((3 * i + 2) % L) + 1 AS BIGINT), 1))
+               ) AS grays
+        FROM base
+        WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 0 AND doc_id % 5 <> 0),
+    tot AS (SELECT *, list_sum(grays) AS total FROM valid),
+    hashed AS (
+        SELECT doc_id, w, h, n,
+               list_sum(list_transform(range(0, least(n, 63)), i ->
+                   CASE WHEN grays[CAST(i + 1 AS BIGINT)] * n >= total
+                        THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)) AS ahash
+        FROM tot)
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(n AS INTEGER) AS n_pixels, CAST(ahash AS BIGINT) AS ahash,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM hashed
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL,
+           CASE WHEN doc_id % 11 = 0 THEN 'null content'
+                WHEN doc_id % 7 = 0 THEN 'not a PPM'
+                ELSE 'truncated payload' END
+    FROM documents WHERE doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 5 = 0
+    ORDER BY media_id
+    """,
+)
+def m6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: codec-free perceptual image fingerprinting over the REAL
+    decoded PPM corpus — the multimodal near-dup signal (group/band
+    the hash like dd1/dd4 group text hashes). Integer-exact bits, so
+    the approximate-perception operator is still hash-gated."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.ppm_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.image_ahash(media).orderBy("media_id")
+
+
+@register(
     "m3_frame_sampling",
     """
     -- documents.text is pure ASCII in the driver's testdata (asserted:

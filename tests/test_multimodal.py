@@ -141,3 +141,27 @@ def test_extracted_features_feed_similarity_ops(spark):
     top = sim.cosine_topk(emb, queries=emb.filter("vec_id < 2"), k=3).collect()
     assert {r["query_id"] for r in top} == {0, 1}
     assert all(1 <= r["rank"] <= 3 for r in top)
+
+
+def test_image_ahash_semantics(spark):
+    """m6: bit i set iff pixel i's integer gray (r+g+b) is at or above
+    the image mean; uniform images hash to all-ones; identical rasters
+    with identical dims share the hash; errors propagate as rows."""
+    # 2x2 image: pixels gray-sums 3, 3, 300, 3 -> only pixel 2 above
+    # mean (309/4); bits LSB-first -> 0b0100
+    raster = bytes([1, 1, 1, 1, 1, 1, 100, 100, 100, 1, 1, 1])
+    rows = [
+        (1, "image", mm.encode_ppm(2, 2, raster)),
+        (2, "image", mm.encode_ppm(2, 2, bytes([7] * 12))),   # uniform
+        (3, "image", mm.encode_ppm(2, 2, raster)),            # dup of 1
+        (4, "image", b"\xff\xd8 nope"),
+        (5, "image", None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.image_ahash(media).collect()}
+    assert got[1]["ahash"] == 0b0100 and got[1]["n_pixels"] == 4
+    assert got[2]["ahash"] == 0b1111, "uniform image: every bit at mean"
+    assert got[3]["ahash"] == got[1]["ahash"], "identical rasters collide"
+    assert got[4]["decode_error"] == "not a PPM"
+    assert got[5]["decode_error"] == "null content"
+    assert got[4]["ahash"] is None

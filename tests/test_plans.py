@@ -321,3 +321,32 @@ def test_hierarchical_ivf_plan_shape(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in pi.simple_plan(flat) or "BroadcastHashJoin" in (
         pi.simple_plan(flat)
     ), pi.simple_plan(flat)
+
+
+def test_round5_operator_plan_shapes(spark, sf_smoke):
+    """dd10/sp6/sim7 stay JVM-side with the minimal shuffle budget:
+    dd10 = dd9's windows + ONE join back (no cartesian), sp6 = sharded
+    window (never a single global sort before the presentation
+    orderBy), sim7 = map-side only (spread + presentation sort)."""
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.operators import similarity as sm
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+
+    strip = pi.simple_plan(dd.strip_duplicated_spans(docs))
+    assert "EvalPython" not in strip
+    assert "CartesianProduct" not in strip and "BroadcastNestedLoopJoin" not in strip
+
+    shuffle = pi.simple_plan(sp.epoch_shuffle(docs))
+    assert "EvalPython" not in shuffle
+    assert "Window" in shuffle  # sharded rank, not a global row_number
+
+    quant = sm.quantize_embeddings(emb)
+    plan = pi.simple_plan(quant)
+    assert "EvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    # map-side work only: the spread repartition + presentation sort
+    assert pi.count_exchanges(quant) <= 2, plan
