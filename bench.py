@@ -131,6 +131,7 @@ LLM_EXTENSION = [
     "sp6_epoch_shuffle",
     "sim7_quantize",
     "m6_image_ahash",
+    "e14_session_window",
 ]
 
 

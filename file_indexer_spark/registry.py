@@ -667,6 +667,106 @@ def e1_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionize(_events(spark, sf_dir))
 
 
+# e14/st8 share one oracle: the native session_window API's split rule
+# (gap >= threshold starts a new session — vs e1's strict >), no
+# distinct-type count (streaming aggregations reject exact distincts).
+_E14_ORACLE = f"""
+    WITH flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= {ev.SESSION_GAP_MINUTES} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM sessions GROUP BY user_id, seq
+    ORDER BY user_id, session_start
+    """
+
+
+@register("e14_session_window", _E14_ORACLE)
+def e14_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: sessionization via the NATIVE ``F.session_window``
+    aggregation — the one-definition-for-batch-and-stream rendition of
+    e1 (same operator object runs st8's watermarked stream)."""
+    from file_indexer_spark.streaming import sessions as ss
+
+    return ss.session_window_sessions(_events(spark, sf_dir)).orderBy(
+        "user_id", "session_start"
+    )
+
+
+@register("st8_session_window_stream", _E14_ORACLE)
+def st8_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8: e14 as a REAL watermarked stream — the engine's built-in
+    stateful session windows (state = open sessions, merged and closed
+    as the watermark advances; append mode emits a session exactly once
+    when it can no longer grow). Two chronological arrivals split the
+    events mid-stream; two far-future sentinel arrivals then push the
+    watermark past every real session so append mode flushes them all
+    (eviction lands one micro-batch behind the watermark — the same
+    measured lag the bounded-dedup test pins). The sentinel user is
+    filtered from the result, which the FULL e14 oracle then
+    hash-gates."""
+    import os
+
+    from file_indexer_spark.streaming import sessions as ss
+    from file_indexer_spark.streaming import windows as sw
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st8", sf_dir)
+    src = os.path.join(base, "src")
+    ev2 = _events(spark, sf_dir)
+    mid = ev2.agg(F.max("event_id")).first()[0] // 2
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def sentinel(days: int) -> DataFrame:
+        return ev2.agg(F.max("ts").alias("mx")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.expr(f"mx + INTERVAL {days} DAYS").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
+    _land_arrivals(
+        src,
+        [
+            ev2.filter(F.col("event_id") <= mid).select(*cols),
+            ev2.filter(F.col("event_id") > mid).select(*cols),
+            sentinel(30),
+            sentinel(31),
+        ],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sink = f"st8_sink_{tag}"
+    (
+        ss.session_window_sessions(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
+
+
 @register("e1b_sessionization_skew", _E1_ORACLE)
 def e1b_sessionization_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 skew-safe variant: day-bucketed pre-sessionize + boundary

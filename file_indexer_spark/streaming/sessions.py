@@ -99,3 +99,35 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_window_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Native ``F.session_window`` sessionization — ONE definition that
+    runs both as a batch aggregation and as a stateful streaming query
+    (watermarked; state = open sessions only, merged/closed by the
+    engine as the watermark advances — the built-in alternative to the
+    ``applyInPandasWithState`` sessionizer above, with the split rule
+    the native API defines: a new session starts when the gap to the
+    previous event is >= ``gap``, vs the strict > of ``ev.sessionize``).
+
+    No COUNT(DISTINCT): streaming aggregations reject exact distincts
+    (unbounded per-group state); e1 keeps that column on the batch
+    path, st6 shows the sketch alternative.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.withWatermark("ts", watermark_delay) if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
