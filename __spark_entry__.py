@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
     "sim7_quantize", "p7b_directory_page", "m6_image_ahash",
     "e14_session_window", "st8_session_window_stream",
+    "h7_large_volume_customers",
     "dd7_dedup_clusters",
     "w2_two_phase_roundtrip",
     "ct1_contamination", "ct2_pii_scrub", "ct3_repetition_stats",

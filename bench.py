@@ -132,6 +132,7 @@ LLM_EXTENSION = [
     "sim7_quantize",
     "m6_image_ahash",
     "e14_session_window",
+    "h7_large_volume_customers",
 ]
 
 
@@ -331,6 +332,7 @@ SCALE_QUERIES = [
     "h4_pricing_summary",
     "h5_shipping_priority",
     "h6_revenue_forecast",
+    "h7_large_volume_customers",
     "sp5_stratified_sample",
     "dd8_duplicate_spans",
     "ct5_quality_rank_filter",

@@ -299,3 +299,44 @@ def revenue_forecast(
         F.count("*").cast("long").alias("n_lines"),
         F.sum("rev").cast("long").alias("revenue_e4"),
     )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_total_qty: int = 150,
+    limit: int = 100,
+) -> DataFrame:
+    """h7: the TPC-H Q18 shape — customers whose single orders exceed a
+    quantity threshold (large-volume buyers), top-k by order value.
+
+    Classic Q18 semi-joins lineitem against a HAVING subquery and then
+    RE-JOINS lineitem to re-sum the quantity. The declarative rewrite
+    keeps the aggregate's value from the first pass — the heavy
+    lineitem table is scanned and shuffled ONCE (on l_orderkey, its
+    natural clustering); everything after operates on the qualifying
+    orders (HAVING prunes ~97% here), and the final ordering is a
+    TakeOrderedAndProject, never a global sort. Quantities sum as
+    BIGINT (integral-valued doubles rounded once) so partial-agg order
+    cannot drift the HAVING boundary between engines.
+    """
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > min_total_qty)
+    )
+    return (
+        orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(limit)
+    )

@@ -3204,6 +3204,39 @@ def h6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "h7_large_volume_customers",
+    """
+    -- TPC-H Q18 shape: HAVING on the big per-order quantity aggregate,
+    -- then joins against orders/customer, top-100 by order value. The
+    -- engine's rewrite keeps the HAVING pass's sum instead of
+    -- re-joining lineitem (one fact shuffle, not two).
+    WITH q AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 150)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice, q.total_qty
+    FROM q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def h7_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers — HAVING-pruned per-order
+    quantity agg (one lineitem shuffle), joins shrink to the qualifying
+    orders, TakeOrderedAndProject top-100."""
+    tune_session(spark)
+    return rel.large_volume_customers(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
     "sim5_knn_join",
     f"""
     -- k-NN graph under the IVF constraint: neighbors share a centroid

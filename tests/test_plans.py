@@ -350,3 +350,20 @@ def test_round5_operator_plan_shapes(spark, sf_smoke):
     assert "Join" not in plan and "Window" not in plan, plan
     # map-side work only: the spread repartition + presentation sort
     assert pi.count_exchanges(quant) <= 2, plan
+
+
+def test_h7_single_lineitem_pass_and_topk(spark, sf_smoke):
+    """h7 (Q18 shape): exactly one lineitem aggregation pass (the
+    rewrite reuses the HAVING sum instead of re-joining lineitem), and
+    the final order is TakeOrderedAndProject, never a global sort."""
+    from file_indexer_spark.operators import relational as rel
+    from file_indexer_spark.tables import load_table
+
+    t = lambda n: load_table(spark, sf_smoke, n)  # noqa: E731
+    h7 = rel.large_volume_customers(t("customer"), t("orders"), t("lineitem"))
+    plan = pi.simple_plan(h7)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan
+    # one scan per table (3 total) — the classic Q18 re-join would
+    # show a fourth (second lineitem) scan
+    assert plan.count("Scan parquet") == 3, plan
