@@ -523,13 +523,28 @@ def main_scale_neardup() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[f"{name}:{label}"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # fixture version key: a crashed run leaves a partial dir and a
+    # generator change invalidates old fixtures — both must trigger
+    # regeneration, so the path carries the recipe constants and a
+    # _DONE marker gates reuse (write is atomic via marker-last).
+    recipe = f"v{_ND_VOCAB}w{_ND_WORDS}d{_ND_DIM}"
+
+    def _fixture(path: str, make) -> str:
+        if not os.path.isfile(os.path.join(path, "_DONE")):
+            make().write.mode("overwrite").parquet(path)
+            with open(os.path.join(path, "_DONE"), "w") as fh:
+                fh.write(recipe)
+        return path
+
     for label, n in [("x1", n1), (f"x{factor}", n1 * factor)]:
-        docs_path = f"/tmp/spark_graft_nd_docs_{n}.parquet"
-        vecs_path = f"/tmp/spark_graft_nd_vecs_{n}.parquet"
-        if not os.path.exists(docs_path):
-            _synth_docs(spark, n).write.mode("overwrite").parquet(docs_path)
-        if not os.path.exists(vecs_path):
-            _synth_embeddings(spark, n).write.mode("overwrite").parquet(vecs_path)
+        docs_path = _fixture(
+            f"/tmp/spark_graft_nd_docs_{recipe}_{n}.parquet",
+            lambda: _synth_docs(spark, n),
+        )
+        vecs_path = _fixture(
+            f"/tmp/spark_graft_nd_vecs_{recipe}_{n}.parquet",
+            lambda: _synth_embeddings(spark, n),
+        )
         docs = spark.read.parquet(docs_path)
         vecs = spark.read.parquet(vecs_path)
         k = max(n // NEARDUP_LIST_SIZE, 1)

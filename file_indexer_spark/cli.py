@@ -72,9 +72,12 @@ def _build_parser() -> argparse.ArgumentParser:
     add_db(p_search)
     p_search.add_argument("--filename")
     p_search.add_argument("--path")
-    p_search.add_argument("--checksum",
-                          help="exact checksum match (reference --search-checksum)")
+    # one checksum dimension per query: an exact value contradicts
+    # --no-checksum (and subsumes --has-checksum), so argparse rejects
+    # the combinations instead of silently matching nothing
     checks = p_search.add_mutually_exclusive_group()
+    checks.add_argument("--checksum",
+                        help="exact checksum match (reference --search-checksum)")
     checks.add_argument("--has-checksum", action="store_true")
     checks.add_argument("--no-checksum", action="store_true")
     p_search.add_argument("--limit", type=int, default=100)

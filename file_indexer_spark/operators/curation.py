@@ -348,6 +348,9 @@ def boilerplate_ngrams(
 # ------------------------------------------- ct5 quality rank filter
 
 KEEP_FRACTION = 0.75
+# pp1/st7's quality gate: keep docs with t2 composite >= this (the
+# same default threshold t2's low_quality flag uses)
+QUALITY_THRESHOLD = 0.5
 
 
 def quality_rank_filter(docs: DataFrame, keep_fraction: float = KEEP_FRACTION) -> DataFrame:
@@ -372,20 +375,17 @@ def quality_rank_filter(docs: DataFrame, keep_fraction: float = KEEP_FRACTION) -
     """
     from pyspark.sql.window import Window
 
-    from file_indexer_spark.operators.text import STOPWORDS
+    from file_indexer_spark.operators.text import quality_composite, quality_signal_columns
 
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sig = quality_signal_columns()
     d = docs.select(
         "doc_id",
         "source",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct_tokens"),
-        F.expr(f"size(filter(split(text, ' '), t -> t in ({stop_list})))").alias("n_stopwords"),
+        sig["n_tokens"].alias("n_tokens"),
+        sig["n_distinct_tokens"].alias("n_distinct_tokens"),
+        sig["n_stopwords"].alias("n_stopwords"),
     )
-    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
-    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
-    length_credit = F.least(F.col("n_tokens").cast("double") / 300.0, F.lit(1.0))
-    score = F.round(0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_credit, 6)
+    score = F.round(quality_composite(), 6)
     scored = d.select("doc_id", "source", score.alias("quality_score"))
     w = Window.partitionBy("source")
     wr = w.orderBy(F.desc("quality_score"), "doc_id")
@@ -478,23 +478,20 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from file_indexer_spark.operators.text import STOPWORDS
+    from file_indexer_spark.operators.text import quality_composite, quality_signal_columns
 
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sig = quality_signal_columns()
     base = docs.select(
         "doc_id",
         "source",
         F.md5("text").alias("content_hash"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct_tokens"),
-        F.expr(f"size(filter(split(text, ' '), t -> t in ({stop_list})))").alias("n_stopwords"),
+        sig["n_tokens"].alias("n_tokens"),
+        sig["n_distinct_tokens"].alias("n_distinct_tokens"),
+        sig["n_stopwords"].alias("n_stopwords"),
         (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == BENCH_HEX).alias("is_bench"),
     )
     keeper = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("content_hash"))
-    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
-    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
-    length_credit = F.least(F.col("n_tokens").cast("double") / 300.0, F.lit(1.0))
-    quality_ok = (0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_credit) >= F.lit(0.5)
+    quality_ok = quality_composite() >= F.lit(QUALITY_THRESHOLD)
 
     contaminated = benchmark_contamination(docs).select("doc_id", "contaminated")
     staged = (

@@ -478,9 +478,15 @@ def image_ahash(media: DataFrame) -> DataFrame:
 
     Scale shape: mapInPandas over the blobs where they sit (Arrow
     batches, partition-local, no shuffle); the hash is O(pixels) per
-    image and the output is one narrow row per blob. Real pipelines
-    pool to a fixed 8x8 grid first — that is a resize (m5) composed
-    before this stage; the hash rule is identical.
+    image and the output is one narrow row per blob.
+
+    Contract note: the fingerprint holds the FIRST 63 pixel bits (a
+    signed-long constraint, mirrored exactly in the oracle) — an
+    image with more pixels than that contributes only its first 63 to
+    the hash. Real pipelines pool to a fixed grid first (a resize, m5,
+    composed before this stage); pick a grid of <= 63 cells (e.g. 7x8)
+    so every cell participates, or widen the column to two longs for
+    canonical 64-bit aHash.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

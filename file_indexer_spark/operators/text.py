@@ -37,6 +37,31 @@ def _tokens():
     return F.split(F.col("text"), " ")
 
 
+def quality_signal_columns() -> dict:
+    """The token signals t2's composite consumes — THE single
+    definition every quality consumer (t2 here, ct5/pp1 in curation,
+    st7 in streaming) projects, so a rule change cannot silently
+    diverge one of them."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "n_tokens": F.size(_tokens()),
+        "n_distinct_tokens": F.expr("size(array_distinct(split(text, ' ')))"),
+        "n_stopwords": F.expr(
+            f"size(filter(split(text, ' '), t -> t in ({stop_list})))"
+        ),
+    }
+
+
+def quality_composite() -> F.Column:
+    """t2's composite score (UNROUNDED) over the
+    :func:`quality_signal_columns` projections: 0.5*TTR +
+    0.3*(1 - stopword_ratio) + 0.2*length_credit(300)."""
+    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
+    length_credit = F.least(F.col("n_tokens").cast("double") / 300.0, F.lit(1.0))
+    return 0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_credit
+
+
 def with_tokens(docs: DataFrame) -> DataFrame:
     """Whitespace tokenization (the BPE-ish regex split is t2's job)."""
     return docs.withColumn("tokens", _tokens())
@@ -79,24 +104,22 @@ def quality_scores(docs: DataFrame, min_score: float = 0.5) -> DataFrame:
     ``low_quality`` flags docs under ``min_score`` — the filter a
     training-data pipeline applies before ingestion.
     """
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sig = quality_signal_columns()
     d = docs.select(
         "doc_id",
         "lang",
-        F.size(_tokens()).alias("n_tokens"),
+        sig["n_tokens"].alias("n_tokens"),
         # BPE-ish subword proxy: alnum runs, ignoring whitespace/punct —
         # a second tokenizer path (regex, not split)
         F.expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").alias("n_regex_tokens"),
-        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct_tokens"),
+        sig["n_distinct_tokens"].alias("n_distinct_tokens"),
         F.expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))").alias(
             "total_token_chars"
         ),
-        F.expr(f"size(filter(split(text, ' '), t -> t in ({stop_list})))").alias("n_stopwords"),
+        sig["n_stopwords"].alias("n_stopwords"),
     )
-    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
     stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
-    length_credit = F.least(F.col("n_tokens").cast("double") / 300.0, F.lit(1.0))
-    score = 0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_credit
+    score = quality_composite()
     return (
         d.withColumn("avg_token_len", F.round(F.col("total_token_chars").cast("double") / F.col("n_tokens").cast("double"), 6))
         .withColumn("stopword_ratio", F.round(stop_ratio, 6))

@@ -751,15 +751,9 @@ def st8_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
     sink = f"st8_sink_{tag}"
-    (
-        ss.session_window_sessions(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from file_indexer_spark.streaming.util import run_to_memory_sink
+
+    run_to_memory_sink(ss.session_window_sessions(stream), sink, output_mode="append")
     return (
         spark.table(sink)
         .filter(F.col("user_id") >= 0)

@@ -84,18 +84,17 @@ def curation_stream(stream: DataFrame, bench_shingles: list[int]) -> DataFrame:
     decontamination verdicts use the batch operators' exact expression
     trees, so the downstream accounting reproduces pp1 bit-for-bit.
     """
-    from file_indexer_spark.operators.text import STOPWORDS
+    from file_indexer_spark.operators.curation import QUALITY_THRESHOLD
+    from file_indexer_spark.operators.text import quality_composite, quality_signal_columns
 
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sig = quality_signal_columns()
     base = stream.select(
         "doc_id",
         "source",
         F.md5("text").alias("content_hash"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct_tokens"),
-        F.expr(f"size(filter(split(text, ' '), t -> t in ({stop_list})))").alias(
-            "n_stopwords"
-        ),
+        sig["n_tokens"].alias("n_tokens"),
+        sig["n_distinct_tokens"].alias("n_distinct_tokens"),
+        sig["n_stopwords"].alias("n_stopwords"),
         (
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == BENCH_HEX
         ).alias("is_bench"),
@@ -103,10 +102,7 @@ def curation_stream(stream: DataFrame, bench_shingles: list[int]) -> DataFrame:
     ).withColumn("shingles", F.expr(H.spark_shingle_hashes_from_words()))
     deduped = base.dropDuplicates(["content_hash"])
 
-    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
-    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
-    length_credit = F.least(F.col("n_tokens").cast("double") / 300.0, F.lit(1.0))
-    quality_ok = (0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_credit) >= F.lit(0.5)
+    quality_ok = quality_composite() >= F.lit(QUALITY_THRESHOLD)
 
     bench_arr = (
         F.array(*(F.lit(int(h)).cast("long") for h in bench_shingles))
@@ -127,14 +123,9 @@ def curation_stream(stream: DataFrame, bench_shingles: list[int]) -> DataFrame:
 
 
 def run_to_memory_sink(stream_df: DataFrame, table_name: str) -> None:
-    (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from file_indexer_spark.streaming.util import run_to_memory_sink as _run
+
+    _run(stream_df, table_name, output_mode="append")
 
 
 def curation_accounting(raw_docs: DataFrame, decisions: DataFrame) -> DataFrame:

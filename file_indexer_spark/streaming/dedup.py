@@ -68,11 +68,6 @@ def dedup_stream_bounded(stream: DataFrame, watermark: str = "1 hour") -> DataFr
 
 
 def run_to_memory_sink(stream_df: DataFrame, table_name: str) -> None:
-    (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from file_indexer_spark.streaming.util import run_to_memory_sink as _run
+
+    _run(stream_df, table_name, output_mode="append")

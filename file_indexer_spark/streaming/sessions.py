@@ -103,7 +103,7 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
 
 def session_window_sessions(
     events: DataFrame,
-    gap: str = "30 minutes",
+    gap: str | None = None,
     watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Native ``F.session_window`` sessionization — ONE definition that
@@ -120,6 +120,12 @@ def session_window_sessions(
     """
     from pyspark.sql import functions as F
 
+    from file_indexer_spark.operators.events import SESSION_GAP_MINUTES
+
+    # default derives from the SAME constant every other sessionizer
+    # (e1/e1b/st3) and the e14/st8 oracle use — changing it moves all
+    # of them together
+    gap = gap or f"{SESSION_GAP_MINUTES} minutes"
     src = events.withWatermark("ts", watermark_delay) if events.isStreaming else events
     return (
         src.groupBy("user_id", F.session_window("ts", gap).alias("sw"))

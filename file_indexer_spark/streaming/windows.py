@@ -80,16 +80,10 @@ def windowed_counts(
 
 def run_to_memory_sink(stream_df: DataFrame, table_name: str):
     """Drain everything currently available into an in-memory table and
-    stop — the deterministic test harness for streaming queries."""
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return query
+    stop (complete mode: windowed aggs re-emit full state)."""
+    from file_indexer_spark.streaming.util import run_to_memory_sink as _run
+
+    return _run(stream_df, table_name, output_mode="complete")
 
 
 def windowed_uniques(

@@ -91,6 +91,12 @@ def test_cli_index_search_duplicates_stats(spark, tree, tmp_path, capsys):
     assert "a.txt" in out and "b.txt" in out
     assert main(["search", "--db", db, "--checksum", "no-such"], spark=spark) == 0
     assert "0 file(s)" in capsys.readouterr().out
+    # contradictory checksum dimensions are rejected, not silently empty
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["search", "--db", db, "--checksum", "x", "--no-checksum"], spark=spark)
+    capsys.readouterr()
 
     assert main(["duplicates", "--db", db], spark=spark) == 0
     out = capsys.readouterr().out
