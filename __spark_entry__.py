@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
     "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
     "sim7_quantize", "p7b_directory_page", "m6_image_ahash",
+    "m6b_image_dup_groups",
     "e14_session_window", "st8_session_window_stream",
     "h7_large_volume_customers",
     "dd7_dedup_clusters",

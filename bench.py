@@ -131,6 +131,7 @@ LLM_EXTENSION = [
     "sp6_epoch_shuffle",
     "sim7_quantize",
     "m6_image_ahash",
+    "m6b_image_dup_groups",
     "e14_session_window",
     "h7_large_volume_customers",
 ]

@@ -520,3 +520,27 @@ def image_ahash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def image_duplicate_groups(media: DataFrame, min_group_size: int = 2) -> DataFrame:
+    """m6b: perceptual duplicate groups — the consumer of
+    :func:`image_ahash`, exactly the shape of the reference's checksum
+    duplicate-groups (J2) applied to image content: images sharing
+    (width, height, ahash) form a group; the min media_id is the
+    canonical keeper. Small images collide aggressively (few hash
+    bits) — the production pipeline pools to a fixed grid first (m5),
+    which this operator is agnostic to.
+
+    One hash-shuffle on the (w, h, ahash) key over the O(images)
+    fingerprint table; everything upstream is the partition-local
+    decode."""
+    hashed = image_ahash(media).filter(F.col("decode_error").isNull())
+    return (
+        hashed.groupBy("width", "height", "ahash")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.min("media_id").alias("canonical_media_id"),
+        )
+        .filter(F.col("n_images") >= min_group_size)
+        .orderBy("width", "height", "ahash")
+    )

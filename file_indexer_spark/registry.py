@@ -1623,15 +1623,8 @@ def m2b_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_image_real(media).orderBy("media_id")
 
 
-@register(
-    "m6_image_ahash",
-    """
-    -- Perceptual average-hash from DECODED PPM pixels: grayscale =
-    -- integer r+g+b per pixel, bit i set iff gray_i * n >= total
-    -- (integer-exact "above mean"), LSB-first in raster order. The
-    -- oracle recomputes every bit from the fixture derivation
-    -- (raster byte j = text byte j mod len — ASCII-asserted corpus).
-    WITH base AS (
+# shared by m6 (per-image aHash) and m6b (the duplicate groups over it)
+_M6_CTES = """base AS (
         SELECT doc_id, text, length(text) AS L,
                1 + doc_id % 8 AS w, 1 + doc_id % 5 AS h
         FROM documents),
@@ -1650,7 +1643,18 @@ def m2b_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sum(list_transform(range(0, least(n, 63)), i ->
                    CASE WHEN grays[CAST(i + 1 AS BIGINT)] * n >= total
                         THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)) AS ahash
-        FROM tot)
+        FROM tot)"""
+
+
+@register(
+    "m6_image_ahash",
+    f"""
+    -- Perceptual average-hash from DECODED PPM pixels: grayscale =
+    -- integer r+g+b per pixel, bit i set iff gray_i * n >= total
+    -- (integer-exact "above mean"), LSB-first in raster order. The
+    -- oracle recomputes every bit from the fixture derivation
+    -- (raster byte j = text byte j mod len — ASCII-asserted corpus).
+    WITH {_M6_CTES}
     SELECT doc_id AS media_id,
            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
            CAST(n AS INTEGER) AS n_pixels, CAST(ahash AS BIGINT) AS ahash,
@@ -1674,6 +1678,31 @@ def m6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.ppm_media_from_docs(_table(spark, sf_dir, "documents"))
     return mm.image_ahash(media).orderBy("media_id")
+
+
+@register(
+    "m6b_image_dup_groups",
+    f"""
+    -- Perceptual duplicate groups: images sharing (w, h, ahash) — the
+    -- reference's checksum duplicate-groups shape (J2) on image
+    -- content; min media_id is the canonical keeper.
+    WITH {_M6_CTES}
+    SELECT CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(ahash AS BIGINT) AS ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(doc_id) AS canonical_media_id
+    FROM hashed GROUP BY w, h, ahash HAVING COUNT(*) >= 2
+    ORDER BY width, height, ahash
+    """,
+)
+def m6b_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6b: image duplicate groups over the aHash fingerprints — one
+    hash-shuffle on the (w, h, ahash) key, J2's groups shape on
+    perceptual image content."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.ppm_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.image_duplicate_groups(media)
 
 
 @register(
