@@ -37,14 +37,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # window verifies them; the already-verified ones keep local regression
 # coverage.
 _DRIVER_PRIORITY = [
-    # round 5: w7/t11 are the last two oracle-bearing queries never
-    # driver-checked (both pass the identical local oracle diff);
-    # st7 (streaming curation funnel, full pp1 oracle) and sim6
-    # (two-level IVF assignment) are new this round. They displace
-    # sp1/sp2/sp3/st4, which are r4-green AND locally gated.
+    # round 6: sim7 leads (its r5 row errored on the raw array<int>
+    # column — now serialized via to_json on both engines, the a12
+    # pattern).  Behind it: the four rows-only sketch queries that have
+    # never had ANY driver row (t6a/e12a/e13a/st6 — rows+schema checks
+    # are weaker than hash but stronger than nothing), then this
+    # round's new oracle-gated entries (m6c canonical 8x8 aHash, w7b
+    # multi-generation vacuum, e1c single-shuffle session stats).
+    # r5-green rows they displace stay under the local oracle gate.
+    "sim7_quantize",
+    "t6a_length_percentiles_approx", "e12a_gap_percentiles_approx",
+    "e13a_daily_uniques_approx", "st6_streaming_uniques",
+    "m6c_image_ahash_canonical", "w7b_vacuum_history", "e1c_session_stats",
     "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
     "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
-    "sim7_quantize", "p7b_directory_page", "m6_image_ahash",
+    "p7b_directory_page", "m6_image_ahash",
     "m6b_image_dup_groups",
     "e14_session_window", "st8_session_window_stream",
     "h7_large_volume_customers",

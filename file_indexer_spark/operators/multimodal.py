@@ -522,6 +522,140 @@ def image_ahash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
 
 
+def ppm_multires_media_from_docs(docs: DataFrame) -> DataFrame:
+    """m6c gate fixture: a mixed-RESOLUTION PPM corpus where scaled
+    copies of the same image exist under different media_ids.
+
+    Per document two spec-valid P6 blobs:
+
+      * ``media_id = 2*doc_id``   — base image, ``w0 = 4 + id%5``,
+        ``h0 = 4 + id%3``, raster byte j = utf-8 text byte ``j mod L``
+        (the same tiling rule as :func:`ppm_media_from_docs`);
+      * ``media_id = 2*doc_id+1`` — the SAME image pixel-replicated by
+        ``s = 2 + id%2`` (2x or 3x): pixel (x, y) = base(x//s, y//s).
+
+    The pair is a scaled copy, so a resolution-invariant fingerprint
+    must collide on it; distinct documents have distinct rasters, so
+    cross-doc collisions stay rare.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w0, h0 = 4 + did % 5, 4 + did % 3
+                s = 2 + did % 2
+                raw = text.encode("utf-8")
+                need = w0 * h0 * 3
+                base = (raw * (need // max(len(raw), 1) + 1))[:need]
+                ids.append(2 * did)
+                types.append("image")
+                blobs.append(encode_ppm(w0, h0, base))
+                up = bytearray()
+                for y in range(h0 * s):
+                    for x in range(w0 * s):
+                        p = (y // s) * w0 + (x // s)
+                        up += base[3 * p : 3 * p + 3]
+                ids.append(2 * did + 1)
+                types.append("image")
+                blobs.append(encode_ppm(w0 * s, h0 * s, bytes(up)))
+            yield pd.DataFrame({"media_id": ids, "media_type": types, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+AHASH64_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("ahash64", T.StringType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+AHASH_GRID = 8  # canonical 8x8 aHash grid
+
+
+def image_ahash_canonical(media: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+    """m6c: CANONICAL resolution-invariant aHash — the m5 fixed-grid
+    pooling composed with the m6 bit rule, full 64 bits.
+
+    Per valid image: nearest-neighbor-sample a ``grid x grid`` lattice
+    (``sx = tx*w//grid``, ``sy = ty*h//grid`` — exactly m5's resize
+    rule), grayscale each sample as integer r+g+b, and set bit
+    ``i = ty*grid+tx`` (LSB-first) iff ``gray_i * grid^2 >=
+    sum(grays)``. The fingerprint is emitted as a 16-char zero-padded
+    hex STRING, clearing m6's 63-bit signed-long cap.
+
+    Resolution invariance is exact, not approximate: for a pixel-
+    replicated s-times upscale, the lattice sample index is
+    ``((a*s)//grid)//s == a//grid`` (floor-division composition), so a
+    scaled copy samples the identical source pixels and produces the
+    identical 64 bits — which is why this perceptual operator can be
+    hash-gated against a DuckDB oracle on the mixed-resolution fixture.
+
+    Scale shape: identical to m6 — mapInPandas where the blobs sit,
+    O(grid^2) work per image after the O(1) header parse (the grid
+    sampling never touches more than 64 pixels regardless of
+    resolution), one narrow row out per blob, no shuffle.
+    """
+
+    cells = grid * grid
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                blob = None if c is None else bytes(c)
+                w, h, off, err = _parse_ppm(blob)
+                if err is not None:
+                    rows.append((int(mid), None, None, None, err))
+                    continue
+                grays = []
+                for ty in range(grid):
+                    sy = ty * h // grid
+                    for tx in range(grid):
+                        sx = tx * w // grid
+                        p = off + 3 * (sy * w + sx)
+                        grays.append(blob[p] + blob[p + 1] + blob[p + 2])
+                total = sum(grays)
+                bits = 0
+                for i, g in enumerate(grays):
+                    if g * cells >= total:
+                        bits |= 1 << i
+                rows.append(
+                    (int(mid), w, h, f"{bits:0{cells // 4}x}", None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "ahash64", "decode_error"],
+            )
+
+    return media.mapInPandas(batches, schema=AHASH64_SCHEMA)
+
+
+def image_duplicate_groups_canonical(
+    media: DataFrame, min_group_size: int = 2
+) -> DataFrame:
+    """m6d: perceptual duplicate groups over the CANONICAL fingerprint
+    — resolution-invariant, so the group key is ``ahash64`` alone
+    (unlike m6b's (w, h, ahash), scaled copies land in one group).
+    One hash-shuffle on the 16-char key over the O(images) fingerprint
+    table; decode stays partition-local."""
+    hashed = image_ahash_canonical(media).filter(F.col("decode_error").isNull())
+    return (
+        hashed.groupBy("ahash64")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.min("media_id").alias("canonical_media_id"),
+        )
+        .filter(F.col("n_images") >= min_group_size)
+        .orderBy("ahash64")
+    )
+
+
 def image_duplicate_groups(media: DataFrame, min_group_size: int = 2) -> DataFrame:
     """m6b: perceptual duplicate groups — the consumer of
     :func:`image_ahash`, exactly the shape of the reference's checksum

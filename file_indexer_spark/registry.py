@@ -1127,7 +1127,7 @@ def sim6_hier_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x -> CAST(round(CASE WHEN scale IS NULL THEN 0.0
                                         ELSE x::DOUBLE * scale END) AS INTEGER)) AS q
         FROM s)
-    SELECT vec_id, q, round(scale, 6) AS scale,
+    SELECT vec_id, to_json(q) AS q, round(scale, 6) AS scale,
            round(CASE WHEN scale IS NULL THEN 0.0 ELSE
                  list_max(list_transform(range(1, len(embedding) + 1),
                      i -> abs(embedding[i]::DOUBLE - q[i]::DOUBLE / scale))) END,
@@ -1139,8 +1139,17 @@ def sim7_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIM7: int8 embedding storage form (4x smaller than float32) —
     all map-side expression work, bit-identical across engines because
     every element op is a pure function of one order-free per-vector
-    max."""
-    return sim.quantize_embeddings(_table(spark, sf_dir, "embeddings"))
+    max.
+
+    The raw ``array<int>`` form stays available via
+    ``sim.quantize_embeddings``; the gate-registered variant serializes
+    ``q`` to one compact JSON string per vector (``[1,2,3]`` in both
+    engines) so the driver's canonicalizer can sort/hash it — the same
+    a12 pattern (CORRECTNESS_r05 recorded sim7's raw-array row as a
+    canonicalizer TypeError, exactly a12's round-1 failure)."""
+    return sim.quantize_embeddings(
+        _table(spark, sf_dir, "embeddings")
+    ).withColumn("q", F.to_json("q"))
 
 
 # ------------------------------------------------ LLM pillar: multimodal
@@ -1703,6 +1712,102 @@ def m6b_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.ppm_media_from_docs(_table(spark, sf_dir, "documents"))
     return mm.image_duplicate_groups(media)
+
+
+# shared by m6c (canonical per-image hash) and m6d (the resolution-
+# invariant duplicate groups over it).  The oracle recomputes the 8x8
+# lattice hash ONCE per document from base geometry: a pixel-replicated
+# upscale samples the identical source pixels (((a*s)//8)//s == a//8),
+# so both the base row and the scaled-copy row carry the same 64 bits.
+_M6C_CTES = """base AS (
+        SELECT doc_id, text, length(text) AS L,
+               4 + doc_id % 5 AS w0, 4 + doc_id % 3 AS h0,
+               2 + doc_id % 2 AS s
+        FROM documents),
+    pix AS (  -- lattice source-pixel index per grid cell (ty*8+tx)
+        SELECT doc_id, text, L, w0, h0, s,
+               list_transform(range(0, 64), i ->
+                   ((i // 8) * h0 // 8) * w0 + ((i % 8) * w0 // 8)) AS pidx
+        FROM base),
+    g AS (
+        SELECT doc_id, w0, h0, s,
+               list_transform(pidx, p ->
+                   ascii(substr(text, CAST((3 * p) % L + 1 AS BIGINT), 1))
+                 + ascii(substr(text, CAST((3 * p + 1) % L + 1 AS BIGINT), 1))
+                 + ascii(substr(text, CAST((3 * p + 2) % L + 1 AS BIGINT), 1))
+               ) AS grays
+        FROM pix),
+    tot AS (SELECT *, list_sum(grays) AS total FROM g),
+    hashed AS (  -- two 32-bit words dodge the signed-BIGINT bit-63 cap
+        SELECT doc_id, w0, h0, s,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                   CASE WHEN grays[CAST(i + 1 AS BIGINT)] * 64 >= total
+                        THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END))
+                    AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(range(32, 64), i ->
+                   CASE WHEN grays[CAST(i + 1 AS BIGINT)] * 64 >= total
+                        THEN (1::BIGINT << CAST(i - 32 AS INTEGER)) ELSE 0 END))
+                    AS BIGINT) AS hi
+        FROM tot),
+    fp AS (
+        SELECT doc_id * 2 AS media_id, CAST(w0 AS INTEGER) AS width,
+               CAST(h0 AS INTEGER) AS height,
+               printf('%08x%08x', hi, lo) AS ahash64
+        FROM hashed
+        UNION ALL
+        SELECT doc_id * 2 + 1, CAST(w0 * s AS INTEGER),
+               CAST(h0 * s AS INTEGER), printf('%08x%08x', hi, lo)
+        FROM hashed)"""
+
+
+@register(
+    "m6c_image_ahash_canonical",
+    f"""
+    -- Canonical 8x8 aHash: nearest-neighbor lattice pooling (m5's
+    -- resize rule) + integer above-mean bits, full 64 bits as a hex
+    -- string.  Resolution-invariant BY FLOOR-DIV IDENTITY, so the
+    -- oracle computes one hash per doc and both the base and the
+    -- pixel-replicated scaled copy carry it.
+    WITH {_M6C_CTES}
+    SELECT media_id, width, height, ahash64,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM fp ORDER BY media_id
+    """,
+)
+def m6c_image_ahash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6c: canonical resolution-invariant perceptual hash — the m5
+    fixed-grid pooling composed into m6, 64 full bits as hex (clears
+    the 63-pixel signed-long cap the round-5 verdict flagged). Gated on
+    the mixed-resolution fixture where every doc ships a base image AND
+    a 2x/3x pixel-replicated copy: the pair MUST collide, and does,
+    bit-exactly in both engines."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.ppm_multires_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.image_ahash_canonical(media).orderBy("media_id")
+
+
+@register(
+    "m6d_image_dup_groups_canonical",
+    f"""
+    -- Resolution-invariant duplicate groups: key is ahash64 ALONE
+    -- (scaled copies land in one group — the fix for m6b's
+    -- same-resolution-only grouping).
+    WITH {_M6C_CTES}
+    SELECT ahash64, CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(media_id) AS canonical_media_id
+    FROM fp GROUP BY ahash64 HAVING COUNT(*) >= 2
+    ORDER BY ahash64
+    """,
+)
+def m6d_image_dup_groups_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6d: m6b's grouping re-gated on the canonical fingerprint —
+    every base/scaled pair groups together across resolutions; one
+    hash-shuffle on the 16-char key."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.ppm_multires_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.image_duplicate_groups_canonical(media)
 
 
 @register(

@@ -165,3 +165,50 @@ def test_image_ahash_semantics(spark):
     assert got[4]["decode_error"] == "not a PPM"
     assert got[5]["decode_error"] == "null content"
     assert got[4]["ahash"] is None
+
+
+def test_canonical_ahash_resolution_invariance(spark):
+    """m6c contract: a pixel-replicated upscale produces the IDENTICAL
+    64-bit fingerprint (floor-div lattice identity), distinct images
+    produce distinct fingerprints, and the hex column is 16 chars with
+    no signed-long truncation (an image whose top-left lattice cells
+    are bright sets high bits)."""
+    import random
+
+    rng = random.Random(42)
+    base_w, base_h = 5, 4
+    raster = bytes(rng.randrange(256) for _ in range(base_w * base_h * 3))
+
+    def upscale(w, h, r, s):
+        out = bytearray()
+        for y in range(h * s):
+            for x in range(w * s):
+                p = (y // s) * w + (x // s)
+                out += r[3 * p : 3 * p + 3]
+        return bytes(out)
+
+    other = bytes(rng.randrange(256) for _ in range(base_w * base_h * 3))
+    rows = [
+        (1, "image", mm.encode_ppm(base_w, base_h, raster)),
+        (2, "image", mm.encode_ppm(base_w * 2, base_h * 2, upscale(base_w, base_h, raster, 2))),
+        (3, "image", mm.encode_ppm(base_w * 3, base_h * 3, upscale(base_w, base_h, raster, 3))),
+        (4, "image", mm.encode_ppm(base_w, base_h, other)),
+        # all-bright image: every bit at mean -> hash ffffffffffffffff,
+        # impossible under the old 63-bit signed-long cap
+        (5, "image", mm.encode_ppm(2, 2, bytes([200] * 12))),
+        (6, "image", None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.image_ahash_canonical(media).collect()}
+    assert got[1]["ahash64"] == got[2]["ahash64"] == got[3]["ahash64"], (
+        "scaled copies must collide"
+    )
+    assert got[4]["ahash64"] != got[1]["ahash64"], "distinct images must not"
+    assert len(got[1]["ahash64"]) == 16
+    assert got[5]["ahash64"] == "f" * 16, "full 64 bits, no signed cap"
+    assert got[6]["decode_error"] == "null content"
+
+    groups = mm.image_duplicate_groups_canonical(media).collect()
+    trio = [g for g in groups if g["ahash64"] == got[1]["ahash64"]]
+    assert len(trio) == 1 and trio[0]["n_images"] == 3
+    assert trio[0]["canonical_media_id"] == 1
