@@ -157,6 +157,122 @@ def sessionize_skew_safe(
     )
 
 
+def session_stats_skew_safe(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """e1c: per-session stats WITHOUT global session numbering — the
+    contract change that removes e1b's second full-volume pass.
+
+    e1b must renumber every session per user (``session_seq``), which
+    forces its fragment-merge window to visit ALL fragments (≈ events
+    on a near-singleton-session corpus — the measured 11.6× tail at
+    100×, PERFORMANCE.md). Dropping the ordinal makes ``(user_id,
+    session_start)`` the session key, and then a pure TIME predicate
+    bounds the merge work:
+
+      * pass 1 (unchanged from e1b): sessionize within ``(user_id,
+        day)`` buckets — skew-safe, the giant user spreads over days;
+      * a fragment can merge across a midnight iff it is within one
+        gap of a day edge: ``frag_end + gap >= day+1d`` (provably the
+        LAST fragment of its day — a later same-day fragment would
+        have to start after ``frag_end + gap`` yet before midnight)
+        or ``frag_start <= day + gap`` (provably the FIRST — an
+        earlier fragment's end would have to precede the day start).
+        Interior fragments are COMPLETE sessions and are emitted
+        directly, no second pass, no join-back, no renumbering;
+      * pass 2 runs the e1b fragment merge over only the edge
+        candidates (≤ 2 per user-day, independent of session shape),
+        then the two legs union.
+
+    Completeness of the routing: a cross-midnight merge ``A.end + gap
+    >= B.start`` with A in day d, B in day d+1 forces ``A.end >=
+    midnight - gap`` (A routed) and ``B.start <= midnight + gap`` (B
+    routed), so no merge partner is ever left in the interior leg;
+    same-day fragments are maximally merged by construction and never
+    need pass 2. Semantics (strict ``>`` gap rule, stats columns)
+    otherwise identical to e1 — pinned by the same DuckDB oracle shape
+    and a property test against e1 minus the ordinal.
+
+    100 TB shape: ONE full-volume shuffle (the day-bucketed window +
+    fragment agg, skew-bounded), then a shuffle over the ~2/user/day
+    edge subset, then a shuffle-free union. This is the default
+    skew-safe path; use e1b only when the consumer genuinely needs
+    per-user session ordinals.
+    """
+    gap = F.make_interval(mins=F.lit(int(gap_minutes)))
+    order = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    bucketed = events.withColumn("day", F.date_trunc("day", F.col("ts")))
+    with_flag = bucketed.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (F.col("ts") > F.lag("ts").over(order) + gap),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    running = Window.partitionBy("user_id", "day").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # localCheckpoint: both output legs (interior sessions, edge merge)
+    # reference the fragment table; without it Spark recomputes the
+    # full-volume pass-1 window once per leg (only the scan exchange is
+    # reused). Fragments are O(sessions + user-days) rows — cheap to pin.
+    fragments = (
+        with_flag.withColumn("frag_seq", F.sum("new_session").over(running))
+        .groupBy("user_id", "day", "frag_seq")
+        .agg(
+            F.min("ts").alias("frag_start"),
+            F.max("ts").alias("frag_end"),
+            F.count("*").alias("n_events"),
+            F.collect_set("event_type").alias("type_set"),
+            F.sum("value").alias("value_sum"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    day_end = F.col("day") + F.make_interval(days=F.lit(1))
+    tagged = fragments.withColumn(
+        "is_edge",
+        (F.col("frag_end") + gap >= day_end)
+        | (F.col("frag_start") <= F.col("day") + gap),
+    )
+    interior = tagged.filter(~F.col("is_edge")).select(
+        "user_id",
+        F.col("frag_start").alias("session_start"),
+        F.col("frag_end").alias("session_end"),
+        "n_events",
+        F.size("type_set").cast("long").alias("n_event_types"),
+        F.round("value_sum", 4).alias("total_value"),
+    )
+    edge = tagged.filter(F.col("is_edge"))
+    forder = Window.partitionBy("user_id").orderBy("frag_start", "day", "frag_seq")
+    merged_flag = edge.withColumn(
+        "new_session",
+        F.when(
+            F.lag("frag_end").over(forder).isNull()
+            | (F.col("frag_start") > F.lag("frag_end").over(forder) + gap),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    frunning = Window.partitionBy("user_id").orderBy(
+        "frag_start", "day", "frag_seq"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = (
+        merged_flag.withColumn("mseq", F.sum("new_session").over(frunning))
+        .groupBy("user_id", "mseq")
+        .agg(
+            F.min("frag_start").alias("session_start"),
+            F.max("frag_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("type_set"))))
+            .cast("long")
+            .alias("n_event_types"),
+            F.round(F.sum("value_sum"), 4).alias("total_value"),
+        )
+        .drop("mseq")
+    )
+    return interior.unionByName(merged).orderBy("user_id", "session_start")
+
+
 def tumbling_counts(events: DataFrame) -> DataFrame:
     """e2: tumbling 1-hour windows per event type — the batch rendition
     of a streaming windowed aggregation (partial agg → tiny shuffle)."""

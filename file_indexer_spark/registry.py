@@ -765,8 +765,52 @@ def st8_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e1b_sessionization_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 skew-safe variant: day-bucketed pre-sessionize + boundary
     fragment merge (``events.sessionize_skew_safe``) — the giant-user
-    path. Same semantics, same oracle as e1."""
+    path. Same semantics, same oracle as e1. Prefer e1c when the
+    consumer does not need per-user session ordinals: the ordinal is
+    what forces this form's second full-volume pass."""
     return ev.sessionize_skew_safe(_events(spark, sf_dir))
+
+
+@register(
+    "e1c_session_stats",
+    f"""
+    -- e1's sessions and stats WITHOUT the per-user ordinal: the
+    -- session key is (user_id, session_start). Dropping session_seq
+    -- is the contract change that lets the skew-safe engine path skip
+    -- the full-volume fragment renumbering pass (only midnight-edge
+    -- fragments ever merge across day buckets).
+    WITH flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {ev.SESSION_GAP_MINUTES} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           round(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, seq
+    ORDER BY user_id, session_start
+    """,
+)
+def e1c_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1c: skew-safe per-session stats with the ordinal-free contract
+    — interior day-bucket fragments ARE sessions (emitted with no
+    second pass), only midnight-edge fragments take the merge window.
+    The e1b 100x tail's structural fix (see events.py docstring and
+    PERFORMANCE.md round-6 section)."""
+    return ev.session_stats_skew_safe(_events(spark, sf_dir))
 
 
 @register(

@@ -112,6 +112,23 @@ def test_sessionize_skew_safe_matches_plain_on_giant_user(spark):
     for p, s in zip(plain, skew):
         assert p == s, (p, s)
 
+    # e1c: same sessions and stats, ordinal-free contract — must equal
+    # plain output minus session_seq on the identical skewed corpus
+    # (midnight-straddlers exercise the edge-fragment merge leg;
+    # interior fragments take the no-second-pass leg).
+    stats = [
+        r.asDict()
+        for r in ev.session_stats_skew_safe(events)
+        .orderBy("user_id", "session_start")
+        .collect()
+    ]
+    plain_no_seq = [
+        {k: v for k, v in p.items() if k != "session_seq"} for p in plain
+    ]
+    assert len(stats) == len(plain_no_seq)
+    for p, s in zip(plain_no_seq, stats):
+        assert p == s, (p, s)
+
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=30))
