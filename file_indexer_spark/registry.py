@@ -3586,6 +3586,79 @@ def w7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_at(1).orderBy("path", "filename")
 
 
+@register(
+    "w7b_vacuum_history",
+    with_files_cte(
+        """
+    SELECT CAST(4 AS INTEGER) AS generation, path, filename,
+           CASE WHEN file_size % 4 = 1 THEN 'G4'
+                WHEN file_size % 4 = 0 THEN 'G2'
+                ELSE checksum END AS checksum,
+           modification_datetime, file_size, indexed_at
+    FROM files WHERE file_size % 4 = 1 OR file_size % 5 <> 0
+    UNION ALL
+    SELECT CAST(5 AS INTEGER), path, filename,
+           CASE WHEN file_size % 4 = 1 THEN 'G4'
+                WHEN file_size % 4 = 2 THEN 'G5'
+                WHEN file_size % 4 = 0 THEN 'G2'
+                ELSE checksum END,
+           modification_datetime, file_size, indexed_at
+    FROM files WHERE file_size % 4 IN (1, 2) OR file_size % 5 <> 0
+    ORDER BY generation, path, filename
+    """
+    ),
+)
+def w7b_vacuum_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7b: time travel under REAL history depth — five generations of
+    bucketed partial mutations (overwrite; upsert size%4==0 → 'G2';
+    delete size%5==0; upsert size%4==1 → 'G4', which also REINSERTS
+    previously-deleted keys; upsert size%4==2 → 'G5'), then
+    ``vacuum(retain_generations=2)``, then BOTH retained snapshots
+    (generations 4 and 5) read back and union-tagged. The oracle
+    replays the generation algebra on the files derivation, so a
+    vacuum that drops a still-referenced bucket file, or a manifest
+    log that mis-replays partial upserts/deletes/reinserts,
+    hash-mismatches. Vacuumed-generation unreadability (read_at(3)
+    raising) is pinned in tests/test_indexer_write.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w7b_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    t = FilesTable(spark, os.path.join(base, "db"), keep_history=True)
+    original = files_df(spark, sf_dir)
+    t.overwrite(original)                                                # gen 1
+    t.upsert(
+        original.filter(F.col("file_size") % 4 == 0).withColumn(
+            "checksum", F.lit("G2")
+        )
+    )                                                                    # gen 2
+    t.delete(
+        original.filter(F.col("file_size") % 5 == 0).select("path", "filename")
+    )                                                                    # gen 3
+    t.upsert(
+        original.filter(F.col("file_size") % 4 == 1).withColumn(
+            "checksum", F.lit("G4")
+        )
+    )                                                                    # gen 4
+    t.upsert(
+        original.filter(F.col("file_size") % 4 == 2).withColumn(
+            "checksum", F.lit("G5")
+        )
+    )                                                                    # gen 5
+    t.vacuum(retain_generations=2)
+    g4 = t.read_at(4).withColumn("generation", F.lit(4).cast("int"))
+    g5 = t.read_at(5).withColumn("generation", F.lit(5).cast("int"))
+    return g4.unionByName(g5).orderBy("generation", "path", "filename")
+
+
 # shared by dd9 (the extent list) and dd10 (the strip pass applying it)
 _DD9_CTES = f"""grams AS (
         SELECT doc_id, n_tokens, u.p AS p, u.h AS h FROM (

@@ -590,3 +590,60 @@ def test_vacuum_reclaims_dead_bucket_subdirs(spark, tmp_path):
             (r["path"], r["filename"]): r["checksum"] for r in t.read_at(gen).collect()
         }
         assert len(got) == 16 and got[("/d1", "f0")] == want
+
+
+def test_crash_mid_vacuum_keeps_retained_generations(spark, tmp_path, monkeypatch):
+    """Crash-injection for the VACUUM window (w7b's maintenance path):
+    killing vacuum between the log prune and the data-dir reclaim must
+    leave the live table and every RETAINED generation fully readable
+    (the pruned tail fails loudly, never half-reads), and a re-run
+    vacuum completes the reclaim."""
+    import file_indexer_spark.indexer.files_table as ft
+
+    t = FilesTable(spark, str(tmp_path / "vac_db"), buckets=4, keep_history=True)
+    rows = [(f"/d{i}", f"f{j}", f"c{i}{j}", i + j) for i in range(4) for j in range(2)]
+    t.overwrite(_mk_rows(spark, rows))
+    for gen in (2, 3, 4, 5):
+        t.upsert(_mk_rows(spark, [("/d1", "f0", f"G{gen}", 99 + gen)]))
+    assert t.generations() == [1, 2, 3, 4, 5]
+
+    def snap(gen):
+        return {
+            (r["path"], r["filename"]): r["checksum"]
+            for r in t.read_at(gen).collect()
+        }
+
+    live_before = snap(5)
+    gen4_before = snap(4)
+
+    class Boom(RuntimeError):
+        pass
+
+    real_rmtree = ft.shutil.rmtree
+    calls = {"n": 0}
+
+    def exploding_rmtree(path, **kw):
+        calls["n"] += 1
+        raise Boom()  # crash on the FIRST data-dir reclaim
+
+    monkeypatch.setattr(ft.shutil, "rmtree", exploding_rmtree)
+    with pytest.raises(Boom):
+        t.vacuum(retain_generations=2)
+    monkeypatch.undo()
+    assert calls["n"] == 1
+
+    # live + retained generations intact after the crash
+    assert {
+        (r["path"], r["filename"]): r["checksum"] for r in t.read().collect()
+    } == live_before
+    assert snap(5) == live_before and snap(4) == gen4_before
+    # pruned tail fails loudly (log entries removed before the crash)
+    for gen in (1, 2, 3):
+        with pytest.raises(ValueError, match="not retained"):
+            t.read_at(gen)
+
+    # re-run completes the reclaim; reads unchanged
+    removed = t.vacuum(retain_generations=2)
+    assert removed, "crashed attempt's unreclaimed dirs must be swept"
+    assert t.generations() == [4, 5]
+    assert snap(5) == live_before and snap(4) == gen4_before
