@@ -560,6 +560,14 @@ def main_scale_neardup() -> None:
         bench_case(
             "sim5_knn_join", label, lambda: sm.knn_join(vecs, n_centroids=k)
         )
+        # sim2 QUERY path: k ~ sqrt(n) (per-query cost k + n/k), nprobe
+        # fixed — the probe fan-out must not grow with the corpus; only
+        # the probed lists' length does (n/k = sqrt(n)).
+        kq = max(int(round(n ** 0.5)), 1)
+        meta[label]["n_centroids_query"] = kq
+        bench_case(
+            "sim2_ivf_topk_query", label, lambda: sm.ivf_topk(vecs, n_centroids=kq)
+        )
 
     for name, per in results.items():
         if "x1" in per and f"x{factor}" in per and per["x1"] > 0:

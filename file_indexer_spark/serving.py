@@ -227,9 +227,80 @@ class FileIndexService:
             }
 
 
+# ---- route-layer request/response mapping (framework-free, tested
+# ---- without fastapi; create_app below is only the wiring)
+
+def search_request_from_query(
+    filename_pattern: str | None = None,
+    path_pattern: str | None = None,
+    checksum: str | None = None,
+    has_checksum: bool | None = None,
+    min_size: int | None = None,
+    max_size: int | None = None,
+    limit: int = 100,
+    offset: int = 0,
+) -> SearchRequest:
+    """GET /search/ param surface (reference routers.py:85-119):
+    min_size/max_size map onto the model's file-size bounds; the GET
+    route passes no modification bounds (parity — the reference GET
+    hardcodes modified_after=None, routers.py:112-113)."""
+    return SearchRequest(
+        filename_pattern=filename_pattern,
+        path_pattern=path_pattern,
+        checksum=checksum,
+        has_checksum=has_checksum,
+        min_file_size=min_size,
+        max_file_size=max_size,
+        limit=limit,
+        offset=offset,
+    )
+
+
+def search_request_from_body(body: dict) -> SearchRequest:
+    """POST /search/ body → SearchRequest (reference routers.py:64-80
+    accepts the full model). The reference model's min_size/max_size
+    names are accepted as aliases; modified_after/before arrive as
+    ISO-8601 strings."""
+    import datetime as _dt
+
+    data = dict(body)
+    if "min_size" in data:
+        data["min_file_size"] = data.pop("min_size")
+    if "max_size" in data:
+        data["max_file_size"] = data.pop("max_size")
+    for key in ("modified_after", "modified_before"):
+        if isinstance(data.get(key), str):
+            data[key] = _dt.datetime.fromisoformat(data[key])
+    return SearchRequest(**data)
+
+
+def duplicates_request_from_body(body: dict) -> DuplicatesRequest:
+    """POST /duplicates/ body → DuplicatesRequest (routers.py:121-145)."""
+    return DuplicatesRequest(**dict(body))
+
+
+def search_response_dict(page: Page) -> dict:
+    return {
+        "files": [r.asDict() for r in page.rows],
+        "total_count": page.total_count,
+        "has_more": page.has_more,
+    }
+
+
+def duplicates_response_dict(resp: DuplicatesResponse) -> dict:
+    # recursive=True: each group carries a nested files array of Rows,
+    # which a JSON layer cannot serialize un-flattened
+    return {
+        "groups": [r.asDict(recursive=True) for r in resp.groups],
+        "total_groups": resp.total_groups,
+        "total_wasted_space": resp.total_wasted_space,
+        "has_more": resp.has_more,
+    }
+
+
 def create_app(files: DataFrame):  # pragma: no cover - fastapi not shipped
     """FastAPI wiring (reference main.py:77-100) — import-gated; the
-    service layer above is the tested surface."""
+    service layer + mapping helpers above are the tested surface."""
     try:
         from fastapi import FastAPI
     except ImportError as exc:
@@ -242,25 +313,29 @@ def create_app(files: DataFrame):  # pragma: no cover - fastapi not shipped
 
     @app.get("/search/")
     def search(filename_pattern: str | None = None, path_pattern: str | None = None,
+               checksum: str | None = None, has_checksum: bool | None = None,
+               min_size: int | None = None, max_size: int | None = None,
                limit: int = 100, offset: int = 0):
-        page = svc.search(SearchRequest(filename_pattern=filename_pattern,
-                                        path_pattern=path_pattern, limit=limit, offset=offset))
-        return {
-            "files": [r.asDict() for r in page.rows],
-            "total_count": page.total_count,
-            "has_more": page.has_more,
-        }
+        req = search_request_from_query(
+            filename_pattern=filename_pattern, path_pattern=path_pattern,
+            checksum=checksum, has_checksum=has_checksum,
+            min_size=min_size, max_size=max_size, limit=limit, offset=offset)
+        return search_response_dict(svc.search(req))
+
+    @app.post("/search/")
+    def search_post(body: dict):
+        return search_response_dict(svc.search(search_request_from_body(body)))
 
     @app.get("/duplicates/")
     def duplicates(min_group_size: int = 2, limit: int = 100, offset: int = 0):
         resp = svc.duplicates(DuplicatesRequest(min_group_size=min_group_size,
                                                 limit=limit, offset=offset))
-        return {
-            "groups": [r.asDict() for r in resp.groups],
-            "total_groups": resp.total_groups,
-            "total_wasted_space": resp.total_wasted_space,
-            "has_more": resp.has_more,
-        }
+        return duplicates_response_dict(resp)
+
+    @app.post("/duplicates/")
+    def duplicates_post(body: dict):
+        resp = svc.duplicates(duplicates_request_from_body(body))
+        return duplicates_response_dict(resp)
 
     @app.get("/stats/")
     def stats():

@@ -301,10 +301,19 @@ def test_bounded_dedup_state_readmits_past_watermark(spark, tmp_path):
     import hashlib
 
     aaa = hashlib.md5(b"aaa").hexdigest()
-    # "aaa" is emitted TWICE: batch 1, then again once its state has
-    # aged out of the store (state eviction lands one micro-batch after
-    # the watermark passes the expiry — measured: the day-10 re-arrival
-    # is still filtered, the day-20 one is re-admitted). The
-    # within-horizon dup (doc 2) is filtered.
-    assert hashes.count(aaa) == 2, hashes
-    assert len(hashes) == 5  # aaa, bbb, ccc, aaa(again), ddd
+    # Guaranteed contract only (exact eviction timing is an engine
+    # internal — on the pinned Spark version state eviction lands one
+    # micro-batch behind the watermark, so the day-10 re-arrival is
+    # still filtered, but a version could legitimately evict sooner):
+    #   * the within-horizon dup (doc 2, 10 min later) is FILTERED;
+    #   * the first copy and a far-late re-arrival (day 20 — two
+    #     batches past expiry, admitted under any eviction lag) are
+    #     both EMITTED, so "aaa" appears at least twice;
+    #   * the day-10 re-arrival may be filtered (lagged eviction) or
+    #     admitted (prompt eviction) — both are correct bounded-state
+    #     behavior, so "aaa" appears 2 or 3 times and nothing else
+    #     duplicates.
+    uniques = {h for h in hashes if h != aaa}
+    assert 2 <= hashes.count(aaa) <= 3, hashes
+    assert len(uniques) == 3  # bbb, ccc, ddd each admitted
+    assert len(hashes) == len(uniques) + hashes.count(aaa)  # no other dups
