@@ -49,6 +49,10 @@ _DRIVER_PRIORITY = [
     "t6a_length_percentiles_approx", "e12a_gap_percentiles_approx",
     "e13a_daily_uniques_approx", "st6_streaming_uniques",
     "m6c_image_ahash_canonical", "w7b_vacuum_history", "e1c_session_stats",
+    "m6d_image_dup_groups_canonical",
+    "h8_order_count_distribution", "h9_idle_rich_customers",
+    "h10_nation_trade_volume", "e15_interval_join",
+    "st9_interval_join_stream", "w8_streaming_ingest",
     "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
     "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
     "p7b_directory_page", "m6_image_ahash",

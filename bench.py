@@ -134,6 +134,14 @@ LLM_EXTENSION = [
     "m6b_image_dup_groups",
     "e14_session_window",
     "h7_large_volume_customers",
+    # round 6: ordinal-free skew-safe sessions, canonical 8x8 aHash,
+    # Q13/Q22/Q7 join shapes, batch interval join
+    "e1c_session_stats",
+    "m6c_image_ahash_canonical",
+    "h8_order_count_distribution",
+    "h9_idle_rich_customers",
+    "h10_nation_trade_volume",
+    "e15_interval_join",
 ]
 
 

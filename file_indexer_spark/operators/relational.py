@@ -340,3 +340,114 @@ def large_volume_customers(
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(limit)
     )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """h8: the TPC-H Q13 shape — the distribution of orders-per-customer
+    INCLUDING the zero bucket (customers with no qualifying orders),
+    the classic left-outer-join + double-aggregation pattern.
+
+    Scale shape: the only big shuffle is orders onto o_custkey for the
+    per-customer count; customer joins it LEFT OUTER on the same key
+    (co-partitioned by AQE), and the second aggregation runs over the
+    O(max order count) distribution — a few hundred rows at any scale.
+    The order-side predicate (Q13's comment exclusion, rendered here on
+    o_orderpriority) is applied BEFORE the join so it pushes into the
+    parquet scan. count(o_orderkey) over the outer join yields 0 for
+    unmatched customers — the NULL-counting rule both engines share.
+    """
+    qualifying = orders.filter(~F.col("o_orderpriority").like("%URGENT%"))
+    per_customer = (
+        customer.join(
+            qualifying, customer["c_custkey"] == qualifying["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """h9: the TPC-H Q22 shape — customers with above-average balances
+    and NO orders (the lost-opportunity report): a scalar aggregate
+    subquery + LEFT ANTI join + segment rollup.
+
+    Determinism: the "above average" boundary is evaluated by integer
+    CROSS-MULTIPLICATION — a customer qualifies iff ``cents * n_pos >
+    total_pos_cents`` where cents are BIGINT — so no floating-point
+    average (whose accumulation order differs between engines) can
+    flip a boundary customer. Balances aggregate as exact cents too.
+
+    Scale shape: the scalar (total_pos_cents, n_pos) pair is one
+    broadcast row; the anti-join shuffles on c_custkey/o_custkey (or
+    broadcasts the filtered candidate side under AQE); the rollup is
+    O(segments).
+    """
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    with_cents = customer.withColumn("bal_cents", cents)
+    scalar = with_cents.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("total_pos_cents"),
+        F.count("*").alias("n_pos"),
+    )
+    candidates = (
+        with_cents.join(F.broadcast(scalar))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("total_pos_cents"))
+        .join(orders, with_cents["c_custkey"] == orders["o_custkey"], "left_anti")
+    )
+    return (
+        candidates.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """h10: the TPC-H Q7 shape — cross-border trade volume between
+    supplier-nation and customer-nation pairs by order year, the
+    widest join tree in the pack (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ nation).
+
+    Scale shape: nation is the only FORCED broadcast (25 rows
+    forever); supplier and customer join declaratively so AQE picks
+    broadcast at small SF and shuffle at large. The fact-side work is
+    ONE pass over lineitem: join to supplier's nation (via the tiny
+    supp dim), to orders (l_orderkey — lineitem's natural clustering),
+    then orders to customer's nation; the pair filter
+    (supp_nation != cust_nation) and the year extraction are map-side.
+    Revenue is the module's fixed-point BIGINT convention. The final
+    rollup is O(nations² × years) — trivially small at any scale.
+    """
+    supp_n = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        lineitem.join(supp_n, lineitem["l_suppkey"] == supp_n["s_suppkey"])
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_n, orders["o_custkey"] == cust_n["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

@@ -761,6 +761,73 @@ def st8_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# e15/st9 share one oracle: the interval-join pair set is identical
+# whether computed as a batch self-join or a watermarked stream-stream
+# join (inner joins emit pairs, never windows, so no flush sentinel).
+from file_indexer_spark.streaming.joins import (  # noqa: E402
+    ATTRIBUTION_GAP_MINUTES as sj_gap_minutes,
+)
+
+_E15_ORACLE = f"""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL {sj_gap_minutes} MINUTE
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    ORDER BY purchase_id, view_id
+    """
+
+
+@register("e15_interval_join", _E15_ORACLE)
+def e15_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: per-user view→purchase attribution — ALL views inside the
+    hour before each purchase (the interval-JOIN shape; e7 is the
+    as-of LAST-view variant). Batch plan: filtered self-join with a
+    range predicate; both sides shuffle once on user_id."""
+    from file_indexer_spark.streaming import joins as sjoins
+
+    return sjoins.view_purchase_pairs(_events(spark, sf_dir)).orderBy(
+        "purchase_id", "view_id"
+    )
+
+
+@register("st9_interval_join_stream", _E15_ORACLE)
+def st9_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9: e15 as a REAL watermarked STREAM-STREAM join — two-sided
+    join state (the one stateful-operator class st1-st8 don't cover),
+    bounded by the watermark pair + time-range predicate. Two
+    chronological arrivals split the events mid-stream, so pairs
+    straddling the split must match across micro-batches out of
+    retained state; the identical e15 oracle then hash-gates the
+    drained sink."""
+    import os
+
+    from file_indexer_spark.streaming import joins as sjoins
+    from file_indexer_spark.streaming import windows as sw
+    from file_indexer_spark.streaming.util import run_to_memory_sink
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st9", sf_dir)
+    src = os.path.join(base, "src")
+    ev2 = _events(spark, sf_dir)
+    mid = ev2.agg(F.max("event_id")).first()[0] // 2
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    _land_arrivals(
+        src,
+        [
+            ev2.filter(F.col("event_id") <= mid).select(*cols),
+            ev2.filter(F.col("event_id") > mid).select(*cols),
+        ],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sink = f"st9_sink_{tag}"
+    run_to_memory_sink(sjoins.view_purchase_pairs(stream), sink)
+    return spark.table(sink).orderBy("purchase_id", "view_id")
+
+
 @register("e1b_sessionization_skew", _E1_ORACLE)
 def e1b_sessionization_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 skew-safe variant: day-bucketed pre-sessionize + boundary
@@ -3409,6 +3476,108 @@ def h7_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "h8_order_count_distribution",
+    """
+    -- TPC-H Q13 shape: orders-per-customer distribution INCLUDING the
+    -- zero bucket (left outer join + double aggregation). The
+    -- order-side exclusion rides the join condition, exactly like the
+    -- engine's pre-join filter.
+    WITH per_customer AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority NOT LIKE '%URGENT%'
+        GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_customer GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def h8_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the left-outer count-distribution shape — unmatched
+    customers MUST surface as the zero bucket; second agg is O(max
+    count) rows."""
+    tune_session(spark)
+    return rel.order_count_distribution(
+        _table(spark, sf_dir, "customer"), _table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "h9_idle_rich_customers",
+    """
+    -- TPC-H Q22 shape: above-average balances with no orders — scalar
+    -- subquery + anti-join + segment rollup. The boundary is integer
+    -- cross-multiplication (cents * n_pos > total_pos_cents), so no
+    -- engine's float-avg accumulation order can flip a member.
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer),
+    s AS (
+        SELECT CAST(SUM(bal_cents) AS BIGINT) AS total_pos_cents,
+               COUNT(*) AS n_pos
+        FROM cents WHERE bal_cents > 0),
+    cand AS (
+        SELECT c.c_mktsegment, c.bal_cents
+        FROM cents c, s
+        WHERE c.bal_cents * s.n_pos > s.total_pos_cents
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey))
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM cand GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def h9_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: scalar-aggregate broadcast + LEFT ANTI join; the
+    qualifying boundary is exact integer arithmetic on cents."""
+    tune_session(spark)
+    return rel.idle_rich_customers(
+        _table(spark, sf_dir, "customer"), _table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "h10_nation_trade_volume",
+    """
+    -- TPC-H Q7 shape: supplier-nation x customer-nation trade volume
+    -- by order year — the widest join tree in the pack; fixed-point
+    -- BIGINT revenue, O(nations^2 x years) output.
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev) AS BIGINT) AS revenue_e4
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS l_year,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name) t
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def h10_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: one pass over lineitem; nation force-broadcast (25
+    rows forever), supplier/customer joins left to AQE; pair filter and
+    year extraction map-side."""
+    tune_session(spark)
+    return rel.nation_trade_volume(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
     "sim5_knn_join",
     f"""
     -- k-NN graph under the IVF constraint: neighbors share a centroid
@@ -3657,6 +3826,76 @@ def w7b_vacuum_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     g4 = t.read_at(4).withColumn("generation", F.lit(4).cast("int"))
     g5 = t.read_at(5).withColumn("generation", F.lit(5).cast("int"))
     return g4.unionByName(g5).orderBy("generation", "path", "filename")
+
+
+@register(
+    "w8_streaming_ingest",
+    with_files_cte(
+        """
+    SELECT path, filename,
+           CASE WHEN file_size % 2 = 0 THEN 'S2'
+                WHEN file_size % 3 = 0 THEN 'S1'
+                ELSE checksum END AS checksum,
+           modification_datetime, file_size, indexed_at
+    FROM files ORDER BY path, filename
+    """
+    ),
+)
+def w8_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: streaming CDC ingestion — a file-source STREAM of change
+    batches upserted into the manifest-committed FilesTable via
+    ``foreachBatch`` (the Structured Streaming sink pattern for tables
+    the engine owns). Two overlapping change arrivals land in pinned
+    order (maxFilesPerTrigger=1, mtime-ordered file source), so
+    last-writer-wins applies deterministically: size%3==0 → 'S1', then
+    size%2==0 → 'S2' (the overlap, e.g. size%6==0, must end at 'S2').
+    The oracle replays that CASE algebra on the files derivation, so a
+    dropped batch, re-ordered application, or non-atomic upsert
+    hash-mismatches. Scale shape: each micro-batch costs one bucketed
+    partial upsert (only touched pk_buckets rewrite — two_phase.py's
+    merge path), state none."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w8_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+
+    original = files_df(spark, sf_dir)
+    t = FilesTable(spark, os.path.join(base, "db"), buckets=8)
+    t.overwrite(original)
+
+    _land_arrivals(
+        src,
+        [
+            original.filter(F.col("file_size") % 3 == 0).withColumn(
+                "checksum", F.lit("S1")
+            ),
+            original.filter(F.col("file_size") % 2 == 0).withColumn(
+                "checksum", F.lit("S2")
+            ),
+        ],
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(original.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(lambda batch, _id: t.upsert(batch))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    query.awaitTermination()
+    return t.read().orderBy("path", "filename")
 
 
 # shared by dd9 (the extent list) and dd10 (the strip pass applying it)

@@ -367,3 +367,51 @@ def test_h7_single_lineitem_pass_and_topk(spark, sf_smoke):
     # one scan per table (3 total) — the classic Q18 re-join would
     # show a fourth (second lineitem) scan
     assert plan.count("Scan parquet") == 3, plan
+
+
+def test_round6_join_shapes(spark, sf_smoke):
+    """h8/h9/h10 + e15: the round-6 join pack's 100 TB properties."""
+    from file_indexer_spark.operators import relational as rel
+    from file_indexer_spark.streaming import joins as sjoins
+    from file_indexer_spark.tables import events_df, load_table
+
+    t = lambda n: load_table(spark, sf_smoke, n)  # noqa: E731
+
+    # h8 (Q13): the order-side exclusion must push into the scan
+    # (applied pre-join), the join stays LeftOuter (zero bucket), and
+    # no forced broadcast (both sides grow with SF)
+    h8 = rel.order_count_distribution(t("customer"), t("orders"))
+    assert any("o_orderpriority" in f for f in pi.pushed_filters(h8)), (
+        pi.pushed_filters(h8)
+    )
+    assert "LeftOuter" in pi.simple_plan(h8)
+    assert not pi.has_broadcast_hint(h8)
+    # orders scan reads only the 3 needed columns
+    assert "o_totalprice" not in pi.scan_columns(h8)
+
+    # h9 (Q22): scalar aggregate broadcasts (1 row forever), the
+    # no-orders test plans as LeftAnti, balances never float-sum
+    h9 = rel.idle_rich_customers(t("customer"), t("orders"))
+    plan = pi.simple_plan(h9)
+    assert "LeftAnti" in plan, plan
+    assert pi.has_broadcast_hint(h9)
+
+    # h10 (Q7): nation joins broadcast (25 rows forever); lineitem scan
+    # prunes to the 4 used columns; the pair filter is NOT a cartesian
+    h10 = rel.nation_trade_volume(
+        t("lineitem"), t("orders"), t("customer"), t("supplier"), t("nation")
+    )
+    assert pi.has_broadcast_hint(h10)
+    assert "CartesianProduct" not in pi.simple_plan(h10)
+    assert "l_quantity" not in pi.scan_columns(h10)
+    assert {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"} <= (
+        pi.scan_columns(h10)
+    )
+
+    # e15: both type filters push to the scans; the range predicate is
+    # an equi-join on user_id with the interval as a post-condition,
+    # never a cartesian
+    e15 = sjoins.view_purchase_pairs(events_df(spark, sf_smoke))
+    assert any("event_type" in f for f in pi.pushed_filters(e15))
+    plan = pi.simple_plan(e15)
+    assert "CartesianProduct" not in plan and "Join" in plan

@@ -317,3 +317,39 @@ def test_bounded_dedup_state_readmits_past_watermark(spark, tmp_path):
     assert 2 <= hashes.count(aaa) <= 3, hashes
     assert len(uniques) == 3  # bbb, ccc, ddd each admitted
     assert len(hashes) == len(uniques) + hashes.count(aaa)  # no other dups
+
+
+def test_stream_stream_interval_join_matches_across_batches(spark, tmp_path):
+    """st9: a view landing in batch 1 must pair with a purchase landing
+    in batch 2 out of retained join state; views outside the window (too
+    old, or after the purchase) never pair; per-user isolation holds."""
+    import datetime as dt
+
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming import joins as sjoins
+    from file_indexer_spark.streaming import windows as sw
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda rows: spark.createDataFrame(rows, sw.EVENTS_STREAM_SCHEMA)
+    b1 = mk([
+        (1, t0, 7, "view", 1.0, None),                                  # pairs (40 min before)
+        (2, t0 - dt.timedelta(hours=2), 7, "view", 1.0, None),          # too old
+        (3, t0 + dt.timedelta(minutes=10), 8, "view", 1.0, None),       # other user
+    ])
+    b2 = mk([
+        (4, t0 + dt.timedelta(minutes=40), 7, "purchase", 9.0, None),   # joins view 1
+        (5, t0 + dt.timedelta(minutes=50), 7, "view", 1.0, None),       # AFTER purchase 4
+        (6, t0 + dt.timedelta(minutes=55), 8, "purchase", 5.0, None),   # joins view 3
+    ])
+    src = str(tmp_path / "st9_src")
+    _land_arrivals(src, [b1, b2])
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sjoins_df = sjoins.view_purchase_pairs(stream)
+    from file_indexer_spark.streaming.util import run_to_memory_sink
+
+    run_to_memory_sink(sjoins_df, "st9t_sink")
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.table("st9t_sink").collect()
+    }
+    assert got == {(4, 1), (6, 3)}, got
