@@ -53,6 +53,8 @@ _DRIVER_PRIORITY = [
     "h8_order_count_distribution", "h9_idle_rich_customers",
     "h10_nation_trade_volume", "e15_interval_join",
     "st9_interval_join_stream", "w8_streaming_ingest",
+    "m7_audio_frame_energy", "m7b_silence_spans",
+    "t12_doc_top_terms", "h11_top_revenue_suppliers",
     "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
     "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
     "p7b_directory_page", "m6_image_ahash",

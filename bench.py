@@ -142,6 +142,9 @@ LLM_EXTENSION = [
     "h9_idle_rich_customers",
     "h10_nation_trade_volume",
     "e15_interval_join",
+    "m7_audio_frame_energy",
+    "t12_doc_top_terms",
+    "h11_top_revenue_suppliers",
 ]
 
 

@@ -678,3 +678,177 @@ def image_duplicate_groups(media: DataFrame, min_group_size: int = 2) -> DataFra
         .filter(F.col("n_images") >= min_group_size)
         .orderBy("width", "height", "ahash")
     )
+
+
+# ------------------------------------------------ audio (PCM) pillar
+
+PCM_MAGIC = b"PCM1"
+AUDIO_FRAME = 160          # samples per analysis frame
+SILENCE_PEAK = 100         # frames with peak |sample| below this are silent
+
+
+def encode_pcm(samples: "list[int] | bytes", n_samples: int | None = None) -> bytes:
+    """Minimal raw-audio container: magic + u32 LE sample count +
+    little-endian int16 samples (spec-defined, codec-free — the audio
+    analog of the PPM image path)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    n = int(n_samples if n_samples is not None else arr.size)
+    return PCM_MAGIC + struct.pack("<I", n) + arr.tobytes()
+
+
+def pcm_media_from_docs(docs: DataFrame) -> DataFrame:
+    """m7 gate fixture: deterministic PCM16 audio derived from
+    ``documents`` — sample ``i`` is ``(text_byte(i mod L) - 96)``
+    scaled ×1 on "quiet" frames (``(frame + doc_id) % 3 == 0``) and
+    ×64 on loud ones, ``4 + doc_id % 4`` frames of 160 samples. Three
+    error classes (precedence: null, bad magic, truncated):
+
+      * doc_id % 9  == 0 → NULL content          ('null content')
+      * doc_id % 13 == 0 → RIFF-ish wrong magic  ('not PCM1')
+      * doc_id % 7  == 0 → header says n, half the raster
+                                                 ('truncated payload')
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                ids.append(did)
+                types.append("audio")
+                if did % 9 == 0:
+                    blobs.append(None)
+                    continue
+                if did % 13 == 0:
+                    blobs.append(b"RIFF not really a wav")
+                    continue
+                raw = text.encode("utf-8")
+                L = max(len(raw), 1)
+                n = AUDIO_FRAME * (4 + did % 4)
+                idx = np.arange(n)
+                base = (
+                    np.frombuffer(raw, dtype=np.uint8)[idx % L].astype(np.int32)
+                    - 96
+                )
+                scale = np.where((idx // AUDIO_FRAME + did) % 3 == 0, 1, 64)
+                samples = (base * scale).astype("<i2")
+                if did % 7 == 0:
+                    blobs.append(
+                        PCM_MAGIC
+                        + struct.pack("<I", n)
+                        + samples[: n // 2].tobytes()
+                    )
+                else:
+                    blobs.append(encode_pcm(samples, n))
+            yield pd.DataFrame({"media_id": ids, "media_type": types, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def _parse_pcm(content: bytes | None) -> tuple:
+    """(samples_int16_ndarray, None) or (None, error)."""
+    import numpy as np
+
+    if content is None:
+        return (None, "null content")
+    if not content.startswith(PCM_MAGIC):
+        return (None, "not PCM1")
+    if len(content) < 8:
+        return (None, "bad header")
+    (n,) = struct.unpack_from("<I", content, 4)
+    payload = content[8:]
+    if len(payload) < 2 * n:
+        return (None, "truncated payload")
+    return (np.frombuffer(payload[: 2 * n], dtype="<i2"), None)
+
+
+def audio_frame_energy(media: DataFrame) -> DataFrame:
+    """m7: per-frame audio analysis from DECODED samples — energy
+    (integer sum of squares, exact in BIGINT: |s| ≤ 2^15 so a frame
+    sums to < 2^38) and peak |sample| per 160-sample frame. The
+    codec-free audio feature pass (VAD/loudness pre-filters in a
+    training pipeline read exactly this table); decode errors
+    propagate as rows, D6-style.
+
+    Scale shape: mapInPandas over blobs where they sit (vectorized
+    numpy per Arrow batch), no shuffle; output is n_frames narrow rows
+    per clip.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                blob = None if c is None else bytes(c)
+                samples, err = _parse_pcm(blob)
+                if err is not None:
+                    rows.append((int(mid), None, None, None, err))
+                    continue
+                frames = samples.astype(np.int64).reshape(-1, AUDIO_FRAME)
+                energy = (frames * frames).sum(axis=1)
+                peak = np.abs(frames).max(axis=1)
+                rows.extend(
+                    (int(mid), int(f), int(e), int(p), None)
+                    for f, (e, p) in enumerate(zip(energy, peak))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "energy", "peak", "decode_error"],
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_ENERGY_SCHEMA)
+
+
+def silence_spans(media: DataFrame, peak_below: int = SILENCE_PEAK) -> DataFrame:
+    """m7b: contiguous silent-frame extents per clip — gaps-and-islands
+    over the quiet frames of :func:`audio_frame_energy` (the
+    trim/segment signal an audio curation pass applies). One narrow
+    shuffle of the O(frames) quiet subset onto media_id for the
+    windows; the decode stays partition-local."""
+    from pyspark.sql.window import Window
+
+    quiet = (
+        audio_frame_energy(media)
+        .filter(F.col("decode_error").isNull() & (F.col("peak") < peak_below))
+        .select("media_id", "frame_idx")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    flagged = quiet.withColumn(
+        "new_island",
+        F.when(
+            F.lag("frame_idx").over(w).isNull()
+            | (F.col("frame_idx") > F.lag("frame_idx").over(w) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    running = Window.partitionBy("media_id").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        flagged.withColumn("island", F.sum("new_island").over(running))
+        .groupBy("media_id", "island")
+        .agg(
+            F.min("frame_idx").cast("long").alias("span_start"),
+            F.max("frame_idx").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_frames"),
+        )
+        .drop("island")
+        .orderBy("media_id", "span_start")
+    )

@@ -451,3 +451,37 @@ def nation_trade_volume(
         .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+def top_revenue_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """h11: the TPC-H Q15 shape — the supplier(s) with MAXIMUM revenue
+    over a quarter, ties kept (the scalar-max + equality join-back
+    pattern Q15 expresses with a view).
+
+    Scale shape: one lineitem shuffle onto l_suppkey for the revenue
+    agg (date predicate pushed to the scan); the scalar max is a
+    1-row broadcast; the equality filter shrinks the agg to the tied
+    winners before the supplier dim join. Fixed-point BIGINT revenue,
+    so the max boundary can't float-drift between engines.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
+    )
+    mx = rev.agg(F.max("revenue_e4").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("revenue_e4") == F.col("max_rev"))
+        .join(supplier, rev["l_suppkey"] == supplier["s_suppkey"])
+        .select("s_suppkey", "s_name", "revenue_e4")
+        .orderBy("s_suppkey")
+    )

@@ -470,3 +470,57 @@ def token_rarity(docs: DataFrame, rare_rank: int = RARE_RANK) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ t12 per-doc top terms
+
+DOC_TERMS_TOP_K = 3
+
+
+def doc_top_terms(docs: DataFrame, k: int = DOC_TERMS_TOP_K) -> DataFrame:
+    """t12: per-DOCUMENT top-k characteristic terms — classic TF-IDF
+    keyword extraction with tf × an INTEGER idf surrogate
+    ``(1000·n_docs) DIV df`` (integer division — both engines truncate
+    identically; a float ``ln(n/df)`` or even float division could
+    flip a rank at a representability boundary). Deterministic
+    tie-break: word ascending.
+
+    Scale shape: explode words map-side → ONE word-count shuffle on
+    (doc_id, word); document frequency is a second agg over the
+    already-aggregated rollup (O(vocab) rows, not O(corpus)); n_docs
+    rides along as a size-1 broadcast; the top-k window partitions by
+    doc_id over the per-doc term rows. The df join is declarative —
+    AQE broadcasts the O(vocab) side at small SF and shuffles at
+    large.
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    # localCheckpoint: tf feeds BOTH the score join and the df rollup —
+    # without it the plan duplicates the corpus explode+agg per branch
+    # (two full passes over the token stream at 100 TB).
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.expr("(1000 * n_docs) DIV df")).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", F.col("rank").cast("long").alias("rank"),
+            "word", "tf", "df", "score",
+        )
+        .orderBy("doc_id", "rank")
+    )

@@ -4118,3 +4118,165 @@ def t11_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-rarity quality signal: integer frequency ranks (no libm),
     vocab-only window, rank table broadcast back onto the token stream."""
     return tx.token_rarity(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t12_doc_top_terms",
+    """
+    -- Per-document TF-IDF keyword extraction: integer idf surrogate
+    -- (1000*n_docs) // df so no float division can flip a rank;
+    -- ties break on word ascending.
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM words GROUP BY doc_id, word),
+    dfx AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.word, t.tf, d.df,
+               CAST(t.tf * ((1000 * n.n_docs) // d.df) AS BIGINT) AS score
+        FROM tf t JOIN dfx d USING (word), nd n),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, word) AS rank
+        FROM scored)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df, score
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def t12_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: per-doc top-3 characteristic terms — one word-count
+    shuffle, df over the O(vocab) rollup, integer-exact scores."""
+    return tx.doc_top_terms(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "h11_top_revenue_suppliers",
+    """
+    -- TPC-H Q15 shape: maximum-revenue supplier(s) over a quarter,
+    -- ties kept; fixed-point BIGINT revenue.
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+                   AS revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey),
+    mx AS (SELECT MAX(revenue_e4) AS max_rev FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.revenue_e4
+    FROM rev r, mx
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.revenue_e4 = mx.max_rev
+    ORDER BY s.s_suppkey
+    """,
+)
+def h11_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: one lineitem shuffle (date pushed), scalar-max
+    broadcast, equality join-back keeps ties."""
+    tune_session(spark)
+    return rel.top_revenue_suppliers(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "supplier")
+    )
+
+
+# shared by m7 (frame energy) and m7b (silence spans): recompute every
+# int16 sample from the doc_id derivation — sample i = (text byte
+# (i mod L) - 96) x (1 on quiet frames, 64 on loud), energy = exact
+# integer sum of squares per 160-sample frame.
+_M7_SAMPLE = (
+    "(ascii(substr(text, CAST(i % L + 1 AS BIGINT), 1)) - 96) * "
+    "(CASE WHEN ((i // 160) + doc_id) % 3 = 0 THEN 1 ELSE 64 END)"
+)
+
+_M7_CTES = f"""base AS (
+        SELECT doc_id, text, length(text) AS L, 4 + doc_id % 4 AS nf
+        FROM documents
+        WHERE doc_id % 9 <> 0 AND doc_id % 13 <> 0 AND doc_id % 7 <> 0),
+    frames AS (
+        SELECT doc_id, u.f AS frame_idx, u.energy, u.peak FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, nf), f -> {{
+                       'f': CAST(f AS INTEGER),
+                       'energy': CAST(list_sum(list_transform(
+                           range(160 * f, 160 * f + 160),
+                           i -> CAST(({_M7_SAMPLE}) AS BIGINT)
+                                * CAST(({_M7_SAMPLE}) AS BIGINT))) AS BIGINT),
+                       'peak': CAST(list_max(list_transform(
+                           range(160 * f, 160 * f + 160),
+                           i -> abs({_M7_SAMPLE}))) AS INTEGER)}})) AS u
+            FROM base))"""
+
+
+@register(
+    "m7_audio_frame_energy",
+    f"""
+    -- Per-frame audio energy/peak from DECODED PCM16 samples: integer
+    -- sum of squares per 160-sample frame (exact in BIGINT), peak
+    -- |sample|; three decode-error classes propagate as rows.
+    WITH {_M7_CTES}
+    SELECT doc_id AS media_id, frame_idx, energy, peak,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM frames
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL,
+           CASE WHEN doc_id % 9 = 0 THEN 'null content'
+                WHEN doc_id % 13 = 0 THEN 'not PCM1'
+                ELSE 'truncated payload' END
+    FROM documents WHERE doc_id % 9 = 0 OR doc_id % 13 = 0 OR doc_id % 7 = 0
+    ORDER BY media_id, frame_idx
+    """,
+)
+def m7_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: the audio-modality analog of m2b/m6 — a REAL container
+    format (magic + u32 count + int16 LE samples) decoded by a spec
+    parser, vectorized frame analysis (energy, peak) where the blobs
+    sit, errors as data. Integer-exact, so the oracle recomputes every
+    frame from the derivation."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.pcm_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.audio_frame_energy(media).orderBy("media_id", "frame_idx")
+
+
+from file_indexer_spark.operators.multimodal import (  # noqa: E402
+    SILENCE_PEAK as _m7_thr,
+)
+
+
+@register(
+    "m7b_silence_spans",
+    f"""
+    -- Contiguous silent-frame extents (peak < {_m7_thr}): gaps-and-islands
+    -- over each clip's quiet frames.
+    WITH {_M7_CTES},
+    quiet AS (
+        SELECT doc_id, frame_idx FROM frames WHERE peak < {_m7_thr}),
+    flagged AS (
+        SELECT doc_id, frame_idx,
+               CASE WHEN frame_idx > coalesce(lag(frame_idx) OVER
+                        (PARTITION BY doc_id ORDER BY frame_idx), -10) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM quiet),
+    islands AS (
+        SELECT doc_id, frame_idx,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged)
+    SELECT doc_id AS media_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS span_start,
+           CAST(MAX(frame_idx) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM islands GROUP BY doc_id, island
+    ORDER BY media_id, span_start
+    """,
+)
+def m7b_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7b: silence/trim extents per clip — the dd9 gaps-and-islands
+    shape applied to the audio modality; one narrow shuffle of the
+    quiet-frame subset."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.pcm_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.silence_spans(media)

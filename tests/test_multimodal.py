@@ -212,3 +212,49 @@ def test_canonical_ahash_resolution_invariance(spark):
     trio = [g for g in groups if g["ahash64"] == got[1]["ahash64"]]
     assert len(trio) == 1 and trio[0]["n_images"] == 3
     assert trio[0]["canonical_media_id"] == 1
+
+
+def test_audio_frame_energy_semantics(spark):
+    """m7: integer-exact per-frame energy/peak on a crafted clip; error
+    classes propagate as rows (D6)."""
+    import numpy as np
+
+    quiet = np.full(mm.AUDIO_FRAME, 3, dtype="<i2")
+    loud = np.full(mm.AUDIO_FRAME, -1000, dtype="<i2")
+    clip = np.concatenate([quiet, loud])
+    rows = [
+        (1, "audio", mm.encode_pcm(clip)),
+        (2, "audio", b"RIFF nope"),
+        (3, "audio", None),
+        # header promises 320 samples, payload has 160 -> truncated
+        (4, "audio", mm.PCM_MAGIC + (320).to_bytes(4, "little") + quiet.tobytes()),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.audio_frame_energy(media).collect()
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in got}
+    assert by_key[(1, 0)]["energy"] == 9 * mm.AUDIO_FRAME
+    assert by_key[(1, 0)]["peak"] == 3
+    assert by_key[(1, 1)]["energy"] == 1_000_000 * mm.AUDIO_FRAME
+    assert by_key[(1, 1)]["peak"] == 1000
+    errs = {r["media_id"]: r["decode_error"] for r in got if r["decode_error"]}
+    assert errs == {2: "not PCM1", 3: "null content", 4: "truncated payload"}
+
+
+def test_silence_spans_islands(spark):
+    """m7b: quiet frames 0,1 and 3 form two extents; an all-loud clip
+    yields none."""
+    import numpy as np
+
+    q = np.full(mm.AUDIO_FRAME, 5, dtype="<i2")      # peak 5 < 100
+    l = np.full(mm.AUDIO_FRAME, 500, dtype="<i2")    # loud
+    clip1 = np.concatenate([q, q, l, q])
+    clip2 = np.concatenate([l, l])
+    media = spark.createDataFrame(
+        [(1, "audio", mm.encode_pcm(clip1)), (2, "audio", mm.encode_pcm(clip2))],
+        mm.MEDIA_SCHEMA,
+    )
+    spans = [
+        (r["media_id"], r["span_start"], r["span_end"], r["n_frames"])
+        for r in mm.silence_spans(media).collect()
+    ]
+    assert spans == [(1, 0, 1, 2), (1, 3, 3, 1)]

@@ -415,3 +415,35 @@ def test_round6_join_shapes(spark, sf_smoke):
     assert any("event_type" in f for f in pi.pushed_filters(e15))
     plan = pi.simple_plan(e15)
     assert "CartesianProduct" not in plan and "Join" in plan
+
+
+def test_round6b_operator_plan_shapes(spark, sf_smoke):
+    """t12/h11/m7: the second round-6 batch's scale properties."""
+    from file_indexer_spark.operators import multimodal as mm
+    from file_indexer_spark.operators import relational as rel
+    from file_indexer_spark.operators import text as tx
+    from file_indexer_spark.tables import load_table
+
+    t = lambda n: load_table(spark, sf_smoke, n)  # noqa: E731
+
+    # t12: words shuffle once; the tf rollup is checkpointed so the df
+    # branch reads the pinned rollup, never a second corpus
+    # explode+agg — the Generate must NOT appear once per branch
+    # (uncheckpointed it shows 2-3 times; behind the checkpoint
+    # boundary it shows 0)
+    t12 = tx.doc_top_terms(t("documents"))
+    plan = pi.simple_plan(t12)
+    assert plan.count("Generate") <= 1, plan
+    assert pi.has_broadcast_hint(t12)  # the 1-row n_docs scalar
+
+    # h11: date window pushed into the lineitem scan; scalar max joins
+    # back by equality, no cartesian blowup beyond the 1-row broadcast
+    h11 = rel.top_revenue_suppliers(t("lineitem"), t("supplier"))
+    assert any("l_shipdate" in f for f in pi.pushed_filters(h11))
+    assert pi.has_broadcast_hint(h11)
+
+    # m7: decode + frame analysis is ONE mapInPandas where blobs sit —
+    # no exchange anywhere before the presentation sort
+    media = mm.pcm_media_from_docs(t("documents"))
+    m7 = mm.audio_frame_energy(media)
+    assert pi.count_exchanges(m7) == 0, pi.simple_plan(m7)
