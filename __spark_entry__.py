@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "st9_interval_join_stream", "w8_streaming_ingest",
     "m7_audio_frame_energy", "m7b_silence_spans",
     "t12_doc_top_terms", "h11_top_revenue_suppliers",
+    "sp7_zorder_layout",
     "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
     "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
     "p7b_directory_page", "m6_image_ahash",

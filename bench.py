@@ -145,6 +145,7 @@ LLM_EXTENSION = [
     "m7_audio_frame_energy",
     "t12_doc_top_terms",
     "h11_top_revenue_suppliers",
+    "sp7_zorder_layout",
 ]
 
 

@@ -4280,3 +4280,40 @@ def m7b_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.pcm_media_from_docs(_table(spark, sf_dir, "documents"))
     return mm.silence_spans(media)
+
+
+@register(
+    "sp7_zorder_layout",
+    """
+    -- Z-order (Morton) layout report: 8-bit interleave of
+    -- (user_id, day), fixed-width curve-prefix shards (z >> 4: 4x4
+    -- key tiles), per-shard tile extents. Pure integer bit algebra in
+    -- both engines.
+    WITH keyed AS (
+        SELECT event_id,
+               user_id & 255 AS xk,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) & 255 AS yk
+        FROM events),
+    curved AS (
+        SELECT xk, yk,
+               CAST(list_sum(list_transform(range(0, 8), i ->
+                   (((xk >> i) & 1) << (2 * i))
+                 + (((yk >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        FROM keyed)
+    SELECT z >> 4 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(xk) AS BIGINT) AS user_min,
+           CAST(MAX(xk) AS BIGINT) AS user_max,
+           CAST(MIN(yk) AS BIGINT) AS day_min,
+           CAST(MAX(yk) AS BIGINT) AS day_max
+    FROM curved GROUP BY shard ORDER BY shard
+    """,
+)
+def sp7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP7: the multi-dimensional clustering step — Morton-curve value
+    + fixed-prefix shard tiles proving both predicate dimensions stay
+    bounded per shard (the parquet min/max pruning layout for combined
+    user+time predicates; physical write = repartitionByRange(z))."""
+    from file_indexer_spark.operators import sampling as sp
+
+    return sp.zorder_layout(_events(spark, sf_dir))

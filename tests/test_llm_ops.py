@@ -727,3 +727,72 @@ def test_quantize_embeddings_error_bound(embeddings):
         assert all(-127 <= v <= 127 for v in r["q"])
         if r["scale"] is not None:
             assert r["max_abs_err"] <= 0.5 / r["scale"] + 1e-6, r["vec_id"]
+
+
+def test_zorder_interleave_matches_reference(spark):
+    """sp7's Morton curve: the Column expression equals a bit-twiddling
+    Python reference on the full 8-bit grid corners + randoms."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import sampling as sp
+
+    def ref(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(7)
+    pts = [(0, 0), (255, 255), (255, 0), (0, 255), (1, 2)] + [
+        (rng.randrange(256), rng.randrange(256)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "z", sp.zorder_value(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r["z"] == ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_smoke):
+    """The layout claim itself: Morton-prefix shards tile BOTH key
+    ranges (each multi-row shard's user span AND day span are well
+    under the full range), while a day-sorted layout leaves the full
+    user range in every shard — the reason Z-order prunes combined
+    predicates and single-key sort cannot."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.tables import events_df
+
+    events = events_df(spark, sf_smoke)
+    shards = sp.zorder_layout(events).collect()
+    assert len(shards) > 4
+    # a 4-bit curve prefix leaves 2-bit tiles: <= 4 consecutive values
+    # per dimension inside any shard
+    for r in shards:
+        assert r["user_max"] - r["user_min"] <= 3, r
+        assert r["day_max"] - r["day_min"] <= 3, r
+
+    # contrast: day-sorted shards hold (nearly) the whole user range,
+    # so a user predicate prunes ~nothing there, while the Morton
+    # shards above bound it to <= 4 values
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    stats = (
+        events.select((F.col("user_id") % 256).alias("u"), day.alias("d"))
+        .groupBy("d")
+        .agg((F.max("u") - F.min("u")).alias("span"))
+        .agg(F.avg("span").alias("avg_span"))
+        .crossJoin(
+            events.select(
+                (F.max(F.col("user_id") % 256) - F.min(F.col("user_id") % 256)).alias(
+                    "full"
+                )
+            )
+        )
+        .first()
+    )
+    assert stats["avg_span"] >= 0.6 * stats["full"], stats
+    assert stats["avg_span"] > 3, "day layout must be worse than the tiles"
