@@ -354,11 +354,9 @@ def zorder_layout(events: DataFrame, bits: int = ZORDER_BITS, n_shards: int = ZO
     day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
     x = F.col("user_id").bitwiseAND(F.lit(mask))
     y = day.cast("long").bitwiseAND(F.lit(mask))
-    tagged = events.select(
-        F.col("event_id"),
-        x.alias("xk"),
-        y.alias("yk"),
-    ).withColumn("z", zorder_value(F.col("xk"), F.col("yk"), bits))
+    tagged = events.select(x.alias("xk"), y.alias("yk")).withColumn(
+        "z", zorder_value(F.col("xk"), F.col("yk"), bits)
+    )
     return (
         tagged.groupBy(F.shiftright(F.col("z"), prefix_shift).alias("shard"))
         .agg(
