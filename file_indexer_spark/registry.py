@@ -828,6 +828,90 @@ def st9_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("purchase_id", "view_id")
 
 
+# e15b/st10 share the LEFT OUTER oracle: unattributed purchases emit
+# with NULL view columns.
+_E15B_ORACLE = f"""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL {sj_gap_minutes} MINUTE
+    ORDER BY purchase_id, view_id
+    """
+
+
+@register("e15b_interval_join_outer", _E15B_ORACLE)
+def e15b_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15b: the LEFT OUTER attribution — every purchase emits, NULL
+    view columns when nothing preceded it in the window (the
+    unattributed-conversion report)."""
+    from file_indexer_spark.streaming import joins as sjoins
+
+    return sjoins.view_purchase_pairs_outer(_events(spark, sf_dir)).orderBy(
+        "purchase_id", "view_id"
+    )
+
+
+@register("st10_interval_join_outer_stream", _E15B_ORACLE)
+def st10_interval_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10: e15b as a watermarked STREAM-STREAM OUTER join — the
+    delayed-null semantics st9's inner join doesn't exercise: an
+    unmatched purchase may only emit its NULL row once the VIEW-side
+    watermark proves no late view can still attribute it, so outer
+    results trail the watermark like append-mode finalization. Two
+    far-future sentinel arrivals carry BOTH event types (the join's
+    effective watermark is the min of the two sides'), the sentinel
+    user is filtered, and the batch LEFT JOIN oracle hash-gates the
+    drained sink."""
+    import os
+
+    from file_indexer_spark.streaming import joins as sjoins
+    from file_indexer_spark.streaming import windows as sw
+    from file_indexer_spark.streaming.util import run_to_memory_sink
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st10", sf_dir)
+    src = os.path.join(base, "src")
+    ev2 = _events(spark, sf_dir)
+    mid = ev2.agg(F.max("event_id")).first()[0] // 2
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def sentinel(days: int) -> DataFrame:
+        base_row = ev2.agg(F.max("ts").alias("mx"))
+        out = None
+        for off, etype in ((0, "view"), (1, "purchase")):
+            row = base_row.select(
+                F.lit(-1 - off).cast("long").alias("event_id"),
+                F.expr(f"mx + INTERVAL {days} DAYS").alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    _land_arrivals(
+        src,
+        [
+            ev2.filter(F.col("event_id") <= mid).select(*cols),
+            ev2.filter(F.col("event_id") > mid).select(*cols),
+            sentinel(30),
+            sentinel(31),
+        ],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sink = f"st10_sink_{tag}"
+    run_to_memory_sink(sjoins.view_purchase_pairs_outer(stream), sink)
+    return (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("purchase_id", "view_id")
+    )
+
+
 @register("e1b_sessionization_skew", _E1_ORACLE)
 def e1b_sessionization_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 skew-safe variant: day-bucketed pre-sessionize + boundary

@@ -79,6 +79,13 @@ _NESTED_LOOP_OK = {
     # sim5 = dd5's bounded broadcast-centroid assignment pass feeding
     # the salted equi-join k-NN scoring — same shape as dd5/sim2.
     "sim5_knn_join",
+    # h9 crosses every customer with the BROADCAST 1-row scalar
+    # (total_pos_cents, n_pos) — the Q22 scalar-subquery shape; the
+    # orders anti-join is a real hash join (LeftAnti pinned).
+    "h9_idle_rich_customers",
+    # t12 crosses the O(doc-terms) rollup with the broadcast 1-row
+    # n_docs aggregate — t10's exact pattern, bounded 1 x rollup.
+    "t12_doc_top_terms",
 }
 
 

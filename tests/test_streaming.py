@@ -353,3 +353,40 @@ def test_stream_stream_interval_join_matches_across_batches(spark, tmp_path):
         for r in spark.table("st9t_sink").collect()
     }
     assert got == {(4, 1), (6, 3)}, got
+
+
+def test_stream_stream_outer_join_delays_nulls_until_watermark(spark, tmp_path):
+    """st10: an unmatched purchase emits its NULL row only after the
+    view-side watermark closes its window — before that the engine must
+    hold it (a late view could still attribute it). With a final
+    watermark-advancing arrival, both the matched pair and the
+    unmatched NULL row are present exactly once."""
+    import datetime as dt
+
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming import joins as sjoins
+    from file_indexer_spark.streaming import windows as sw
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda rows: spark.createDataFrame(rows, sw.EVENTS_STREAM_SCHEMA)
+    b1 = mk([
+        (1, t0, 7, "view", 1.0, None),
+        (2, t0 + dt.timedelta(minutes=30), 7, "purchase", 9.0, None),  # matched
+        (3, t0 + dt.timedelta(minutes=30), 8, "purchase", 5.0, None),  # never matched
+    ])
+    # sentinels of BOTH types push both watermarks far past t0
+    far = t0 + dt.timedelta(days=30)
+    b2 = mk([(-1, far, -1, "view", 0.0, None), (-2, far, -1, "purchase", 0.0, None)])
+    b3 = mk([(-3, far + dt.timedelta(days=1), -1, "view", 0.0, None),
+             (-4, far + dt.timedelta(days=1), -1, "purchase", 0.0, None)])
+    src = str(tmp_path / "st10_src")
+    _land_arrivals(src, [b1, b2, b3])
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    from file_indexer_spark.streaming.util import run_to_memory_sink
+
+    run_to_memory_sink(sjoins.view_purchase_pairs_outer(stream), "st10t_sink")
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.table("st10t_sink").filter("user_id >= 0").collect()
+    }
+    assert got == {(2, 1), (3, None)}, got
