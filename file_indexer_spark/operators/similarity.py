@@ -619,3 +619,55 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     return out.select(
         "vec_id", "q", F.round("scale", 6).alias("scale"), "max_abs_err"
     ).orderBy("vec_id")
+
+
+KMEANS_K = 16
+KMEANS_MAX_ITER = 8
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, k: int = KMEANS_K, max_iter: int = KMEANS_MAX_ITER
+) -> DataFrame:
+    """sim8: REAL iterative Lloyd k-means over the embedding corpus via
+    ``pyspark.ml.clustering.KMeans`` — the multi-round refinement pass
+    the one-shot IVF seeding (``_centroids``) deliberately skips, and
+    the second true ITERATIVE algorithm in the repo beside dd7's
+    connected components.
+
+    Per-cluster summary out (cluster id, size, mean intra-cluster
+    cosine-ish distance via the model's cost column is NOT exposed —
+    sizes + per-cluster vec_id extrema keep the output deterministic
+    ENOUGH to gate rows+schema at the driver), full per-vector
+    assignment available via ``transform``. kmeans|| init with a fixed
+    seed is deterministic for a fixed partitioning but NOT replicable
+    in an external SQL engine → rows-only driver check; pytest pins
+    the invariants that matter instead: exactly k non-empty clusters
+    on a spread corpus, every vector assigned once, and total
+    within-cluster SSE at or below the one-shot IVF seeding's SSE
+    after the same assignment rule (Lloyd only improves the
+    objective).
+
+    100 TB shape: each iteration is one broadcast of k centroids + a
+    map-side assignment + a k-row partial-agg shuffle — the same
+    per-round cost as sim6's assignment, ×max_iter rounds.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _spread(embeddings).select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(
+        k=int(k), maxIter=int(max_iter), seed=20240813, featuresCol="features"
+    ).fit(vecs)
+    assigned = model.transform(vecs)
+    return (
+        assigned.groupBy(F.col("prediction").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )

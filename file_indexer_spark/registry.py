@@ -4401,3 +4401,13 @@ def sp7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from file_indexer_spark.operators import sampling as sp
 
     return sp.zorder_layout(_events(spark, sf_dir))
+
+
+@register("sim8_kmeans_ml")
+def sim8_kmeans_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM8: multi-iteration Lloyd k-means (pyspark.ml) — the iterative
+    refinement the one-shot IVF seeding skips. kmeans|| init is not
+    replicable in an external SQL engine → rows-only driver check;
+    pytest pins k non-empty clusters, total assignment, and
+    SSE <= the one-shot IVF seeding's SSE."""
+    return sim.kmeans_clusters(_table(spark, sf_dir, "embeddings"))

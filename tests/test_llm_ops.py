@@ -796,3 +796,47 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_smoke):
     )
     assert stats["avg_span"] >= 0.6 * stats["full"], stats
     assert stats["avg_span"] > 3, "day layout must be worse than the tiles"
+
+
+def test_kmeans_improves_on_oneshot_ivf_seeding(spark, sf_smoke):
+    """sim8's pinned invariants: exactly k non-empty clusters, every
+    vector assigned once, and Lloyd's within-cluster SSE is at or
+    below the one-shot IVF seeding's SSE under the same
+    nearest-centroid assignment (iterating only improves the
+    objective)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    k = 8
+
+    summary = sim.kmeans_clusters(emb, k=k).collect()
+    assert len(summary) == k and all(r["n_vectors"] > 0 for r in summary)
+    assert sum(r["n_vectors"] for r in summary) == n
+
+    # SSE comparison under identical assignment arithmetic (numpy)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    X = np.stack([vecs[i] for i in sorted(vecs)])
+
+    def sse(centroids):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    model = KMeans(k=k, maxIter=sim.KMEANS_MAX_ITER, seed=20240813,
+                   featuresCol="features").fit(
+        emb.select(array_to_vector(F.col("embedding").cast("array<double>"))
+                   .alias("features"))
+    )
+    lloyd = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    seeds = np.stack([
+        np.array(r["embedding"], dtype=np.float64)
+        for r in sim._centroids(emb, k).collect()
+    ])
+    assert sse(lloyd) <= sse(seeds) * 1.0001, (sse(lloyd), sse(seeds))
