@@ -57,7 +57,7 @@ _DRIVER_PRIORITY = [
     "t12_doc_top_terms", "h11_top_revenue_suppliers",
     "sp7_zorder_layout",
     "e15b_interval_join_outer", "st10_interval_join_outer_stream",
-    "sim8_kmeans_ml",
+    "sim8_kmeans_ml", "dd11_cluster_consolidation",
     "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
     "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
     "p7b_directory_page", "m6_image_ahash",

@@ -590,3 +590,33 @@ def strip_duplicated_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def cluster_consolidation(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """dd11: the SemDeDup consolidation report — per multi-document
+    near-dup cluster: size, the kept canonical (= the cluster label,
+    min doc_id), total chars, and chars SAVED by dropping the
+    non-canonical members. The text-corpus rendition of the
+    reference's wasted-space accounting (A13) applied to dd7's
+    components — the number a curation run reports as its dedup win.
+
+    Scale shape: one equi-join of the O(docs) assignment table with
+    the pruned (doc_id, n_chars) projection, one hash agg on
+    cluster_id. Everything upstream (pair generation, contraction) is
+    dd3/dd7's bucketed machinery.
+    """
+    joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(
+                F.when(~F.col("is_canonical"), F.col("n_chars")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("cluster_id")
+    )

@@ -4411,3 +4411,46 @@ def sim8_kmeans_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest pins k non-empty clusters, total assignment, and
     SSE <= the one-shot IVF seeding's SSE."""
     return sim.kmeans_clusters(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dd11_cluster_consolidation",
+    f"""
+    -- SemDeDup consolidation report: per multi-doc near-dup cluster,
+    -- size + kept canonical + chars saved by dropping the rest (A13's
+    -- wasted-space accounting on dd7's components).
+    WITH RECURSIVE
+    {_DD7_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE e.dst <> r.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    assigned AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_saved
+    FROM assigned GROUP BY cluster_id HAVING COUNT(*) >= 2
+    ORDER BY cluster_id
+    """,
+)
+def dd11_cluster_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD11: dd7's components rolled into the dedup-win report — one
+    join with the pruned (doc_id, n_chars) projection + one cluster_id
+    agg; the curation number ('chars_saved') a training pipeline
+    quotes after consolidating near-duplicates."""
+    docs = _table(spark, sf_dir, "documents")
+    return dd.cluster_consolidation(
+        docs, dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
+    )
