@@ -726,8 +726,11 @@ def pcm_media_from_docs(docs: DataFrame) -> DataFrame:
                 if did % 13 == 0:
                     blobs.append(b"RIFF not really a wav")
                     continue
-                raw = text.encode("utf-8")
-                L = max(len(raw), 1)
+                # \x00 pad: corpus text is never empty (asserted by the
+                # oracle derivation), but a real-world empty doc must
+                # degrade to a silent clip, not an executor IndexError
+                raw = text.encode("utf-8") or b"\x00"
+                L = len(raw)
                 n = AUDIO_FRAME * (4 + did % 4)
                 idx = np.arange(n)
                 base = (
