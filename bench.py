@@ -146,6 +146,7 @@ LLM_EXTENSION = [
     "t12_doc_top_terms",
     "h11_top_revenue_suppliers",
     "sp7_zorder_layout",
+    "m8_video_shot_cuts",
 ]
 
 

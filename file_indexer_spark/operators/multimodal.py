@@ -855,3 +855,124 @@ def silence_spans(media: DataFrame, peak_below: int = SILENCE_PEAK) -> DataFrame
         .drop("island")
         .orderBy("media_id", "span_start")
     )
+
+
+# ------------------------------------------------ video pillar
+
+VID_MAGIC = b"VID1"
+_VID_HEADER_FMT = "<III"  # n_frames, width, height (after magic)
+_VID_HEADER_SIZE = struct.calcsize(_VID_HEADER_FMT)
+
+
+def encode_video(width: int, height: int, frames: "list[bytes]") -> bytes:
+    """Minimal raw-video container: magic + u32 (n_frames, w, h) LE +
+    concatenated single-channel w*h rasters — the codec-free video
+    analog of the PPM/PCM paths. (Format string, not a Struct object:
+    Struct instances can't pickle into UDF closures.)"""
+    return (
+        VID_MAGIC
+        + struct.pack(_VID_HEADER_FMT, len(frames), width, height)
+        + b"".join(frames)
+    )
+
+
+def video_media_from_docs(docs: DataFrame) -> DataFrame:
+    """m8 gate fixture: deterministic grayscale video derived from
+    ``documents`` — ``6 + doc_id % 5`` frames of ``(4 + doc_id % 3) ×
+    (3 + doc_id % 2)`` pixels, where SCENES change every 3 frames:
+    frame f's pixel p is text byte ``((f//3)*31 + p) mod L``, so
+    frames inside a scene are IDENTICAL and the inter-frame difference
+    is zero except at scene cuts. Error classes: doc_id % 17 == 0 →
+    NULL content; doc_id % 19 == 0 → wrong magic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                ids.append(did)
+                types.append("video")
+                if did % 17 == 0:
+                    blobs.append(None)
+                    continue
+                if did % 19 == 0:
+                    blobs.append(b"AVI? not a video")
+                    continue
+                raw = text.encode("utf-8") or b"\x00"
+                L = len(raw)
+                w, h, nf = 4 + did % 3, 3 + did % 2, 6 + did % 5
+                frames = []
+                for f in range(nf):
+                    s = f // 3
+                    frames.append(
+                        bytes(raw[(s * 31 + p) % L] for p in range(w * h))
+                    )
+                blobs.append(encode_video(w, h, frames))
+            yield pd.DataFrame({"media_id": ids, "media_type": types, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+SHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("sad", T.LongType(), True),
+        T.StructField("is_cut", T.BooleanType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def video_shot_boundaries(media: DataFrame, cut_threshold: int = 1) -> DataFrame:
+    """m8: shot-boundary detection from DECODED frames — per
+    consecutive-frame pair, the integer sum of absolute pixel
+    differences (SAD) and a cut flag (``sad >= cut_threshold``). The
+    temporal-structure operator the image/audio passes don't exercise;
+    a video curation pipeline samples around exactly these cuts
+    (keyframe extraction) or drops static spans.
+
+    Pure integer arithmetic on decoded bytes → the oracle recomputes
+    every SAD from the fixture derivation. Scale shape: one
+    mapInPandas where the blobs sit (numpy vectorized diff over the
+    frame stack), no shuffle; n_frames−1 narrow rows per clip; decode
+    errors propagate as rows (D6)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                blob = None if c is None else bytes(c)
+                if blob is None:
+                    rows.append((int(mid), None, None, None, "null content"))
+                    continue
+                if not blob.startswith(VID_MAGIC):
+                    rows.append((int(mid), None, None, None, "not VID1"))
+                    continue
+                if len(blob) < 4 + _VID_HEADER_SIZE:
+                    rows.append((int(mid), None, None, None, "bad header"))
+                    continue
+                nf, w, h = struct.unpack_from(_VID_HEADER_FMT, blob, 4)
+                need = nf * w * h
+                payload = blob[4 + _VID_HEADER_SIZE :]
+                if len(payload) < need or nf < 1:
+                    rows.append((int(mid), None, None, None, "truncated payload"))
+                    continue
+                stack = (
+                    np.frombuffer(payload[:need], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(nf, w * h)
+                )
+                sad = np.abs(np.diff(stack, axis=0)).sum(axis=1)
+                rows.extend(
+                    (int(mid), int(f + 1), int(s), bool(s >= cut_threshold), None)
+                    for f, s in enumerate(sad)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "sad", "is_cut", "decode_error"],
+            )
+
+    return media.mapInPandas(batches, schema=SHOT_SCHEMA)

@@ -4454,3 +4454,51 @@ def dd11_cluster_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cluster_consolidation(
         docs, dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
     )
+
+
+@register(
+    "m8_video_shot_cuts",
+    """
+    -- Shot-boundary detection from DECODED video frames: per
+    -- consecutive-frame pair the integer SAD (sum of absolute pixel
+    -- diffs) and the cut flag; scenes change every 3 frames in the
+    -- fixture so intra-scene SAD is exactly 0. The oracle recomputes
+    -- every pixel from the doc_id derivation.
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS L,
+               4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+               6 + doc_id % 5 AS nf
+        FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 19 <> 0),
+    sads AS (
+        SELECT doc_id, u.f AS frame_idx, u.sad FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, nf), f -> {
+                       'f': CAST(f AS INTEGER),
+                       'sad': CAST(list_sum(list_transform(range(0, w * h), p ->
+                           abs(ascii(substr(text,
+                                   CAST(((f // 3) * 31 + p) % L + 1 AS BIGINT), 1))
+                             - ascii(substr(text,
+                                   CAST((((f - 1) // 3) * 31 + p) % L + 1 AS BIGINT), 1))
+                           ))) AS BIGINT)})) AS u
+            FROM base))
+    SELECT doc_id AS media_id, frame_idx, sad, sad >= 1 AS is_cut,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM sads
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL,
+           CASE WHEN doc_id % 17 = 0 THEN 'null content' ELSE 'not VID1' END
+    FROM documents WHERE doc_id % 17 = 0 OR doc_id % 19 = 0
+    ORDER BY media_id, frame_idx
+    """,
+)
+def m8_video_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: the VIDEO-modality temporal operator — a codec-free
+    container (magic + frame count/geometry + grayscale rasters)
+    decoded where the blobs sit, vectorized inter-frame SAD, cut flags
+    at scene changes; errors as rows. Completes the modality set
+    (image m2b/m5/m6*, audio m7*, video m3 sampling + this temporal
+    structure pass) with every one hash-gated."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.video_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.video_shot_boundaries(media).orderBy("media_id", "frame_idx")

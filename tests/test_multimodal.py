@@ -258,3 +258,23 @@ def test_silence_spans_islands(spark):
         for r in mm.silence_spans(media).collect()
     ]
     assert spans == [(1, 0, 1, 2), (1, 3, 3, 1)]
+
+
+def test_video_shot_boundaries_semantics(spark):
+    """m8: SAD is exact per consecutive pair; identical frames give 0
+    (no cut), changed frames flag a cut; error classes are rows."""
+    f_a = bytes([10] * 12)
+    f_b = bytes([10] * 11 + [13])   # SAD 3 vs f_a
+    rows = [
+        (1, "video", mm.encode_video(4, 3, [f_a, f_a, f_b])),
+        (2, "video", b"AVI? nope"),
+        (3, "video", None),
+        (4, "video", mm.VID_MAGIC + (99).to_bytes(4, "little") * 3),  # truncated
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.video_shot_boundaries(media).collect()
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in got}
+    assert by_key[(1, 1)]["sad"] == 0 and by_key[(1, 1)]["is_cut"] is False
+    assert by_key[(1, 2)]["sad"] == 3 and by_key[(1, 2)]["is_cut"] is True
+    errs = {r["media_id"]: r["decode_error"] for r in got if r["decode_error"]}
+    assert errs == {2: "not VID1", 3: "null content", 4: "truncated payload"}
