@@ -361,6 +361,22 @@ SCALE_QUERIES = [
     "dd10_strip_spans",
     "sp6_epoch_shuffle",
     "sim7_quantize",
+    # round 6: ordinal-free sessions, interval joins, Q13/Q22/Q7/Q15
+    # shapes, per-doc TF-IDF, Z-order layout, audio/video/canonical-
+    # image passes, cluster consolidation
+    "e1c_session_stats",
+    "e15_interval_join",
+    "e15b_interval_join_outer",
+    "h8_order_count_distribution",
+    "h9_idle_rich_customers",
+    "h10_nation_trade_volume",
+    "h11_top_revenue_suppliers",
+    "t12_doc_top_terms",
+    "sp7_zorder_layout",
+    "m6c_image_ahash_canonical",
+    "m7_audio_frame_energy",
+    "m8_video_shot_cuts",
+    "dd11_cluster_consolidation",
 ]
 
 
