@@ -58,7 +58,7 @@ _DRIVER_PRIORITY = [
     "sp7_zorder_layout",
     "e15b_interval_join_outer", "st10_interval_join_outer_stream",
     "sim8_kmeans_ml", "dd11_cluster_consolidation",
-    "m8_video_shot_cuts",
+    "m8_video_shot_cuts", "m8b_video_keyframes",
     "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
     "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
     "p7b_directory_page", "m6_image_ahash",

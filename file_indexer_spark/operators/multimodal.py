@@ -976,3 +976,70 @@ def video_shot_boundaries(media: DataFrame, cut_threshold: int = 1) -> DataFrame
             )
 
     return media.mapInPandas(batches, schema=SHOT_SCHEMA)
+
+
+KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("scene_idx", T.IntegerType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+
+def video_keyframes(media: DataFrame, cut_threshold: int = 1) -> DataFrame:
+    """m8b: keyframe extraction — the FIRST frame of every shot (frame
+    0 plus each detected cut), fingerprinted with md5 of its raster
+    bytes. The consumer of m8's cut table: a video training pipeline
+    stores exactly this row set (one representative frame per shot)
+    instead of the full frame stack — the m3 frame-sampler keyed by
+    temporal structure rather than a fixed stride.
+
+    Cuts are recomputed from the decoded stack with the same SAD rule
+    as :func:`video_shot_boundaries` (not assumed from the fixture's
+    scene period), so the DuckDB oracle must agree bit-for-bit on
+    which frames are shots AND on every fingerprint byte. Undecodable
+    blobs are skipped (m8 carries their error rows). mapInPandas where
+    the blobs sit; no shuffle before the presentation sort.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                blob = None if c is None else bytes(c)
+                if blob is None or not blob.startswith(VID_MAGIC):
+                    continue
+                if len(blob) < 4 + _VID_HEADER_SIZE:
+                    continue
+                nf, w, h = struct.unpack_from(_VID_HEADER_FMT, blob, 4)
+                need = nf * w * h
+                payload = blob[4 + _VID_HEADER_SIZE :]
+                if len(payload) < need or nf < 1:
+                    continue
+                stack = (
+                    np.frombuffer(payload[:need], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(nf, w * h)
+                )
+                sad = np.abs(np.diff(stack, axis=0)).sum(axis=1)
+                keyframes = [0] + [
+                    int(f + 1) for f, s in enumerate(sad) if s >= cut_threshold
+                ]
+                for i, f in enumerate(keyframes):
+                    raster = payload[f * w * h : (f + 1) * w * h]
+                    rows.append(
+                        (int(mid), i, f, hashlib.md5(raster).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "scene_idx", "frame_idx", "frame_md5"]
+            )
+
+    return media.mapInPandas(batches, schema=KEYFRAME_SCHEMA).orderBy(
+        "media_id", "scene_idx"
+    )

@@ -4502,3 +4502,57 @@ def m8_video_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.video_media_from_docs(_table(spark, sf_dir, "documents"))
     return mm.video_shot_boundaries(media).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "m8b_video_keyframes",
+    """
+    -- Keyframe extraction: the first frame of every shot (frame 0 +
+    -- each SAD-detected cut), md5-fingerprinted raster. The oracle
+    -- recomputes BOTH the cut set and every fingerprint byte from the
+    -- derivation (ASCII corpus: chr() concatenation's UTF-8 equals
+    -- the raster bytes).
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS L,
+               4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+               6 + doc_id % 5 AS nf
+        FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 19 <> 0),
+    sads AS (
+        SELECT doc_id, u.f AS frame_idx, u.sad FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, nf), f -> {
+                       'f': CAST(f AS INTEGER),
+                       'sad': CAST(list_sum(list_transform(range(0, w * h), p ->
+                           abs(ascii(substr(text,
+                                   CAST(((f // 3) * 31 + p) % L + 1 AS BIGINT), 1))
+                             - ascii(substr(text,
+                                   CAST((((f - 1) // 3) * 31 + p) % L + 1 AS BIGINT), 1))
+                           ))) AS BIGINT)})) AS u
+            FROM base)),
+    keys AS (
+        SELECT doc_id, 0 AS frame_idx FROM base
+        UNION ALL
+        SELECT doc_id, frame_idx FROM sads WHERE sad >= 1),
+    numbered AS (
+        SELECT doc_id, frame_idx,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY frame_idx) - 1 AS INTEGER)
+                   AS scene_idx
+        FROM keys)
+    SELECT n.doc_id AS media_id, n.scene_idx,
+           CAST(n.frame_idx AS INTEGER) AS frame_idx,
+           md5(array_to_string(list_transform(range(0, b.w * b.h), p ->
+               chr(ascii(substr(b.text,
+                   CAST(((n.frame_idx // 3) * 31 + p) % b.L + 1 AS BIGINT),
+                   1)))), '')) AS frame_md5
+    FROM numbered n JOIN base b ON n.doc_id = b.doc_id
+    ORDER BY media_id, scene_idx
+    """,
+)
+def m8b_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8b: one representative frame per shot — m8's cut table driving
+    the m3-style sampler, fingerprints hash-gated bit-for-bit."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.video_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.video_keyframes(media)

@@ -278,3 +278,25 @@ def test_video_shot_boundaries_semantics(spark):
     assert by_key[(1, 2)]["sad"] == 3 and by_key[(1, 2)]["is_cut"] is True
     errs = {r["media_id"]: r["decode_error"] for r in got if r["decode_error"]}
     assert errs == {2: "not VID1", 3: "null content", 4: "truncated payload"}
+
+
+def test_video_keyframes_one_per_shot(spark):
+    """m8b: frame 0 plus each cut frame, scene-numbered; identical
+    shots share fingerprints across clips; undecodable blobs skipped."""
+    import hashlib
+
+    f_a = bytes([10] * 12)
+    f_b = bytes([99] * 12)
+    rows = [
+        # shots: [a,a] [b] [a] -> keyframes 0, 2, 3
+        (1, "video", mm.encode_video(4, 3, [f_a, f_a, f_b, f_a])),
+        (2, "video", None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.video_keyframes(media).collect()
+    assert [(r["media_id"], r["scene_idx"], r["frame_idx"]) for r in got] == [
+        (1, 0, 0), (1, 1, 2), (1, 2, 3),
+    ]
+    md5s = [r["frame_md5"] for r in got]
+    assert md5s[0] == md5s[2] == hashlib.md5(f_a).hexdigest()
+    assert md5s[1] == hashlib.md5(f_b).hexdigest()
