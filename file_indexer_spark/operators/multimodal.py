@@ -462,10 +462,17 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
-def image_ahash(media: DataFrame) -> DataFrame:
-    """m6: perceptual average-hash (aHash) fingerprint from DECODED
-    pixels — the codec-free image near-dup signal (group or band the
-    hash exactly like dd1/dd4 group text hashes).
+def image_ahash_legacy63(media: DataFrame) -> DataFrame:
+    """m6 (GATE-LEGACY — prefer :func:`image_ahash`, the canonical
+    resolution-invariant 64-bit hash): perceptual average-hash (aHash)
+    fingerprint from DECODED pixels at NATIVE resolution — the
+    codec-free image near-dup signal (group or band the hash exactly
+    like dd1/dd4 group text hashes).
+
+    Retained verbatim for the m6/m6b driver-gate continuity; its
+    63-pixel signed-long cap (below) is the documented footgun that
+    motivated the canonical path: on unpooled images with more than 63
+    pixels, files identical only in their first 63 pixels collide.
 
     Per valid image: grayscale each pixel as the INTEGER sum r+g+b
     (0..765 — no /3, so no rounding rule to align between engines);
@@ -546,7 +553,10 @@ def ppm_multires_media_from_docs(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 w0, h0 = 4 + did % 5, 4 + did % 3
                 s = 2 + did % 2
-                raw = text.encode("utf-8")
+                # empty-text guard (the m7/m8 hardening): an empty doc
+                # would tile a zero-length raster into a spec-invalid
+                # PPM and hash-mismatch the m6c/m6d oracle
+                raw = text.encode("utf-8") or b"\x00"
                 need = w0 * h0 * 3
                 base = (raw * (need // max(len(raw), 1) + 1))[:need]
                 ids.append(2 * did)
@@ -656,19 +666,21 @@ def image_duplicate_groups_canonical(
     )
 
 
-def image_duplicate_groups(media: DataFrame, min_group_size: int = 2) -> DataFrame:
-    """m6b: perceptual duplicate groups — the consumer of
-    :func:`image_ahash`, exactly the shape of the reference's checksum
-    duplicate-groups (J2) applied to image content: images sharing
-    (width, height, ahash) form a group; the min media_id is the
-    canonical keeper. Small images collide aggressively (few hash
-    bits) — the production pipeline pools to a fixed grid first (m5),
-    which this operator is agnostic to.
+def image_duplicate_groups_legacy63(media: DataFrame, min_group_size: int = 2) -> DataFrame:
+    """m6b (GATE-LEGACY — prefer :func:`image_duplicate_groups`, which
+    groups on the canonical resolution-invariant ahash64): perceptual
+    duplicate groups over the native-resolution 63-bit fingerprint,
+    exactly the shape of the reference's checksum duplicate-groups (J2)
+    applied to image content: images sharing (width, height, ahash)
+    form a group; the min media_id is the canonical keeper. Small
+    images collide aggressively (few hash bits), and >63-pixel images
+    group on their first 63 pixels only — the two reasons the
+    canonical path is the default.
 
     One hash-shuffle on the (w, h, ahash) key over the O(images)
     fingerprint table; everything upstream is the partition-local
     decode."""
-    hashed = image_ahash(media).filter(F.col("decode_error").isNull())
+    hashed = image_ahash_legacy63(media).filter(F.col("decode_error").isNull())
     return (
         hashed.groupBy("width", "height", "ahash")
         .agg(
@@ -678,6 +690,24 @@ def image_duplicate_groups(media: DataFrame, min_group_size: int = 2) -> DataFra
         .filter(F.col("n_images") >= min_group_size)
         .orderBy("width", "height", "ahash")
     )
+
+
+def image_ahash(media: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+    """The DEFAULT image fingerprint: the canonical resolution-invariant
+    64-bit aHash (8x8 lattice pooling + integer above-mean bits as hex
+    — see :func:`image_ahash_canonical`). The native-resolution 63-bit
+    variant survives as :func:`image_ahash_legacy63` for the m6/m6b
+    gate fixtures only."""
+    return image_ahash_canonical(media, grid=grid)
+
+
+def image_duplicate_groups(media: DataFrame, min_group_size: int = 2) -> DataFrame:
+    """The DEFAULT perceptual duplicate grouping: keyed on the canonical
+    ahash64 alone, so scaled copies of one image land in one group (see
+    :func:`image_duplicate_groups_canonical`). The native-resolution
+    (w, h, ahash)-keyed variant survives as
+    :func:`image_duplicate_groups_legacy63` for gate continuity."""
+    return image_duplicate_groups_canonical(media, min_group_size=min_group_size)
 
 
 # ------------------------------------------------ audio (PCM) pillar

@@ -347,9 +347,15 @@ def zorder_layout(events: DataFrame, bits: int = ZORDER_BITS, n_shards: int = ZO
     invertibility). One O(shards) aggregation; the curve itself is
     map-side codegen.
     """
-    import math
-
-    prefix_shift = 2 * bits - int(math.log2(n_shards))
+    # shards are fixed-width Morton PREFIXES: n_shards must be a power
+    # of two (and fit the 2*bits curve) or the prefix arithmetic is
+    # silently wrong — and the registered sp7 oracle pins bits=8 /
+    # n_shards=4096, so non-default calls are engine-only anyway.
+    if n_shards <= 0 or (n_shards & (n_shards - 1)) != 0:
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
+    if n_shards > (1 << (2 * bits)):
+        raise ValueError(f"n_shards={n_shards} exceeds the {2 * bits}-bit curve")
+    prefix_shift = 2 * bits - n_shards.bit_length() + 1
     mask = (1 << bits) - 1
     day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
     x = F.col("user_id").bitwiseAND(F.lit(mask))

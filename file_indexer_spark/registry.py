@@ -1874,14 +1874,14 @@ _M6_CTES = """base AS (
     """,
 )
 def m6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6: codec-free perceptual image fingerprinting over the REAL
-    decoded PPM corpus — the multimodal near-dup signal (group/band
-    the hash like dd1/dd4 group text hashes). Integer-exact bits, so
-    the approximate-perception operator is still hash-gated."""
+    """M6 (gate-legacy fingerprint — the API default is the canonical
+    ahash64, see m6c): codec-free perceptual image fingerprinting over
+    the REAL decoded PPM corpus at native resolution. Integer-exact
+    bits, so the approximate-perception operator is still hash-gated."""
     from file_indexer_spark.operators import multimodal as mm
 
     media = mm.ppm_media_from_docs(_table(spark, sf_dir, "documents"))
-    return mm.image_ahash(media).orderBy("media_id")
+    return mm.image_ahash_legacy63(media).orderBy("media_id")
 
 
 @register(
@@ -1900,13 +1900,14 @@ def m6_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m6b_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6b: image duplicate groups over the aHash fingerprints — one
-    hash-shuffle on the (w, h, ahash) key, J2's groups shape on
-    perceptual image content."""
+    """M6b (gate-legacy grouping — the API default groups on ahash64,
+    see m6d): image duplicate groups over the native-resolution aHash
+    fingerprints — one hash-shuffle on the (w, h, ahash) key, J2's
+    groups shape on perceptual image content."""
     from file_indexer_spark.operators import multimodal as mm
 
     media = mm.ppm_media_from_docs(_table(spark, sf_dir, "documents"))
-    return mm.image_duplicate_groups(media)
+    return mm.image_duplicate_groups_legacy63(media)
 
 
 # shared by m6c (canonical per-image hash) and m6d (the resolution-
@@ -1925,11 +1926,14 @@ _M6C_CTES = """base AS (
                    ((i // 8) * h0 // 8) * w0 + ((i % 8) * w0 // 8)) AS pidx
         FROM base),
     g AS (
+        -- greatest(L, 1) mirrors the engine's empty-text guard
+        -- (raw or b'\\x00'): substr past an empty text is '' and
+        -- ascii('') = 0, exactly the tiled zero byte
         SELECT doc_id, w0, h0, s,
                list_transform(pidx, p ->
-                   ascii(substr(text, CAST((3 * p) % L + 1 AS BIGINT), 1))
-                 + ascii(substr(text, CAST((3 * p + 1) % L + 1 AS BIGINT), 1))
-                 + ascii(substr(text, CAST((3 * p + 2) % L + 1 AS BIGINT), 1))
+                   ascii(substr(text, CAST((3 * p) % greatest(L, 1) + 1 AS BIGINT), 1))
+                 + ascii(substr(text, CAST((3 * p + 1) % greatest(L, 1) + 1 AS BIGINT), 1))
+                 + ascii(substr(text, CAST((3 * p + 2) % greatest(L, 1) + 1 AS BIGINT), 1))
                ) AS grays
         FROM pix),
     tot AS (SELECT *, list_sum(grays) AS total FROM g),
@@ -4397,7 +4401,12 @@ def sp7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SP7: the multi-dimensional clustering step — Morton-curve value
     + fixed-prefix shard tiles proving both predicate dimensions stay
     bounded per shard (the parquet min/max pruning layout for combined
-    user+time predicates; physical write = repartitionByRange(z))."""
+    user+time predicates; physical write = repartitionByRange(z)).
+
+    The oracle pins the DEFAULTS (bits=8 → `& 255`, n_shards=4096 →
+    `z >> 4`); zorder_layout itself validates n_shards is a power of
+    two that fits the curve, so a non-default call raises rather than
+    silently diverging from this SQL."""
     from file_indexer_spark.operators import sampling as sp
 
     return sp.zorder_layout(_events(spark, sf_dir))

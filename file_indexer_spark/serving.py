@@ -256,11 +256,20 @@ def search_request_from_query(
     )
 
 
+def _known_fields(cls, data: dict) -> dict:
+    """Drop unknown body keys — the reference's pydantic models ignore
+    extras by default, so a stray field must not surface as a 500."""
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in data.items() if k in names}
+
+
 def search_request_from_body(body: dict) -> SearchRequest:
     """POST /search/ body → SearchRequest (reference routers.py:64-80
     accepts the full model). The reference model's min_size/max_size
     names are accepted as aliases; modified_after/before arrive as
-    ISO-8601 strings."""
+    ISO-8601 strings; unknown fields are dropped (pydantic parity)."""
     import datetime as _dt
 
     data = dict(body)
@@ -271,12 +280,13 @@ def search_request_from_body(body: dict) -> SearchRequest:
     for key in ("modified_after", "modified_before"):
         if isinstance(data.get(key), str):
             data[key] = _dt.datetime.fromisoformat(data[key])
-    return SearchRequest(**data)
+    return SearchRequest(**_known_fields(SearchRequest, data))
 
 
 def duplicates_request_from_body(body: dict) -> DuplicatesRequest:
-    """POST /duplicates/ body → DuplicatesRequest (routers.py:121-145)."""
-    return DuplicatesRequest(**dict(body))
+    """POST /duplicates/ body → DuplicatesRequest (routers.py:121-145);
+    unknown fields are dropped (pydantic parity)."""
+    return DuplicatesRequest(**_known_fields(DuplicatesRequest, dict(body)))
 
 
 def search_response_dict(page: Page) -> dict:
@@ -288,11 +298,17 @@ def search_response_dict(page: Page) -> dict:
 
 
 def duplicates_response_dict(resp: DuplicatesResponse) -> dict:
+    """Reference DuplicatesResponse parity (models.py:103-110): the
+    groups page under the ``duplicate_groups`` key plus
+    ``total_duplicate_files`` — the sum of the page groups' file
+    counts, exactly the reference's routers.py:132 arithmetic."""
     # recursive=True: each group carries a nested files array of Rows,
     # which a JSON layer cannot serialize un-flattened
+    groups = [r.asDict(recursive=True) for r in resp.groups]
     return {
-        "groups": [r.asDict(recursive=True) for r in resp.groups],
+        "duplicate_groups": groups,
         "total_groups": resp.total_groups,
+        "total_duplicate_files": sum(g["file_count"] for g in groups),
         "total_wasted_space": resp.total_wasted_space,
         "has_more": resp.has_more,
     }

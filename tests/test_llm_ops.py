@@ -840,3 +840,47 @@ def test_kmeans_improves_on_oneshot_ivf_seeding(spark, sf_smoke):
         for r in sim._centroids(emb, k).collect()
     ])
     assert sse(lloyd) <= sse(seeds) * 1.0001, (sse(lloyd), sse(seeds))
+
+
+def test_idle_rich_customers_semantics_on_crafted_fixture(spark):
+    """h9's gate is vacuous on the synthetic fixtures (every customer
+    has orders, so both engines return 0 rows — ADVICE r6): exercise
+    the semantics on a crafted corpus where above-average-balance
+    customers exist WITHOUT orders, one customer sits EXACTLY on the
+    cross-multiplication boundary (must be excluded: strict >), and an
+    above-average customer WITH orders is anti-joined away."""
+    from file_indexer_spark.operators import relational as rel
+
+    customer = spark.createDataFrame(
+        [
+            (1, 10.00, "AUTOMOBILE"),   # below average
+            (2, 25.00, "BUILDING"),     # exactly ON the boundary -> out
+            (3, 30.00, "AUTOMOBILE"),   # above, no orders -> IN
+            (4, 40.00, "BUILDING"),     # above, HAS an order -> anti-joined
+            (5, 20.00, "MACHINERY"),    # below average
+            (6, -7.00, "MACHINERY"),    # negative: out of scalar AND result
+        ],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame([(100, 4)], "o_orderkey long, o_custkey long")
+    # positives: 1000+2500+3000+4000+2000 = 12500 cents over n_pos=5
+    # => mean 2500; customer 2 has 2500*5 == 12500 (boundary, excluded)
+    out = {r["c_mktsegment"]: r for r in rel.idle_rich_customers(customer, orders).collect()}
+    assert set(out) == {"AUTOMOBILE"}
+    assert out["AUTOMOBILE"]["numcust"] == 1
+    assert out["AUTOMOBILE"]["totacctbal_cents"] == 3000
+
+
+def test_zorder_layout_rejects_non_power_of_two_shards(spark, sf_smoke):
+    """sp7's oracle pins bits=8/n_shards=4096; non-power-of-two shard
+    counts must raise instead of silently diverging (ADVICE r6)."""
+    import pytest as _pytest
+
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.tables import events_df
+
+    ev = events_df(spark, sf_smoke)
+    with _pytest.raises(ValueError, match="power of two"):
+        sp.zorder_layout(ev, n_shards=1000)
+    with _pytest.raises(ValueError, match="exceeds"):
+        sp.zorder_layout(ev, bits=2, n_shards=4096)

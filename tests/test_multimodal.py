@@ -143,10 +143,11 @@ def test_extracted_features_feed_similarity_ops(spark):
     assert all(1 <= r["rank"] <= 3 for r in top)
 
 
-def test_image_ahash_semantics(spark):
-    """m6: bit i set iff pixel i's integer gray (r+g+b) is at or above
-    the image mean; uniform images hash to all-ones; identical rasters
-    with identical dims share the hash; errors propagate as rows."""
+def test_image_ahash_legacy63_semantics(spark):
+    """m6 (gate-legacy): bit i set iff pixel i's integer gray (r+g+b)
+    is at or above the image mean; uniform images hash to all-ones;
+    identical rasters with identical dims share the hash; errors
+    propagate as rows."""
     # 2x2 image: pixels gray-sums 3, 3, 300, 3 -> only pixel 2 above
     # mean (309/4); bits LSB-first -> 0b0100
     raster = bytes([1, 1, 1, 1, 1, 1, 100, 100, 100, 1, 1, 1])
@@ -158,7 +159,7 @@ def test_image_ahash_semantics(spark):
         (5, "image", None),
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
-    got = {r["media_id"]: r for r in mm.image_ahash(media).collect()}
+    got = {r["media_id"]: r for r in mm.image_ahash_legacy63(media).collect()}
     assert got[1]["ahash"] == 0b0100 and got[1]["n_pixels"] == 4
     assert got[2]["ahash"] == 0b1111, "uniform image: every bit at mean"
     assert got[3]["ahash"] == got[1]["ahash"], "identical rasters collide"
@@ -212,6 +213,48 @@ def test_canonical_ahash_resolution_invariance(spark):
     trio = [g for g in groups if g["ahash64"] == got[1]["ahash64"]]
     assert len(trio) == 1 and trio[0]["n_images"] == 3
     assert trio[0]["canonical_media_id"] == 1
+
+
+def test_default_image_api_is_canonical(spark):
+    """The operator API defaults steer to the canonical fingerprint
+    (round-6 verdict #4): image_ahash returns ahash64 rows and
+    image_duplicate_groups groups scaled copies together — the legacy
+    63-bit path only answers under its explicit _legacy63 name."""
+    raster = bytes(range(60))  # 5x4 RGB
+
+    def upscale(w, h, r, s):
+        out = bytearray()
+        for y in range(h * s):
+            for x in range(w * s):
+                p = (y // s) * w + (x // s)
+                out += r[3 * p : 3 * p + 3]
+        return bytes(out)
+
+    rows = [
+        (1, "image", mm.encode_ppm(5, 4, raster)),
+        (2, "image", mm.encode_ppm(10, 8, upscale(5, 4, raster, 2))),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    hashed = mm.image_ahash(media)
+    assert "ahash64" in hashed.columns, "default fingerprint must be canonical"
+    groups = mm.image_duplicate_groups(media).collect()
+    assert len(groups) == 1 and groups[0]["n_images"] == 2, (
+        "default grouping must be resolution-invariant"
+    )
+
+
+def test_multires_fixture_tolerates_empty_text(spark):
+    """ADVICE r6: an empty doc text must yield spec-valid PPMs (the
+    b'\\x00' guard), hashing to the all-ones fingerprint in BOTH the
+    engine and the oracle's greatest(L,1) arithmetic — never a
+    decode-error row."""
+    docs = spark.createDataFrame([(3, ""), (4, "abc")], "doc_id long, text string")
+    media = mm.ppm_multires_media_from_docs(docs)
+    got = {r["media_id"]: r for r in mm.image_ahash_canonical(media).collect()}
+    assert len(got) == 4
+    assert all(r["decode_error"] is None for r in got.values())
+    # all-zero raster: every gray at the (zero) mean -> all 64 bits set
+    assert got[6]["ahash64"] == got[7]["ahash64"] == "f" * 16
 
 
 def test_audio_frame_energy_semantics(spark):

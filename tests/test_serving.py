@@ -68,26 +68,35 @@ def test_post_search_body_full_model(svc):
 
     with pytest.raises(ValueError):
         sv.search_request_from_body({"limit": 0})
-    with pytest.raises(TypeError):
-        sv.search_request_from_body({"no_such_field": 1})
+    # unknown body fields are DROPPED (reference pydantic models ignore
+    # extras — a stray key must not surface as a 500/TypeError)
+    req = sv.search_request_from_body({"no_such_field": 1, "limit": 7})
+    assert req.limit == 7
 
 
 def test_post_duplicates_body_and_response_shape(svc):
     body = {"min_group_size": 2, "limit": 5, "offset": 0}
     resp = svc.duplicates(sv.duplicates_request_from_body(body))
     out = sv.duplicates_response_dict(resp)
+    # reference DuplicatesResponse parity (models.py:103-110)
     assert set(out) == {
-        "groups", "total_groups", "total_wasted_space", "has_more",
+        "duplicate_groups", "total_groups", "total_duplicate_files",
+        "total_wasted_space", "has_more",
     }
-    assert len(out["groups"]) <= 5
-    for g in out["groups"]:
+    assert len(out["duplicate_groups"]) <= 5
+    for g in out["duplicate_groups"]:
         # recursive serialization: nested files must be plain dicts
         assert isinstance(g["files"], list)
         assert all(isinstance(f, dict) for f in g["files"])
         assert g["file_count"] >= 2
+    # routers.py:132 — sum of the page groups' file counts
+    assert out["total_duplicate_files"] == sum(
+        g["file_count"] for g in out["duplicate_groups"]
+    )
 
     with pytest.raises(ValueError):
         sv.duplicates_request_from_body({"min_group_size": 1})
+    assert sv.duplicates_request_from_body({"bogus": True}).min_group_size == 2
 
 
 def test_routes_through_testclient(spark, sf_smoke):
