@@ -37,14 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # window verifies them; the already-verified ones keep local regression
 # coverage.
 _DRIVER_PRIORITY = [
-    # round 6: sim7 leads (its r5 row errored on the raw array<int>
-    # column — now serialized via to_json on both engines, the a12
-    # pattern).  Behind it: the four rows-only sketch queries that have
-    # never had ANY driver row (t6a/e12a/e13a/st6 — rows+schema checks
-    # are weaker than hash but stronger than nothing), then this
-    # round's new oracle-gated entries (m6c canonical 8x8 aHash, w7b
-    # multi-generation vacuum, e1c single-shuffle session stats).
-    # r5-green rows they displace stay under the local oracle gate.
+    # round 7: the seven BOUNDS COMPANIONS lead — oracle-bearing
+    # violation sets (expected empty) that turn the rows-only set's
+    # err:"no_oracle" driver rows into hash-checkable tolerance
+    # contracts (operators/bounds.py; verdict r6 #1). Behind them the
+    # round-7 additions, then the round-6 window for regression reads.
+    "t6a_bounds", "e12a_bounds", "e13a_bounds", "st6_bounds",
+    "dd6_bounds", "sim3_bounds", "sim8_bounds",
     "sim7_quantize",
     "t6a_length_percentiles_approx", "e12a_gap_percentiles_approx",
     "e13a_daily_uniques_approx", "st6_streaming_uniques",

@@ -4565,3 +4565,217 @@ def m8b_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.video_media_from_docs(_table(spark, sf_dir, "documents"))
     return mm.video_keyframes(media)
+
+
+# ------------------------------------- bounds companions (round 7)
+#
+# Driver-checkable tolerance contracts for the rows-only operators:
+# each companion computes its operator's VIOLATION SET entirely in
+# Spark (sketch/MLlib output joined against its exact deterministic
+# twin) and gates it against an EMPTY oracle of the same schema
+# (operators/bounds.py). err:"no_oracle" rows become hash-green rows;
+# a contract break emits rows and fails the gate loudly. Tests in
+# tests/test_bounds.py prove each companion is NON-vacuous (corrupted
+# twins produce violations).
+
+def _bounds_oracle() -> str:
+    from file_indexer_spark.operators.bounds import EMPTY_VIOLATIONS_SQL
+
+    return EMPTY_VIOLATIONS_SQL
+
+
+@register(
+    "t6a_bounds",
+    """
+    -- t6a's rank-tolerance contract: expected-empty violation set
+    -- (every percentile_approx value between the exact p+/-0.02
+    -- percentiles; non-sketch columns exact). Computed in Spark;
+    -- the contract is "no rows".
+    SELECT CAST(NULL AS VARCHAR) AS scope, CAST(NULL AS VARCHAR) AS metric,
+           CAST(NULL AS DOUBLE) AS observed, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi
+    WHERE FALSE
+    """,
+)
+def t6a_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6a-BOUNDS: the percentile_approx sketch vs its exact twin t6 —
+    rank tolerance ±0.02 per group, exact equality on n_docs/mean/max;
+    one key-aligned join over t6a's own plan + an O(groups) explode."""
+    from file_indexer_spark.operators import bounds as bd
+
+    docs = _table(spark, sf_dir, "documents")
+    return bd.percentile_bounds(
+        docs,
+        tx.length_percentiles(docs),
+        tx.length_percentiles_approx(docs),
+        key="source",
+        val="n_chars",
+        pcols=[("p50_chars", 0.5), ("p90_chars", 0.9), ("p99_chars", 0.99)],
+    )
+
+
+@register(
+    "e12a_bounds",
+    """
+    -- e12a's rank-tolerance contract (see t6a_bounds): expected empty.
+    SELECT CAST(NULL AS VARCHAR) AS scope, CAST(NULL AS VARCHAR) AS metric,
+           CAST(NULL AS DOUBLE) AS observed, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi
+    WHERE FALSE
+    """,
+)
+def e12a_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12a-BOUNDS: inter-arrival gap percentile sketch vs exact e12 —
+    rank tolerance ±0.02 per event type, n_gaps exact."""
+    from file_indexer_spark.operators import bounds as bd
+
+    events = _events(spark, sf_dir)
+    gaps = ev._event_gaps(events)
+    return bd.percentile_bounds(
+        gaps,
+        ev.gap_percentiles(events),
+        ev.gap_percentiles_approx(events),
+        key="event_type",
+        val="gap_us",
+        pcols=[("p50_us", 0.5), ("p90_us", 0.9), ("p99_us", 0.99)],
+    )
+
+
+@register(
+    "e13a_bounds",
+    """
+    -- e13a's HLL++ error contract: |approx - exact| <= max(0.2*exact, 2)
+    -- per day (4 sigma at rsd=0.05), n_events exact. Expected empty.
+    SELECT CAST(NULL AS VARCHAR) AS scope, CAST(NULL AS VARCHAR) AS metric,
+           CAST(NULL AS DOUBLE) AS observed, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi
+    WHERE FALSE
+    """,
+)
+def e13a_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13a-BOUNDS: the distinct-count sketch vs exact e13 per day."""
+    from file_indexer_spark.operators import bounds as bd
+
+    events = _events(spark, sf_dir)
+    return bd.hll_bounds(ev.daily_uniques(events), ev.daily_uniques_approx(events))
+
+
+@register(
+    "st6_bounds",
+    """
+    -- st6's bit-identical twin contract: the streaming HLL merge must
+    -- equal the batch sketch e13a EXACTLY (register merges are
+    -- lossless). Expected empty.
+    SELECT CAST(NULL AS VARCHAR) AS scope, CAST(NULL AS VARCHAR) AS metric,
+           CAST(NULL AS DOUBLE) AS observed, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi
+    WHERE FALSE
+    """,
+)
+def st6_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6-BOUNDS: the real-stream HLL rollup (two micro-batches,
+    availableNow) diffed against the batch e13a sketch column by
+    column — sketch-merge losslessness as a driver-checkable gate."""
+    from file_indexer_spark.operators import bounds as bd
+
+    stream = QUERIES["st6_streaming_uniques"](spark, sf_dir)
+    batch = ev.daily_uniques_approx(_events(spark, sf_dir))
+    return bd.twin_mismatch(stream, batch, key="day")
+
+
+@register(
+    "dd6_bounds",
+    """
+    -- dd6's recall contract vs the deterministic expression-LSH twin
+    -- dd3: recall >= 0.9 over >= 20 base pairs. Expected empty.
+    SELECT CAST(NULL AS VARCHAR) AS scope, CAST(NULL AS VARCHAR) AS metric,
+           CAST(NULL AS DOUBLE) AS observed, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi
+    WHERE FALSE
+    """,
+)
+def dd6_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD6-BOUNDS: MLlib MinHashLSH pair recall vs dd3 (both verify
+    candidates with the same exact Jaccard, so disagreement beyond the
+    floor means the ML path lost planted near-dups). Pair sets reduce
+    to one stats row on the executors — nothing collects."""
+    from file_indexer_spark.operators import bounds as bd
+    from file_indexer_spark.operators import dedup as dd
+
+    docs = _table(spark, sf_dir, "documents")
+    return bd.recall_floor(
+        dd.minhash_lsh_pairs(docs).select("doc_a", "doc_b"),
+        dd.minhash_lsh_ml_pairs(docs).select("doc_a", "doc_b"),
+        keys=["doc_a", "doc_b"],
+        floor=0.9,
+        min_base=20,
+        metric="recall_vs_dd3",
+    )
+
+
+@register(
+    "sim3_bounds",
+    """
+    -- sim3's recall contract vs exact sim1 top-k: recall >= 0.5 and
+    -- exactly N_QUERIES*TOP_K emitted pairs. Expected empty.
+    SELECT CAST(NULL AS VARCHAR) AS scope, CAST(NULL AS VARCHAR) AS metric,
+           CAST(NULL AS DOUBLE) AS observed, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi
+    WHERE FALSE
+    """,
+)
+def sim3_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM3-BOUNDS: BRP-LSH neighbor recall vs sim1's exact cosine
+    top-k (metrics differ — euclidean bucketing vs cosine ranking — so
+    the pinned floor is the majority-overlap 0.5 the pytest gate has
+    carried since round 2), plus the exact output-cardinality check."""
+    from file_indexer_spark.operators import bounds as bd
+    from file_indexer_spark.operators import similarity as sim
+
+    emb = _table(spark, sf_dir, "embeddings")
+    probe = sim.brp_lsh_neighbors(emb).select("query_id", "neighbor_id")
+    n_expected = float(sim.N_QUERIES * sim.TOP_K)
+    n_probe = probe.agg(F.count("*").cast("double").alias("n_probe"))
+    return bd.recall_floor(
+        sim.cosine_topk(emb).select("query_id", "neighbor_id"),
+        probe,
+        keys=["query_id", "neighbor_id"],
+        floor=0.5,
+        min_base=int(n_expected),
+        metric="recall_vs_exact_topk",
+        extra_checks=[
+            (
+                n_probe,
+                (
+                    F.col("n_probe") != n_expected,
+                    F.lit("global"),
+                    "approx_pair_count",
+                    F.col("n_probe"),
+                    F.lit(n_expected),
+                    F.lit(n_expected),
+                ),
+            )
+        ],
+    )
+
+
+@register(
+    "sim8_bounds",
+    """
+    -- sim8's Lloyd invariants: exactly k non-empty clusters, total
+    -- assignment, SSE <= one-shot IVF seeding's SSE (iterating only
+    -- improves the objective). Expected empty.
+    SELECT CAST(NULL AS VARCHAR) AS scope, CAST(NULL AS VARCHAR) AS metric,
+           CAST(NULL AS DOUBLE) AS observed, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi
+    WHERE FALSE
+    """,
+)
+def sim8_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM8-BOUNDS: the kmeans|| invariants as a violation set, with
+    both SSEs (Lloyd centers vs one-shot hash seeds) computed
+    DISTRIBUTED — k centroids broadcast, per-vector min squared
+    distance, one sum — so the gate itself is 100 TB-shaped."""
+    from file_indexer_spark.operators import bounds as bd
+
+    return bd.kmeans_bounds(_table(spark, sf_dir, "embeddings"))
