@@ -23,11 +23,14 @@ Commit protocol (the Delta/Iceberg shape, minimally):
     reclaimed by :meth:`vacuum`.
 
 Concurrency contract: readers are always consistent (atomic manifest
-+ immutable dirs). Writers are last-commit-wins — two concurrent
-upserts won't tear the table, but one's rows can be lost; run ONE
-writer per table (the reference has the same single-writer model via
-its DuckDB file lock) or serialize commits externally. ``vacuum()``
-must only run while no writer is staging.
++ immutable dirs). Writers are CONFLICT-DETECTED (w9, the
+Delta/Iceberg optimistic-concurrency shape): every mutating operation
+snapshots the manifest generation before it reads, and the commit
+refuses with :class:`ConcurrentWriteError` if the generation advanced
+since — the losing writer's staged dirs are rolled back, the winning
+commit is untouched, and the caller retries on a fresh snapshot (the
+reference reaches the same one-writer-at-a-time outcome via its DuckDB
+file lock). ``vacuum()`` must only run while no writer is staging.
 
 Scale: an UNPARTITIONED emulated MERGE rewrites the whole table —
 a non-starter at 100 TB. Pass ``buckets=N`` to hash-partition the
@@ -66,6 +69,12 @@ FILES_SCHEMA = T.StructType(
 PK = ["path", "filename"]
 _COLS = [f.name for f in FILES_SCHEMA.fields]
 BUCKET_COL = "pk_bucket"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's read snapshot and
+    its commit attempt (w9). The table holds the OTHER writer's commit,
+    whole and untorn; retry the operation on a fresh snapshot."""
 
 
 class FilesTable:
@@ -121,17 +130,36 @@ class FilesTable:
         except FileNotFoundError:
             return None
 
-    def _commit_manifest(self, entries: dict[str, str]) -> None:
+    def _current_generation(self) -> int:
+        m = self._load_manifest()
+        return m.get("generation", 0) if m else 0
+
+    def _commit_manifest(
+        self, entries: dict[str, str], expected_generation: int | None = None
+    ) -> None:
         """THE commit point: one atomic rename publishes the new
         generation. Everything before this is invisible to readers;
         a crash before it leaves the previous generation live. With
         history on, the manifest is first logged under its generation
         number — a crash between log and publish leaves a log entry the
         next commit overwrites (the log is advisory; ``_MANIFEST`` is
-        the single source of liveness)."""
+        the single source of liveness).
+
+        ``expected_generation`` is the writer's read-snapshot
+        generation (w9): if another writer advanced the manifest since,
+        this commit would silently drop that writer's rows — refuse
+        with :class:`ConcurrentWriteError` instead (the caller's staged
+        dirs are left for vacuum(); the winning commit is untouched)."""
         os.makedirs(self.location, exist_ok=True)
         prev = self._load_manifest()
-        gen = (prev.get("generation", 0) if prev else 0) + 1
+        cur = prev.get("generation", 0) if prev else 0
+        if expected_generation is not None and cur != expected_generation:
+            raise ConcurrentWriteError(
+                f"table at {self.location} advanced to generation {cur} "
+                f"since this writer's snapshot at generation "
+                f"{expected_generation}; retry on a fresh snapshot"
+            )
+        gen = cur + 1
         doc = {"buckets": self.buckets, "entries": entries, "generation": gen}
         if self.keep_history:
             log_dir = os.path.join(self.location, self._MANIFEST_LOG)
@@ -333,18 +361,43 @@ class FilesTable:
         return self._read_raw().select(*_COLS)
 
     # -- write --------------------------------------------------------
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, expected_generation: int | None = None) -> None:
         """Full replace (S10): stage a complete new generation, commit
-        by manifest swap."""
+        by manifest swap. ``expected_generation`` carries an outer
+        operation's read snapshot (w9); when absent, the snapshot is
+        taken here — either way a competing commit in the window makes
+        this raise :class:`ConcurrentWriteError` with the staging
+        rolled back."""
         old = self._load_manifest()
+        if expected_generation is None:
+            expected_generation = old.get("generation", 0) if old else 0
         staging = self._staging_dir()
         writer = df.select(*_COLS)
-        if self.buckets:
-            writer = writer.withColumn(BUCKET_COL, self._bucket_expr())
-            writer.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-        else:
-            writer.write.mode("overwrite").parquet(staging)
-        self._commit_manifest(self._entries_from_staging(staging))
+        try:
+            if self.buckets:
+                writer = writer.withColumn(BUCKET_COL, self._bucket_expr())
+                writer.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            else:
+                writer.write.mode("overwrite").parquet(staging)
+            self._commit_manifest(self._entries_from_staging(staging), expected_generation)
+        except ConcurrentWriteError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        except Exception as exc:
+            # the staging write READS the snapshot lazily; a competing
+            # commit may have GC'd those dirs mid-read (no-history
+            # tables reclaim inline) — surface that as the same clean
+            # conflict signal, not a raw FILE_NOT_EXIST. Non-conflict
+            # failures (crash-like) keep their staging for vacuum(),
+            # the documented orphan-reclamation path.
+            if self._current_generation() != expected_generation:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"table at {self.location} advanced past this writer's "
+                    f"snapshot at generation {expected_generation} during "
+                    "staging; retry on a fresh snapshot"
+                ) from exc
+            raise
         if old is not None:
             self._gc(sorted(set(old["entries"].values())))
         else:
@@ -368,6 +421,7 @@ class FilesTable:
         m = self._load_manifest()
         if m is None or not m["entries"]:
             return []
+        snapshot = m.get("generation", 0)
         entries = dict(m["entries"])
         dead, rewritten = [], []
         for key, rel in sorted(m["entries"].items()):
@@ -388,7 +442,7 @@ class FilesTable:
             rewritten.append(rel)
         if not rewritten:
             return []
-        self._commit_manifest(entries)
+        self._commit_manifest(entries, snapshot)
         self._gc(dead)
         return rewritten
 
@@ -404,27 +458,51 @@ class FilesTable:
             elif not name.startswith(f"{self._MANIFEST}.tmp"):
                 os.remove(full)
 
-    def _commit_buckets(self, out: DataFrame, touched: list[int]) -> None:
+    def _commit_buckets(
+        self,
+        out: DataFrame,
+        touched: list[int],
+        expected_generation: int | None = None,
+    ) -> None:
         """Stage new dirs for ONLY the touched buckets, then commit a
         manifest that remaps those buckets (a touched bucket with no
         surviving rows simply drops out). Untouched buckets keep their
-        existing immutable dirs — never read, never written."""
+        existing immutable dirs — never read, never written. The w9
+        conflict check runs against the outer operation's snapshot."""
         old = self._load_manifest()
         assert old is not None, "bucketed commit requires a manifest table"
+        if expected_generation is None:
+            expected_generation = old.get("generation", 0)
         staging = self._staging_dir()
-        out.withColumn(BUCKET_COL, self._bucket_expr()).write.mode("overwrite").partitionBy(
-            BUCKET_COL
-        ).parquet(staging)
-        fresh = self._entries_from_staging(staging)
-        entries = dict(old["entries"])
-        dead = []
-        for b in touched:
-            key = str(b)
-            if key in entries:
-                dead.append(entries.pop(key))
-            if key in fresh:
-                entries[key] = fresh[key]
-        self._commit_manifest(entries)
+        try:
+            out.withColumn(BUCKET_COL, self._bucket_expr()).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET_COL).parquet(staging)
+            fresh = self._entries_from_staging(staging)
+            entries = dict(old["entries"])
+            dead = []
+            for b in touched:
+                key = str(b)
+                if key in entries:
+                    dead.append(entries.pop(key))
+                if key in fresh:
+                    entries[key] = fresh[key]
+            self._commit_manifest(entries, expected_generation)
+        except ConcurrentWriteError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        except Exception as exc:
+            # see overwrite(): a competing commit can GC the dirs this
+            # staging write is lazily reading; non-conflict failures
+            # keep their staging for vacuum()
+            if self._current_generation() != expected_generation:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"table at {self.location} advanced past this writer's "
+                    f"snapshot at generation {expected_generation} during "
+                    "staging; retry on a fresh snapshot"
+                ) from exc
+            raise
         self._gc(dead)
 
     def _touched_buckets(self, keys: DataFrame) -> list[int]:
@@ -448,50 +526,65 @@ class FilesTable:
         """MERGE: update matched PKs, insert the rest (S7/S8).
 
         Bucketed: touches only the buckets the update keys hash to.
+        The manifest generation is snapshotted HERE, before any read —
+        a commit by another writer between this read and our commit
+        raises :class:`ConcurrentWriteError` (w9).
         """
+        snapshot = self._current_generation()
         bucketed = bool(self.buckets) and self.exists() and self._has_manifest()
         touched = self._touched_buckets(updates) if bucketed else []
         if not bucketed or self._wide(touched):
             current = self.read()
             kept = current.join(updates.select(*PK), PK, "left_anti")
-            self.overwrite(kept.unionByName(updates.select(*_COLS)))
+            self.overwrite(kept.unionByName(updates.select(*_COLS)), snapshot)
             return
         slice_df = self._read_slice(touched)
         kept = slice_df.join(updates.select(*PK), PK, "left_anti")
-        self._commit_buckets(kept.unionByName(updates.select(*_COLS)), touched)
+        self._commit_buckets(kept.unionByName(updates.select(*_COLS)), touched, snapshot)
 
     def delete(self, keys: DataFrame) -> None:
         """MERGE ... WHEN MATCHED DELETE (S9): anti-join rewrite of the
-        touched buckets only (bucketed) or the table (plain)."""
+        touched buckets only (bucketed) or the table (plain). Snapshot
+        + conflict-detected commit, like upsert."""
         if not self.exists():
             return
+        snapshot = self._current_generation()
         bucketed = bool(self.buckets) and self._has_manifest()
         touched = self._touched_buckets(keys) if bucketed else []
         if not bucketed or self._wide(touched):
             current = self.read()
-            self.overwrite(current.join(keys.select(*PK).distinct(), PK, "left_anti"))
+            self.overwrite(
+                current.join(keys.select(*PK).distinct(), PK, "left_anti"), snapshot
+            )
             return
         self._commit_buckets(
             self._read_slice(touched).join(keys.select(*PK).distinct(), PK, "left_anti"),
             touched,
+            snapshot,
         )
 
     def delete_paths(self, paths: DataFrame) -> None:
         """Directory-level delete (reference indexer.py:1762-1787) —
-        prunable because bucketing hashes ``path`` only."""
+        prunable because bucketing hashes ``path`` only. Snapshot +
+        conflict-detected commit, like upsert."""
         if not self.exists():
             return
+        snapshot = self._current_generation()
         bucketed = bool(self.buckets) and self._has_manifest()
         touched = self._touched_buckets(paths) if bucketed else []
         if not bucketed or self._wide(touched):
             current = self.read()
-            self.overwrite(current.join(paths.select("path").distinct(), ["path"], "left_anti"))
+            self.overwrite(
+                current.join(paths.select("path").distinct(), ["path"], "left_anti"),
+                snapshot,
+            )
             return
         self._commit_buckets(
             self._read_slice(touched).join(
                 paths.select("path").distinct(), ["path"], "left_anti"
             ),
             touched,
+            snapshot,
         )
 
     # -- JSON interchange (S11, reference indexer.go:294-338) ----------

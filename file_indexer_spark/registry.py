@@ -4779,3 +4779,56 @@ def sim8_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from file_indexer_spark.operators import bounds as bd
 
     return bd.kmeans_bounds(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "st11_update_mode_counts",
+    """
+    -- st11: the update-mode output class — final state of the
+    -- changelog (last emission per key) equals the batch windowed
+    -- aggregate. Same rollup as st1's oracle.
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+)
+def st11_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11: UPDATE-mode streaming aggregation (the one output-mode
+    class st1-st10 left unexercised at the driver): watermarked hourly
+    counts drained via foreachBatch, each micro-batch emitting only the
+    keys whose aggregate CHANGED — an upsert changelog. The gate
+    reduces the changelog to its final state (last emission per key)
+    and hash-matches the batch oracle.
+
+    Arrivals are CHRONOLOGICAL halves (the st8 pattern) — update mode
+    honors the watermark, so a time-interleaved split would legally
+    drop the second batch's late rows; splitting on the midpoint
+    timestamp keeps every arrival ahead of the watermark, making
+    stream-equals-batch exact. The boundary hour spans both arrivals
+    and re-emits with a grown count (intermediate re-emission is pinned
+    in tests/test_streaming.py on a controlled fixture)."""
+    import os
+
+    from file_indexer_spark.streaming import windows as sw
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st11", sf_dir)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "changelog")
+    ev2 = events_df(spark, sf_dir)
+    bounds = ev2.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    _land_arrivals(
+        src,
+        [ev2.filter(F.col("ts") <= F.lit(mid)), ev2.filter(F.col("ts") > F.lit(mid))],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sw.run_update_mode_to_parquet(sw.windowed_counts(stream), out)
+    return sw.last_emission(
+        spark, out, ["window_start", "window_end", "event_type"]
+    ).orderBy("window_start", "event_type")

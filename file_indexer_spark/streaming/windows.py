@@ -86,6 +86,50 @@ def run_to_memory_sink(stream_df: DataFrame, table_name: str):
     return _run(stream_df, table_name, output_mode="complete")
 
 
+def run_update_mode_to_parquet(stream_df: DataFrame, out_dir: str):
+    """st11: drain a stateful aggregation in UPDATE mode, landing each
+    micro-batch's emission (only the keys whose aggregate CHANGED that
+    batch) as parquet tagged with the batch id.
+
+    Update mode is the third output-mode class (st1-st10 cover append +
+    complete/foreachBatch): state is still watermark-evicted like
+    append, but a key re-emits an AMENDED row every batch it grows
+    instead of waiting to close — the low-latency dashboard contract.
+    The union of emissions is an upsert CHANGELOG; the batch-equivalent
+    final state is the last emission per key (:func:`last_emission`).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    query = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def last_emission(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame:
+    """Reduce an update-mode changelog to its final state: the
+    highest-batch emission per key (one window over the small changelog
+    — each key appears once per micro-batch it changed in, so the
+    changelog is O(keys x batches), not O(events))."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(out_dir)
+    w = Window.partitionBy(*keys).orderBy(F.desc("batch_id"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "batch_id")
+    )
+
+
 def windowed_uniques(
     events: DataFrame,
     window_duration: str = "1 day",

@@ -334,7 +334,7 @@ def test_crash_mid_commit_leaves_consistent_table(spark, bucketed, monkeypatch):
     monkeypatch.setattr(
         ft.FilesTable,
         "_commit_manifest",
-        lambda self, entries: (_ for _ in ()).throw(Boom()),
+        lambda self, entries, expected_generation=None: (_ for _ in ()).throw(Boom()),
     )
     with pytest.raises(Boom):
         bucketed.upsert(updates)
@@ -647,3 +647,82 @@ def test_crash_mid_vacuum_keeps_retained_generations(spark, tmp_path, monkeypatc
     assert removed, "crashed attempt's unreclaimed dirs must be swept"
     assert t.generations() == [4, 5]
     assert snap(5) == live_before and snap(4) == gen4_before
+
+
+# ------------------------------------------------ w9: writer conflicts
+
+def _w9_rows(spark, names, size=10):
+    import datetime as dt
+
+    rows = [
+        ("/w9", n, None, dt.datetime(2024, 1, 1), size, dt.datetime(2024, 1, 2))
+        for n in names
+    ]
+    from file_indexer_spark.indexer.files_table import FILES_SCHEMA
+
+    return spark.createDataFrame(rows, FILES_SCHEMA)
+
+
+def test_two_writer_race_is_detected_and_loser_rolls_back(spark, tmp_path, monkeypatch):
+    """w9: writer A snapshots the table, writer B commits mid-flight,
+    A's commit must FAIL with ConcurrentWriteError; the table holds
+    exactly B's commit (never a torn mix or a lost update) and A's
+    staged dir is rolled back."""
+    from file_indexer_spark.indexer.files_table import ConcurrentWriteError
+
+    loc = str(tmp_path / "w9_tbl")
+    a = FilesTable(spark, loc)
+    b = FilesTable(spark, loc)
+    a.overwrite(_w9_rows(spark, ["base.txt"]))
+
+    orig_read = a.read
+
+    def read_then_lose_race():
+        df = orig_read()
+        b.upsert(_w9_rows(spark, ["from_b.txt"], size=99))  # B wins mid-A
+        return df
+
+    monkeypatch.setattr(a, "read", read_then_lose_race)
+    with pytest.raises(ConcurrentWriteError, match="generation"):
+        a.upsert(_w9_rows(spark, ["from_a.txt"], size=50))
+    monkeypatch.undo()
+
+    names = {r["filename"] for r in a.read().collect()}
+    assert names == {"base.txt", "from_b.txt"}, "B's commit must survive intact"
+    # loser's staging rolled back: only the live generation's dirs remain
+    m = a._load_manifest()
+    live_roots = {rel.split("/", 1)[0] for rel in m["entries"].values()}
+    on_disk = {n for n in os.listdir(loc) if n.startswith("data-")}
+    assert on_disk == live_roots
+    # A retries on a fresh snapshot and succeeds
+    a.upsert(_w9_rows(spark, ["from_a.txt"], size=50))
+    assert {r["filename"] for r in a.read().collect()} == {
+        "base.txt", "from_b.txt", "from_a.txt",
+    }
+
+
+def test_two_writer_race_detected_on_bucketed_partial_commit(spark, tmp_path, monkeypatch):
+    """w9 on the bucketed path: the partial-commit plan (_commit_buckets)
+    must detect a competing commit too, and the retry must see B's rows
+    (no lost update through the pruned read)."""
+    from file_indexer_spark.indexer.files_table import ConcurrentWriteError
+
+    loc = str(tmp_path / "w9_bucketed")
+    a = FilesTable(spark, loc, buckets=8)
+    b = FilesTable(spark, loc, buckets=8)
+    a.overwrite(_w9_rows(spark, [f"f{i}.txt" for i in range(20)]))
+
+    orig_slice = a._read_slice
+
+    def slice_then_lose_race(touched):
+        df = orig_slice(touched)
+        b.upsert(_w9_rows(spark, ["f3.txt"], size=77))
+        return df
+
+    monkeypatch.setattr(a, "_read_slice", slice_then_lose_race)
+    with pytest.raises(ConcurrentWriteError, match="generation"):
+        a.upsert(_w9_rows(spark, ["f3.txt"], size=11))
+    monkeypatch.undo()
+
+    sizes = {r["filename"]: r["file_size"] for r in a.read().collect()}
+    assert sizes["f3.txt"] == 77 and len(sizes) == 20

@@ -390,3 +390,50 @@ def test_stream_stream_outer_join_delays_nulls_until_watermark(spark, tmp_path):
         for r in spark.table("st10t_sink").filter("user_id >= 0").collect()
     }
     assert got == {(2, 1), (3, None)}, got
+
+
+def test_update_mode_reemits_grown_aggregates(spark, tmp_path):
+    """st11's defining behavior: a window spanning micro-batches is
+    emitted MORE THAN ONCE with strictly increasing counts (update mode
+    re-emits amended rows per batch — the low-latency contract append
+    mode can't provide), and the changelog's last emission per key
+    equals the batch aggregate."""
+    import datetime as dt
+
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+
+    b1 = mk([
+        (1, t0 + dt.timedelta(minutes=5), 7, "view", 1.0, None),
+        (2, t0 + dt.timedelta(minutes=10), 8, "view", 2.0, None),
+    ])
+    b2 = mk([
+        (3, t0 + dt.timedelta(minutes=20), 9, "view", 3.0, None),
+        (4, t0 + dt.timedelta(minutes=50), 7, "click", 4.0, None),
+    ])
+    src, out = str(tmp_path / "st11_src"), str(tmp_path / "st11_log")
+    _land_arrivals(src, [b1, b2])
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sw.run_update_mode_to_parquet(sw.windowed_counts(stream), out)
+
+    log = spark.read.parquet(out)
+    views = (
+        log.filter(F.col("event_type") == "view")
+        .orderBy("batch_id")
+        .collect()
+    )
+    # the 10:00 view window grew across batches: emitted twice, counts up
+    assert [r["n_events"] for r in views] == [2, 3]
+    assert [r["total_value"] for r in views] == [3.0, 6.0]
+    assert views[0]["batch_id"] < views[1]["batch_id"]
+
+    final = sw.last_emission(
+        spark, out, ["window_start", "window_end", "event_type"]
+    )
+    got = {(r["event_type"], r["n_events"], r["total_value"]) for r in final.collect()}
+    assert got == {("view", 3, 6.0), ("click", 1, 4.0)}
