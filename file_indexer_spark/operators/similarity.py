@@ -31,6 +31,8 @@ TOP_K = 10
 N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
 NPROBE = 3
 EMB_DIM = 64  # embeddings table schema: FLOAT[64]
+KMEANS_K = 16
+KMEANS_MAX_ITER = 8
 
 
 def _dot(a: str, b: str) -> str:
@@ -183,8 +185,68 @@ def _hier_scored(vecs: DataFrame, cents: DataFrame, k: int) -> DataFrame:
     )
 
 
+def kmeans_centroid_frame(
+    embeddings: DataFrame, k: int = KMEANS_K, max_iter: int = KMEANS_MAX_ITER
+) -> DataFrame:
+    """Lloyd-REFINED centroid set for the IVF family (the sim8 →
+    sim2/sim5/sim6 feed, round-7): fit ``pyspark.ml`` k-means and
+    return its centers as a ``(centroid_id, embedding)`` frame that
+    drops into :func:`ivf_assignments` / :func:`ivf_topk` via their
+    ``centroids=`` parameter — same assignment machinery, better lists
+    (lower within-list SSE than the one-shot hash-sampled seeds;
+    sim8_bounds gates that inequality at the driver).
+
+    The centers are a k x dim driver-side constant (the model already
+    holds them) — rebuilding a DataFrame from them is metadata work,
+    and the downstream broadcast is identical to the seed path's.
+    Not oracle-replicable (kmeans|| init), so queries built on it are
+    measured in pytest/PERFORMANCE.md rather than hash-gated; the
+    hash-gated sim2/sim5/sim6 registrations keep the deterministic
+    hash seeds."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _spread(embeddings).select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(
+        k=int(k), maxIter=int(max_iter), seed=20240813, featuresCol="features"
+    ).fit(vecs)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return embeddings.sparkSession.createDataFrame(
+        rows, "centroid_id long, embedding array<double>"
+    )
+
+
+def _centroid_frame(
+    embeddings: DataFrame,
+    n_centroids: int | None,
+    centroids: DataFrame | None,
+) -> DataFrame:
+    """The (centroid_id, c_emb, c_norm) side every IVF consumer builds:
+    an explicit refined set when given, else the deterministic
+    hash-sampled seeds (the oracle-replicable default)."""
+    if centroids is not None:
+        return _with_norm(centroids).select(
+            "centroid_id",
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    return _with_norm(_centroids(embeddings, n_centroids)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+
+
 def ivf_assignments(
-    embeddings: DataFrame, n_assign: int = 1, n_centroids: int | None = None
+    embeddings: DataFrame,
+    n_assign: int = 1,
+    n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF build: assign every vector to its nearest centroid
     (argmax cosine, ties to the smaller centroid id). Centroids are
@@ -210,17 +272,20 @@ def ivf_assignments(
     usual IVF one: a vector whose true nearest fine centroid routes
     to a different coarse cell is assigned to the best fine centroid
     within its own cell.
+
+    ``centroids`` overrides the seed set with an explicit
+    ``(centroid_id, embedding)`` frame — e.g. the Lloyd-refined
+    centers from :func:`kmeans_centroid_frame`. The assignment plan is
+    unchanged (broadcast + argmax; two-level past the threshold, with
+    k read from the frame's row count — metadata-sized).
     """
-    cents = _with_norm(_centroids(embeddings, n_centroids)).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
+    cents = _centroid_frame(embeddings, n_centroids, centroids)
     vecs = _with_norm(_spread(embeddings)).select(
         "vec_id", F.col("embedding").alias("v_emb"), F.col("norm").alias("v_norm")
     )
-    if n_centroids is not None and n_centroids > _HIER_THRESHOLD:
-        scored = _hier_scored(vecs, cents, n_centroids)
+    k_eff = centroids.count() if centroids is not None else n_centroids
+    if k_eff is not None and k_eff > _HIER_THRESHOLD:
+        scored = _hier_scored(vecs, cents, k_eff)
     else:
         scored = vecs.join(F.broadcast(cents)).withColumn(
             "cosine", _cosine("v_emb", "v_norm", "c_emb", "c_norm")
@@ -258,11 +323,14 @@ def ivf_topk(
     k: int = TOP_K,
     nprobe: int = NPROBE,
     n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """sim2: IVF ANN — each query searches only its ``nprobe`` nearest
     centroid lists. Same output contract as sim1 (ranks may differ where
-    the true neighbor lives in an unprobed list — that's the trade)."""
-    assign = ivf_assignments(embeddings, n_centroids=n_centroids)
+    the true neighbor lives in an unprobed list — that's the trade).
+    ``centroids`` swaps in a refined list-building set (see
+    :func:`kmeans_centroid_frame`); build and probe use the SAME set."""
+    assign = ivf_assignments(embeddings, n_centroids=n_centroids, centroids=centroids)
     corpus = _with_norm(_spread(embeddings)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
@@ -270,11 +338,7 @@ def ivf_topk(
     ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
 
     queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
-    cents = _with_norm(_centroids(embeddings, n_centroids)).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
+    cents = _centroid_frame(embeddings, n_centroids, centroids)
     q = _with_norm(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -619,10 +683,6 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     return out.select(
         "vec_id", "q", F.round("scale", 6).alias("scale"), "max_abs_err"
     ).orderBy("vec_id")
-
-
-KMEANS_K = 16
-KMEANS_MAX_ITER = 8
 
 
 def kmeans_clusters(
