@@ -44,7 +44,7 @@ _DRIVER_PRIORITY = [
     # round-7 additions, then the round-6 window for regression reads.
     "t6a_bounds", "e12a_bounds", "e13a_bounds", "st6_bounds",
     "dd6_bounds", "sim3_bounds", "sim8_bounds",
-    "st11_update_mode_counts",
+    "st11_update_mode_counts", "m7c_audio_dup_groups",
     "sim7_quantize",
     "t6a_length_percentiles_approx", "e12a_gap_percentiles_approx",
     "e13a_daily_uniques_approx", "st6_streaming_uniques",

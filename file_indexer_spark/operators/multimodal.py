@@ -887,6 +887,70 @@ def silence_spans(media: DataFrame, peak_below: int = SILENCE_PEAK) -> DataFrame
     )
 
 
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("envelope", T.StringType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def audio_envelope(media: DataFrame) -> DataFrame:
+    """m7c (part 1): per-clip ENERGY-ENVELOPE fingerprint — each
+    160-sample frame's integer energy coarse-quantized to its
+    bit_length (the integer floor(log2)+1, 0 for a silent frame) and
+    the per-frame levels joined '-' in frame order. The audio analog
+    of m6c's canonical aHash: loudness SHAPE survives, sample-level
+    detail doesn't, and every step is integer-exact so the DuckDB
+    oracle recomputes the fingerprint from the raw derivation
+    (length(bin(energy)) == bit_length for energy > 0).
+
+    Scale shape: mapInPandas where the blobs sit — decode, frame
+    energies, and the fingerprint are all partition-local; output is
+    ONE narrow row per clip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                blob = None if c is None else bytes(c)
+                samples, err = _parse_pcm(blob)
+                if err is not None:
+                    rows.append((int(mid), None, None, err))
+                    continue
+                frames = samples.astype(np.int64).reshape(-1, AUDIO_FRAME)
+                energy = (frames * frames).sum(axis=1)
+                env = "-".join(str(int(e).bit_length()) for e in energy)
+                rows.append((int(mid), int(len(energy)), env, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "envelope", "decode_error"]
+            )
+
+    return media.mapInPandas(batches, schema=ENVELOPE_SCHEMA)
+
+
+def audio_duplicate_groups(media: DataFrame, min_group_size: int = 2) -> DataFrame:
+    """m7c (part 2): perceptual audio duplicate groups — J2's shape on
+    the envelope fingerprint, completing the modality symmetry (m6d
+    groups images by canonical content hash; this groups clips whose
+    loudness envelopes match level-for-level). One hash-shuffle on the
+    fingerprint key over the O(clips) envelope table."""
+    env = audio_envelope(media).filter(F.col("decode_error").isNull())
+    return (
+        env.groupBy("envelope")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.min("media_id").alias("canonical_media_id"),
+        )
+        .filter(F.col("n_clips") >= min_group_size)
+        .orderBy("envelope")
+    )
+
+
 # ------------------------------------------------ video pillar
 
 VID_MAGIC = b"VID1"

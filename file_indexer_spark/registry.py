@@ -4832,3 +4832,43 @@ def st11_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.last_emission(
         spark, out, ["window_start", "window_end", "event_type"]
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "m7c_audio_dup_groups",
+    f"""
+    -- Perceptual audio duplicate groups: per-clip energy-envelope
+    -- fingerprint (per-frame integer energy quantized to bit_length,
+    -- '-'-joined in frame order) grouped J2-style. The oracle
+    -- recomputes EVERY frame energy from the sample derivation;
+    -- length(bin(E)) is bit_length for E > 0.
+    WITH {_M7_CTES},
+    env AS (
+        SELECT doc_id,
+               array_to_string(list_transform(energies, E ->
+                   CAST((CASE WHEN E = 0 THEN 0
+                              ELSE length(bin(E)) END) AS VARCHAR)), '-')
+                   AS envelope
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(0, nf), f ->
+                       CAST(list_sum(list_transform(
+                           range(160 * f, 160 * f + 160),
+                           i -> CAST(({_M7_SAMPLE}) AS BIGINT)
+                                * CAST(({_M7_SAMPLE}) AS BIGINT))) AS BIGINT)
+                   ) AS energies
+            FROM base) t)
+    SELECT envelope, CAST(COUNT(*) AS BIGINT) AS n_clips,
+           MIN(doc_id) AS canonical_media_id
+    FROM env GROUP BY envelope HAVING COUNT(*) >= 2
+    ORDER BY envelope
+    """,
+)
+def m7c_audio_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7c: audio perceptual duplicate groups (modality symmetry with
+    m6d) — loudness-envelope fingerprint, decode partition-local, one
+    hash-shuffle on the fingerprint key."""
+    from file_indexer_spark.operators import multimodal as mm
+
+    media = mm.pcm_media_from_docs(_table(spark, sf_dir, "documents"))
+    return mm.audio_duplicate_groups(media)

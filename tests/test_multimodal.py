@@ -343,3 +343,46 @@ def test_video_keyframes_one_per_shot(spark):
     md5s = [r["frame_md5"] for r in got]
     assert md5s[0] == md5s[2] == hashlib.md5(f_a).hexdigest()
     assert md5s[1] == hashlib.md5(f_b).hexdigest()
+
+
+def test_audio_envelope_groups_by_loudness_shape(spark):
+    """m7c: clips with the same per-frame loudness SHAPE (equal energy
+    bit_lengths frame-for-frame) group; a clip with a different shape
+    doesn't; sample-level detail below the coarse quantization doesn't
+    split a group; decode errors are excluded."""
+    import numpy as np
+
+    def clip(levels, tweak=0):
+        # one frame per level: fill with a constant amplitude whose
+        # energy bit_length lands exactly on the requested level
+        samples = []
+        for lv in levels:
+            if lv == 0:
+                samples += [0] * mm.AUDIO_FRAME
+            else:
+                # energy = 160*a^2; choose a so bit_length(160*a^2)=lv
+                a = 1
+                while (160 * (a + 1) * (a + 1)).bit_length() <= lv:
+                    a += 1
+                assert (160 * a * a).bit_length() == lv, (lv, a)
+                samples += [a + (tweak if a > 2 else 0)] + [a] * (mm.AUDIO_FRAME - 1)
+        return mm.encode_pcm(samples)
+
+    rows = [
+        (1, "audio", clip([10, 20, 10])),
+        (2, "audio", clip([10, 20, 10])),          # exact duplicate
+        (3, "audio", clip([20, 10, 20])),          # different shape
+        (4, "audio", clip([10, 20, 10], tweak=-1)),  # sub-quantum tweak
+        (5, "audio", None),                          # decode error
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    env = {r["media_id"]: r for r in mm.audio_envelope(media).collect()}
+    assert env[1]["envelope"] == "10-20-10" and env[1]["n_frames"] == 3
+    assert env[5]["decode_error"] == "null content"
+
+    groups = mm.audio_duplicate_groups(media).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["envelope"] == "10-20-10" and g["canonical_media_id"] == 1
+    # the sub-quantum tweak must NOT split the group (coarse contract)
+    assert g["n_clips"] == 3
