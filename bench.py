@@ -147,6 +147,15 @@ LLM_EXTENSION = [
     "h11_top_revenue_suppliers",
     "sp7_zorder_layout",
     "m8_video_shot_cuts",
+    # round 7: bounds companions (sketch/MLlib tolerance contracts as
+    # expected-empty joins) + the audio envelope dedup pass
+    "t6a_bounds",
+    "e12a_bounds",
+    "e13a_bounds",
+    "dd6_bounds",
+    "sim3_bounds",
+    "sim8_bounds",
+    "m7c_audio_dup_groups",
 ]
 
 
@@ -184,6 +193,41 @@ def _reap(spark) -> None:
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
+
+
+def _fixed_overhead(spark, probe_path: str | None = None) -> float:
+    """The per-query FIXED cost (plan compile + scheduling + noop
+    commit + a minimal scan) every measurement pays regardless of data
+    volume — measured, not assumed, as the min-of-3 timing of a
+    trivial query through the SAME run path as the swept queries.
+    Scale artifacts record ``overhead_corrected_ratio`` = (xN − C) /
+    (x1 − C): at small x1 absolutes the constant dominates and the raw
+    ratio understates–or–overstates the structural scaling (the
+    PERFORMANCE.md round-6 sim5/h8 footnotes); subtracting C reads the
+    variable cost directly."""
+    reps = []
+    for _ in range(3):
+        start = time.perf_counter()
+        df = (
+            spark.read.parquet(probe_path)
+            if probe_path and os.path.exists(probe_path)
+            else spark.range(100)
+        )
+        df.write.format("noop").mode("overwrite").save()
+        reps.append(time.perf_counter() - start)
+    return round(min(reps), 4)
+
+
+def _corrected_ratio(per_dir: dict, factor: int, overhead: float) -> float | None:
+    """(xN − C) / (x1 − C), guarded: if either side is within 2x of the
+    constant itself the correction is noise-dominated — return None
+    rather than a wild number."""
+    x1, xn = per_dir.get("x1"), per_dir.get(f"x{factor}")
+    if x1 is None or xn is None:
+        return None
+    if x1 - overhead <= overhead * 0.25 or xn <= overhead:
+        return None
+    return round((xn - overhead) / (x1 - overhead), 2)
 
 
 def _cpu_canary() -> float:
@@ -377,6 +421,12 @@ SCALE_QUERIES = [
     "m7_audio_frame_energy",
     "m8_video_shot_cuts",
     "dd11_cluster_consolidation",
+    # round 7: envelope dedup (linear decode + tiny group agg) and the
+    # cheap bounds companions (their cost is the twins they join)
+    "m7c_audio_dup_groups",
+    "t6a_bounds",
+    "e12a_bounds",
+    "e13a_bounds",
 ]
 
 
@@ -451,13 +501,31 @@ def main_scale() -> None:
         if "x1" in per_dir and f"x{factor}" in per_dir and per_dir["x1"] > 0:
             per_dir["ratio"] = round(per_dir[f"x{factor}"] / per_dir["x1"], 2)
         results[name] = per_dir
+    overhead = _fixed_overhead(spark, os.path.join(sf_dir, "region.parquet"))
+    for per_dir in results.values():
+        corr = _corrected_ratio(per_dir, factor, overhead)
+        if corr is not None:
+            per_dir["overhead_corrected_ratio"] = corr
     ratios = [r["ratio"] for r in results.values() if "ratio" in r]
+    corrected = [
+        r["overhead_corrected_ratio"]
+        for r in results.values()
+        if "overhead_corrected_ratio" in r
+    ]
     doc = {
         "metric": "scale_sweep_max_ratio",
         "value": max(ratios) if ratios else None,
+        "max_overhead_corrected_ratio": max(corrected) if corrected else None,
         "unit": "ratio",
         "factor": factor,
         "sf_dir": sf_dir,
+        "fixed_overhead_sec": overhead,
+        "methodology": (
+            "overhead_corrected_ratio = (xN - C)/(x1 - C) with C = "
+            "fixed_overhead_sec, the min-of-3 trivial-query timing "
+            "through the same run path; omitted where a side is "
+            "overhead-dominated"
+        ),
         "queries": results,
         **({"errors": errors} if errors else {}),
     }
@@ -601,16 +669,182 @@ def main_scale_neardup() -> None:
     for name, per in results.items():
         if "x1" in per and f"x{factor}" in per and per["x1"] > 0:
             per["ratio"] = round(per[f"x{factor}"] / per["x1"], 2)
+    overhead = _fixed_overhead(spark)
+    for per in results.values():
+        corr = _corrected_ratio(per, factor, overhead)
+        if corr is not None:
+            per["overhead_corrected_ratio"] = corr
     ratios = [r["ratio"] for r in results.values() if "ratio" in r]
+    corrected = [
+        r["overhead_corrected_ratio"]
+        for r in results.values()
+        if "overhead_corrected_ratio" in r
+    ]
     doc = {
         "metric": "neardup_scale_max_ratio",
         "value": max(ratios) if ratios else None,
+        "max_overhead_corrected_ratio": max(corrected) if corrected else None,
         "unit": "ratio",
         "factor": factor,
         "scales": meta,
         "list_size": NEARDUP_LIST_SIZE,
+        "fixed_overhead_sec": overhead,
+        "methodology": (
+            "overhead_corrected_ratio = (xN - C)/(x1 - C) with C = "
+            "fixed_overhead_sec (min-of-3 trivial-query timing); "
+            "omitted where a side is overhead-dominated"
+        ),
         "queries": results,
         **({"errors": errors} if errors else {}),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc))
+
+
+# ------------------------------------------------------ streaming mode
+# ``python bench.py --stream`` records BENCH_STREAM.json: throughput
+# (rows/sec over the drain wall-clock) and STATE SIZE (progress-listener
+# stateOperators: peak numRowsTotal / memoryUsedBytes across batches)
+# for the three stateful streaming operator classes, on a 10x stream:
+#   st3  applyInPandasWithState sessionization  (state: one row/user)
+#   st9  two-sided stream-stream interval join  (state: rate x window)
+#   st7  streaming curation funnel              (state: distinct hashes)
+_STREAM_CHUNKS = 8
+
+
+def _land_chunks(spark, df, src: str, order_col: str, n_chunks: int) -> int:
+    """Write df as n_chunks chronological arrival files with strictly
+    increasing mtimes (the registry's _land_arrivals discipline) and
+    return the row count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from file_indexer_spark.registry import _land_arrivals
+
+    chunked = df.withColumn(
+        "_chunk", F.ntile(n_chunks).over(Window.orderBy(order_col))
+    ).localCheckpoint()
+    n = chunked.count()
+    _land_arrivals(
+        src,
+        [
+            chunked.filter(F.col("_chunk") == i + 1).drop("_chunk")
+            for i in range(n_chunks)
+        ],
+    )
+    return n
+
+
+def _drain_with_metrics(stream_df, output_mode: str) -> dict:
+    """availableNow drain into a noop sink; metrics from the progress
+    listener (peak summed state rows/bytes across micro-batches)."""
+    start = time.perf_counter()
+    q = (
+        stream_df.writeStream.format("noop")
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - start
+    progs = q.recentProgress
+    rows_in = sum(int(p["numInputRows"]) for p in progs)
+    state_rows = [
+        sum(int(op["numRowsTotal"]) for op in p.get("stateOperators", []))
+        for p in progs
+    ]
+    state_bytes = [
+        sum(int(op["memoryUsedBytes"]) for op in p.get("stateOperators", []))
+        for p in progs
+    ]
+    return {
+        "input_rows": rows_in,
+        "n_batches": len(progs),
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows_in / wall, 1) if wall > 0 else None,
+        "peak_state_rows": max(state_rows) if state_rows else 0,
+        "peak_state_bytes": max(state_bytes) if state_bytes else 0,
+    }
+
+
+def main_stream() -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.streaming import curation as sc
+    from file_indexer_spark.streaming import joins as sj
+    from file_indexer_spark.streaming import sessions as ss
+    from file_indexer_spark.streaming import windows as sw
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{factor}"
+    )
+    out_path = os.environ.get(
+        "SPARK_GRAFT_STREAM_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM.json"),
+    )
+    spark = get_spark("file_indexer_spark_stream_bench")
+    materialize_scale(spark, sf_dir, scale_dir, factor)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_stream_bench")
+    shutil.rmtree(base, ignore_errors=True)
+
+    events = spark.read.parquet(os.path.join(scale_dir, "events.parquet")).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    docs = spark.read.parquet(os.path.join(scale_dir, "documents.parquet")).select(
+        "doc_id", "source", "text"
+    )
+    results: dict[str, dict] = {}
+
+    src3 = os.path.join(base, "st3_src")
+    _land_chunks(spark, events, src3, "ts", _STREAM_CHUNKS)
+    results["st3_stateful_sessions"] = _drain_with_metrics(
+        ss.sessionize_stream(sw.read_events_stream(spark, src3, max_files_per_trigger=1)),
+        "update",
+    )
+
+    src9 = os.path.join(base, "st9_src")
+    _land_chunks(spark, events, src9, "ts", _STREAM_CHUNKS)
+    results["st9_interval_join_stream"] = _drain_with_metrics(
+        sj.view_purchase_pairs(
+            sw.read_events_stream(spark, src9, max_files_per_trigger=1)
+        ),
+        "append",
+    )
+
+    src7 = os.path.join(base, "st7_src")
+    _land_chunks(spark, docs, src7, "doc_id", _STREAM_CHUNKS)
+    bench_set = sc.bench_shingle_set(docs)
+    results["st7_streaming_curation"] = _drain_with_metrics(
+        sc.curation_stream(
+            sc.read_source_docs_stream(spark, src7, max_files_per_trigger=1), bench_set
+        ),
+        "append",
+    )
+
+    doc = {
+        "metric": "streaming_throughput_10x",
+        "unit": "rows_per_sec",
+        "factor": factor,
+        "chunks": _STREAM_CHUNKS,
+        "methodology": (
+            "availableNow drain of a chronological file stream into a "
+            "noop sink; rows_per_sec = total input rows / drain "
+            "wall-clock; peak_state_* = max over micro-batch progress "
+            "reports of summed stateOperators numRowsTotal / "
+            "memoryUsedBytes"
+        ),
+        "queries": results,
     }
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1)
@@ -622,5 +856,7 @@ if __name__ == "__main__":
         main_scale()
     elif "--scale-neardup" in sys.argv[1:]:
         main_scale_neardup()
+    elif "--stream" in sys.argv[1:]:
+        main_stream()
     else:
         main()
