@@ -454,3 +454,49 @@ def test_round6b_operator_plan_shapes(spark, sf_smoke):
     media = mm.pcm_media_from_docs(t("documents"))
     m7 = mm.audio_frame_energy(media)
     assert pi.count_exchanges(m7) == 0, pi.simple_plan(m7)
+
+
+def test_round7_operator_plan_shapes(spark, sf_smoke):
+    """Round-7 scale properties: m7c's decode+fingerprint is
+    zero-exchange up to one group shuffle; the recall companions never
+    materialize pairs driver-side and carry no cartesian beyond 1-row
+    scalar crosses; st11's final-state reduction is one window over the
+    small changelog."""
+    from file_indexer_spark.operators import bounds as bd
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.operators import multimodal as mm
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+
+    # m7c: envelope fingerprint is partition-local mapInPandas (zero
+    # exchanges); grouping adds exactly the one hash shuffle on the
+    # fingerprint key (+ at most a range partition for the final sort)
+    media = mm.pcm_media_from_docs(docs)
+    env = mm.audio_envelope(media)
+    assert pi.count_exchanges(env) == 0, pi.simple_plan(env)
+    groups = mm.audio_duplicate_groups(media)
+    assert pi.count_exchanges(groups) <= 2, pi.simple_plan(groups)
+
+    # dd6_bounds shape: recall reduction = left-semi pair join + two
+    # 1-row aggregates crossed; the ONLY join of unbounded inputs is
+    # the semi join on the pair key (hash/sort-merge), and the crosses
+    # are single-row — a real cartesian of corpus-sized sides would
+    # show as a nested loop over non-aggregate children
+    rf = bd.recall_floor(
+        dd.minhash_lsh_pairs(docs).select("doc_a", "doc_b"),
+        dd.minhash_lsh_pairs(docs).select("doc_a", "doc_b"),
+        ["doc_a", "doc_b"], 0.9, 20, "recall",
+    )
+    plan = pi.simple_plan(rf)
+    assert "LeftSemi" in plan, plan
+
+    # percentile bounds: the rank pass is ONE aggregation over raw with
+    # the approx rows broadcast — no corpus self-join
+    from file_indexer_spark.operators import text as tx
+
+    pb = bd.percentile_bounds(
+        docs, tx.length_percentiles(docs), tx.length_percentiles_approx(docs),
+        "source", "n_chars", [("p50_chars", 0.5)],
+    )
+    assert pi.has_broadcast_hint(pb)
