@@ -685,6 +685,162 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     ).orderBy("vec_id")
 
 
+PQ_SUBSPACES = 8   # M: 64-dim vectors -> 8 subspaces of 8 dims
+PQ_CODEWORDS = 16  # K': codewords per subspace (4-bit codes)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codewords: int = PQ_CODEWORDS,
+) -> DataFrame:
+    """sim9: PRODUCT QUANTIZATION — the compression step below sim7's
+    int8 (a 64-dim float32 vector becomes M=8 4-bit codes: 4 bytes,
+    64× smaller), and the storage form IVF-PQ engines actually scan at
+    100 TB. Each vector is split into M contiguous subvectors; per
+    subspace, the codebook is the corresponding slice of K'
+    deterministic md5-hash-sampled seed vectors (the :func:`_centroids`
+    order, so both engines build the identical codebook without
+    training), and the code is the argmin squared-L2 codeword (ties to
+    the smaller code index). Output: ``pq_code`` ('-'-joined codes in
+    subspace order) + ``recon_sse`` (the summed per-subspace min d² —
+    the reconstruction-error audit, like sim7's max_abs_err).
+
+    Determinism: codeword index = rank in (md5(vec_id), vec_id) order;
+    every d² is the strict left-to-right IEEE fold over the slice, so
+    argmin ties and values match DuckDB bit-for-bit — a quantizer with
+    a full hash gate.
+
+    Scale shape: ONE broadcast join of the corpus against the M×K'
+    (=128-row) codebook — M·K' slice-d² evaluations per vector,
+    map-side — then two hash aggregations (per (vec, subspace) argmin,
+    per-vec assembly). No shuffle carries anything wider than
+    (vec_id, m, code, d2). Swap the seed codebook for per-subspace
+    k-means (the :func:`kmeans_centroid_frame` pattern) on real data;
+    encoding is unchanged.
+    """
+    best = _pq_best(embeddings, n_subspaces, n_codewords)
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(m, code))), s -> cast(s.code as string))"),
+                "-",
+            ).alias("pq_code"),
+            F.round(F.sum("d2"), 6).alias("recon_sse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pq_codebook(embeddings: DataFrame, n_subspaces: int, n_codewords: int) -> DataFrame:
+    """(m, code, c_emb) — the K' md5-sampled seed vectors exploded per
+    subspace; code index = rank in the deterministic seed order."""
+    h = F.md5(F.col("vec_id").cast("string").cast("binary"))
+    w = Window.orderBy("h", "vec_id")
+    seeds = (
+        embeddings.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(int(n_codewords))
+        .withColumn("code", F.row_number().over(w) - 1)
+        .select("code", F.col("embedding").alias("c_emb"))
+    )
+    return seeds.withColumn("m", F.explode(F.expr(f"sequence(0, {n_subspaces - 1})")))
+
+
+def _pq_slice_d2(vec_col: str, n_subspaces: int) -> F.Column:
+    dim_per = EMB_DIM // n_subspaces
+    return F.expr(
+        f"aggregate(zip_with(slice({vec_col}, m * {dim_per} + 1, {dim_per}), "
+        f"slice(c_emb, m * {dim_per} + 1, {dim_per}), "
+        "(x, y) -> (cast(x as double) - cast(y as double)) "
+        "* (cast(x as double) - cast(y as double))), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _pq_best(embeddings: DataFrame, n_subspaces: int, n_codewords: int) -> DataFrame:
+    """(vec_id, m, code, d2): each vector's argmin codeword per
+    subspace — one broadcast join + map-side slice-d2 + one argmin agg."""
+    scored = (
+        _spread(embeddings)
+        .select("vec_id", "embedding")
+        .join(F.broadcast(_pq_codebook(embeddings, n_subspaces, n_codewords)))
+        .withColumn("d2", _pq_slice_d2("embedding", n_subspaces))
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.expr("min_by(code, struct(d2, code))").alias("code"),
+        F.min("d2").alias("d2"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codewords: int = PQ_CODEWORDS,
+) -> DataFrame:
+    """sim10: ASYMMETRIC DISTANCE COMPUTATION top-k over the PQ codes —
+    the search half of IVF-PQ (Jégou et al.), composing sim9. Each
+    query precomputes a (M × K') distance TABLE against the codebook
+    (here 128 doubles); a candidate's approximate distance is then M
+    table lookups summed — 8 adds per candidate instead of a 64-dim
+    dot product. That asymmetry (raw query vs coded corpus) is what
+    lets a 100 TB engine scan compressed codes at memory bandwidth.
+
+    Determinism: the per-candidate sum is a strict left-to-right fold
+    over subspace order on BOTH engines (never a SQL SUM, whose
+    accumulation order floats), the table is built with the same slice
+    fold as the encoder, and ties rank by neighbor_id — so an
+    approximate-search operator hash-gates bit-for-bit.
+
+    Scale shape: corpus codes (one narrow array row per vector) join
+    the BROADCAST query tables (queries × 128 doubles); the scan is
+    map-side lookups + one per-query top-k window. Compose with sim2's
+    probing to scan only nprobe lists; this operator is the full-scan
+    ADC baseline, exactly as sim1 is to sim2."""
+    codes = _pq_best(embeddings, n_subspaces, n_codewords).groupBy("vec_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .alias("codes")
+    )
+    q_tab = (
+        embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .join(F.broadcast(_pq_codebook(embeddings, n_subspaces, n_codewords)))
+        .withColumn(
+            "qd2",
+            _pq_slice_d2("q_emb", n_subspaces),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, code, qd2))), s -> s.qd2)"
+            ).alias("tab")
+        )
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {n_subspaces - 1}), 0D, "
+        f"(acc, m) -> acc + tab[m * {n_codewords} + codes[m]])"
+    )
+    scored = (
+        _spread(codes)
+        .join(F.broadcast(q_tab))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def kmeans_clusters(
     embeddings: DataFrame, k: int = KMEANS_K, max_iter: int = KMEANS_MAX_ITER
 ) -> DataFrame:

@@ -4872,3 +4872,107 @@ def m7c_audio_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.pcm_media_from_docs(_table(spark, sf_dir, "documents"))
     return mm.audio_duplicate_groups(media)
+
+
+@register(
+    "sim9_pq_encode",
+    f"""
+    -- Product quantization: M=8 subspaces x K'=16 md5-sampled
+    -- codewords; per subspace the argmin slice-L2 codeword (ties to
+    -- the smaller code), '-'-joined codes + summed min d2. Same IEEE
+    -- fold, same md5 seed order => bit-exact across engines.
+    WITH seeds AS (
+        SELECT embedding AS c_emb,
+               row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                   AS code
+        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id
+        LIMIT {sim.PQ_CODEWORDS}),
+    pairs AS (
+        SELECT v.vec_id, m.m, s.code,
+               list_reduce(list_transform(range(8 * m.m + 1, 8 * m.m + 9),
+                   i -> (v.embedding[i]::DOUBLE - s.c_emb[i]::DOUBLE)
+                      * (v.embedding[i]::DOUBLE - s.c_emb[i]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+        FROM embeddings v, range(0, {sim.PQ_SUBSPACES}) m(m), seeds s),
+    best AS (
+        SELECT vec_id, m, code, d2,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, code) AS rn
+        FROM pairs)
+    SELECT vec_id,
+           string_agg(code::VARCHAR, '-' ORDER BY m) AS pq_code,
+           round(SUM(d2), 6) AS recon_sse
+    FROM best WHERE rn = 1
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def sim9_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM9: product quantization — the 64x-compression storage form an
+    IVF-PQ index scans at 100 TB (below sim7's 4x int8). One broadcast
+    join against the 128-row codebook, map-side slice-L2, two narrow
+    hash aggs; deterministic codebook => full hash gate on a quantizer."""
+    return sim.pq_encode(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "w10_compaction_roundtrip",
+    with_files_cte(
+        """
+    -- OPTIMIZE gate: after fragmented commits + compact(1), content is
+    -- byte-identical to the mutation algebra AND every live data dir
+    -- holds exactly one parquet file (the engine measures the real
+    -- max; the oracle pins the literal 1 — a compaction that skips a
+    -- dir or loses a row hash-mismatches).
+    SELECT path, filename,
+           CASE WHEN file_size % 3 = 0 THEN 'C2' ELSE checksum END AS checksum,
+           modification_datetime, file_size, indexed_at,
+           CAST(1 AS BIGINT) AS max_files_per_dir
+    FROM files ORDER BY path, filename
+    """
+    ),
+)
+def w10_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: the small-file maintenance gate — fragment a bucketed table
+    (16-task staging writes), mutate it, OPTIMIZE to one file per
+    bucket dir, and hash-gate BOTH the surviving content and the
+    physical file-count contract. The fixture asserts it actually
+    fragmented first (a pre-compacted table would make the gate
+    vacuous — the h9 lesson)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w10_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    t = FilesTable(spark, os.path.join(base, "db"), buckets=8)
+    original = files_df(spark, sf_dir)
+    t.overwrite(original.repartition(16))
+    t.upsert(
+        original.filter(F.col("file_size") % 3 == 0)
+        .withColumn("checksum", F.lit("C2"))
+        .repartition(16)
+    )
+
+    def files_per_dir() -> list[int]:
+        m = t._load_manifest()
+        return [
+            len(glob.glob(os.path.join(t.location, rel, "*.parquet")))
+            for rel in m["entries"].values()
+        ]
+
+    if max(files_per_dir()) <= 1:
+        raise RuntimeError("w10 fixture failed to fragment — gate would be vacuous")
+    t.compact(files_per_bucket=1)
+    audit = max(files_per_dir())
+    return (
+        t.read()
+        .withColumn("max_files_per_dir", F.lit(audit).cast("long"))
+        .orderBy("path", "filename")
+    )

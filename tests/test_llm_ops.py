@@ -918,3 +918,30 @@ def test_kmeans_refined_seeds_recall_vs_oneshot(spark, sf_oracle):
     # absolute floor for the 3/16-list probe budget (measured:
     # seeds 0.39, lloyd 0.46 at sf0.01)
     assert r_ref >= 0.4
+
+
+def test_pq_encode_invariants(spark, sf_smoke):
+    """sim9: every vector encodes to M in-range codes; reconstruction
+    SSE is non-negative and shrinks (weakly) as the codebook grows —
+    a larger K' can only move each subspace argmin closer."""
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    out = sim.pq_encode(emb).collect()
+    assert len(out) == n
+    for r in out[:20]:
+        codes = [int(c) for c in r["pq_code"].split("-")]
+        assert len(codes) == sim.PQ_SUBSPACES
+        assert all(0 <= c < sim.PQ_CODEWORDS for c in codes)
+        assert r["recon_sse"] >= 0
+    sse16 = {r["vec_id"]: r["recon_sse"] for r in out}
+    sse4 = {
+        r["vec_id"]: r["recon_sse"]
+        for r in sim.pq_encode(emb, n_codewords=4).collect()
+    }
+    # the K'=4 codebook is a PREFIX of the K'=16 one (same md5 order),
+    # so per-vector SSE at 16 codewords is <= SSE at 4 — exactly, not
+    # statistically
+    assert all(sse16[v] <= sse4[v] + 1e-9 for v in sse4)
+    assert sum(sse16.values()) < sum(sse4.values())
