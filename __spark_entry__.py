@@ -37,6 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # window verifies them; the already-verified ones keep local regression
 # coverage.
 _DRIVER_PRIORITY = [
+    # round 8: the ONLY two oracle-gated queries never driver-checked
+    # (added in the round-7 end-of-round snapshot) lead, followed by
+    # this round's additions; behind them the round-7 window for
+    # regression reads (verdict r7 #2).
+    "sim9_pq_encode", "w10_compaction_roundtrip",
+    "sim10_ivfpq_topk", "x1_cross_modal_dup_assets",
+    "st12_late_data_accounting",
     # round 7: the seven BOUNDS COMPANIONS lead — oracle-bearing
     # violation sets (expected empty) that turn the rows-only set's
     # err:"no_oracle" driver rows into hash-checkable tolerance

@@ -13,24 +13,31 @@ single-file transaction log.
 Commit protocol (the Delta/Iceberg shape, minimally):
   * every write lands in a fresh uniquely-named ``data-<uuid>`` dir —
     nothing live is ever modified or moved;
-  * ``_MANIFEST`` (JSON) maps each bucket (or ``all``) to its current
+  * the manifest (JSON) maps each bucket (or ``all``) to its current
     data dir; readers resolve the manifest first, then read exactly
     the named dirs;
-  * commit = write manifest to a temp name + ``os.replace`` — atomic
-    on POSIX, so a reader sees the old generation or the new one,
-    never a torn mix. A crash at ANY point pre-replace leaves the old
-    manifest (and all dirs it names) intact; orphaned staging dirs are
-    reclaimed by :meth:`vacuum`.
+  * commit = atomic PUT-IF-ABSENT of the new generation's entry in
+    ``_manifest_log/`` (a fully-written temp hard-linked to
+    ``<gen>.json`` — create-with-content, atomic on POSIX; Delta's
+    versioned-log-file commit). A crash at ANY point pre-link leaves
+    the old generation intact; orphaned staging dirs are reclaimed by
+    :meth:`vacuum`.
+  * ``_MANIFEST`` is a reader CACHE refreshed after each commit
+    (Delta's ``_last_checkpoint``): resolution takes the highest log
+    generation when it beats the cached one, so a writer crashing
+    between link and refresh self-heals on the next read.
 
-Concurrency contract: readers are always consistent (atomic manifest
-+ immutable dirs). Writers are CONFLICT-DETECTED (w9, the
+Concurrency contract: readers are always consistent (atomic log
+entries + immutable dirs). Writers are CONFLICT-DETECTED (w9, the
 Delta/Iceberg optimistic-concurrency shape): every mutating operation
-snapshots the manifest generation before it reads, and the commit
-refuses with :class:`ConcurrentWriteError` if the generation advanced
-since — the losing writer's staged dirs are rolled back, the winning
-commit is untouched, and the caller retries on a fresh snapshot (the
-reference reaches the same one-writer-at-a-time outcome via its DuckDB
-file lock). ``vacuum()`` must only run while no writer is staging.
+snapshots the manifest generation before it reads, the commit refuses
+with :class:`ConcurrentWriteError` if the generation advanced since,
+and the put-if-absent arbiter closes the remaining check-then-act
+window — two racers that both read generation G cannot both own G+1;
+the loser's staged dirs are rolled back, the winning commit is
+untouched, and the caller retries on a fresh snapshot (the reference
+reaches the same one-writer-at-a-time outcome via its DuckDB file
+lock). ``vacuum()`` must only run while no writer is staging.
 
 Scale: an UNPARTITIONED emulated MERGE rewrites the whole table —
 a non-starter at 100 TB. Pass ``buckets=N`` to hash-partition the
@@ -122,13 +129,34 @@ class FilesTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.location, self._MANIFEST)
 
-    def _load_manifest(self) -> dict | None:
-        """Current manifest, or None for a legacy/absent layout."""
+    def _read_manifest_cache(self) -> dict | None:
+        """The ``_MANIFEST`` file verbatim (a fast-path CACHE — see
+        :meth:`_load_manifest` for the resolved truth)."""
         try:
             with open(self._manifest_path()) as fh:
                 return json.load(fh)
         except FileNotFoundError:
             return None
+
+    def _load_manifest(self) -> dict | None:
+        """Current manifest, or None for a legacy/absent layout.
+
+        The manifest-log entry is the COMMIT (atomically created via
+        put-if-absent, :meth:`_commit_manifest`); ``_MANIFEST`` is a
+        reader cache refreshed after each commit — the Delta
+        log-vs-``_last_checkpoint`` relationship. A writer that crashed
+        between the two leaves a log entry newer than the cache, so
+        resolution takes the HIGHEST log generation when it beats the
+        cached one; the next commit refreshes the cache (self-healing,
+        no wedged table)."""
+        doc = self._read_manifest_cache()
+        cached_gen = doc.get("generation", 0) if doc else 0
+        newer = [(g, n) for g, n in self._log_generations() if g > cached_gen]
+        if newer:
+            gen, name = max(newer)
+            with open(os.path.join(self.location, self._MANIFEST_LOG, name)) as fh:
+                doc = json.load(fh)
+        return doc
 
     def _current_generation(self) -> int:
         m = self._load_manifest()
@@ -149,7 +177,19 @@ class FilesTable:
         generation (w9): if another writer advanced the manifest since,
         this commit would silently drop that writer's rows — refuse
         with :class:`ConcurrentWriteError` instead (the caller's staged
-        dirs are left for vacuum(); the winning commit is untouched)."""
+        dirs are left for vacuum(); the winning commit is untouched).
+
+        The snapshot check alone is check-then-act — two writers that
+        both read generation G would both pass it. The ARBITER that
+        closes that race is the log-entry creation: the new
+        generation's ``_manifest_log/<gen>.json`` is published with an
+        atomic put-if-absent (``os.link`` of a fully-written temp —
+        create-with-content, atomic on POSIX, like Delta's
+        put-if-absent of the versioned log file), so exactly ONE of
+        the racers owns generation ``gen``; the loser maps
+        ``FileExistsError`` to :class:`ConcurrentWriteError`. The
+        ``_MANIFEST`` cache refresh after it is not a commit point —
+        see :meth:`_load_manifest`."""
         os.makedirs(self.location, exist_ok=True)
         prev = self._load_manifest()
         cur = prev.get("generation", 0) if prev else 0
@@ -161,19 +201,48 @@ class FilesTable:
             )
         gen = cur + 1
         doc = {"buckets": self.buckets, "entries": entries, "generation": gen}
-        if self.keep_history:
-            log_dir = os.path.join(self.location, self._MANIFEST_LOG)
-            os.makedirs(log_dir, exist_ok=True)
-            with open(os.path.join(log_dir, f"{gen}.json"), "w") as fh:
-                json.dump(doc, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-        tmp = os.path.join(self.location, f"{self._MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+        log_dir = os.path.join(self.location, self._MANIFEST_LOG)
+        os.makedirs(log_dir, exist_ok=True)
+        marker = os.path.join(log_dir, f"{gen}.json")
+        tmp = f"{marker}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(tmp, self._manifest_path())
+        try:
+            os.link(tmp, marker)  # THE commit: atomic put-if-absent
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"another writer committed generation {gen} at "
+                f"{self.location} concurrently; retry on a fresh snapshot"
+            ) from None
+        finally:
+            os.remove(tmp)
+        # Point of no return: the commit is durable. Everything below
+        # is cache maintenance — a failure here must NOT propagate (the
+        # caller would misread a COMMITTED write as failed and roll
+        # back live data); the stale cache self-heals via
+        # :meth:`_load_manifest` and the next commit's refresh.
+        try:
+            tmp = os.path.join(
+                self.location, f"{self._MANIFEST}.tmp-{uuid.uuid4().hex[:8]}"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(doc, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self._manifest_path())
+            if not self.keep_history:
+                # no-history tables keep only the committed arbiter
+                # entry — older ones are redundant once the cache is at
+                # >= their generation (readers only consult entries
+                # NEWER than the cache), so pruning never races
+                # resolution.
+                for g, name in self._log_generations():
+                    if g < gen:
+                        os.remove(os.path.join(log_dir, name))
+        except Exception:  # noqa: BLE001 — best-effort cache refresh
+            pass
 
     def _staging_dir(self) -> str:
         os.makedirs(self.location, exist_ok=True)

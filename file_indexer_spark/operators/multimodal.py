@@ -834,7 +834,11 @@ def audio_frame_energy(media: DataFrame) -> DataFrame:
                 if err is not None:
                     rows.append((int(mid), None, None, None, err))
                     continue
-                frames = samples.astype(np.int64).reshape(-1, AUDIO_FRAME)
+                # frame analysis drops a trailing partial frame — a
+                # structurally valid clip whose sample count isn't a
+                # frame multiple must degrade, not fail the executor
+                whole = len(samples) - len(samples) % AUDIO_FRAME
+                frames = samples[:whole].astype(np.int64).reshape(-1, AUDIO_FRAME)
                 energy = (frames * frames).sum(axis=1)
                 peak = np.abs(frames).max(axis=1)
                 rows.extend(
@@ -922,7 +926,9 @@ def audio_envelope(media: DataFrame) -> DataFrame:
                 if err is not None:
                     rows.append((int(mid), None, None, err))
                     continue
-                frames = samples.astype(np.int64).reshape(-1, AUDIO_FRAME)
+                # same partial-frame truncation as audio_frame_energy
+                whole = len(samples) - len(samples) % AUDIO_FRAME
+                frames = samples[:whole].astype(np.int64).reshape(-1, AUDIO_FRAME)
                 energy = (frames * frames).sum(axis=1)
                 env = "-".join(str(int(e).bit_length()) for e in energy)
                 rows.append((int(mid), int(len(energy)), env, None))

@@ -720,6 +720,10 @@ def pq_encode(
     encoding is unchanged.
     """
     best = _pq_best(embeddings, n_subspaces, n_codewords)
+    # recon_sse: strict m-ordered left-to-right fold (NOT SUM, whose
+    # accumulation order floats with partitioning) — the same
+    # determinism discipline as adc_dist, so the hash gate never
+    # depends on round() masking ULP reordering.
     return (
         best.groupBy("vec_id")
         .agg(
@@ -727,7 +731,13 @@ def pq_encode(
                 F.expr("transform(array_sort(collect_list(struct(m, code))), s -> cast(s.code as string))"),
                 "-",
             ).alias("pq_code"),
-            F.round(F.sum("d2"), 6).alias("recon_sse"),
+            F.round(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(m, d2))), "
+                    "s -> s.d2), 0D, (acc, v) -> acc + v)"
+                ),
+                6,
+            ).alias("recon_sse"),
         )
         .orderBy("vec_id")
     )
@@ -773,6 +783,113 @@ def _pq_best(embeddings: DataFrame, n_subspaces: int, n_codewords: int) -> DataF
     )
 
 
+def _pq_codes(embeddings: DataFrame, n_subspaces: int, n_codewords: int) -> DataFrame:
+    """(vec_id, codes): the per-vector PQ code array in subspace order —
+    the compressed corpus an ADC scan reads."""
+    return _pq_best(embeddings, n_subspaces, n_codewords).groupBy("vec_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .alias("codes")
+    )
+
+
+def _pq_query_tables(
+    embeddings: DataFrame, n_subspaces: int, n_codewords: int
+) -> DataFrame:
+    """(query_id, tab): per-query ADC lookup table — M x K' slice-d²s
+    against the codebook, flattened in (m, code) order so a candidate's
+    distance is ``tab[m * K' + codes[m]]`` summed over m."""
+    return (
+        embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .join(F.broadcast(_pq_codebook(embeddings, n_subspaces, n_codewords)))
+        .withColumn("qd2", _pq_slice_d2("q_emb", n_subspaces))
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, code, qd2))), s -> s.qd2)"
+            ).alias("tab")
+        )
+    )
+
+
+def _adc_dist(n_subspaces: int, n_codewords: int) -> F.Column:
+    """Strict left-to-right fold over subspace order — never a SQL SUM,
+    whose accumulation order floats with partitioning."""
+    return F.expr(
+        f"aggregate(sequence(0, {n_subspaces - 1}), 0D, "
+        f"(acc, m) -> acc + tab[m * {n_codewords} + codes[m]])"
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codewords: int = PQ_CODEWORDS,
+) -> DataFrame:
+    """sim10: IVF-PQ — the actual 100 TB ANN serving shape (Jégou et
+    al., the FAISS ``IVFx,PQy`` index): sim2's inverted-list pruning
+    composed with sim9's product-quantized codes and the ADC scan of
+    :func:`pq_adc_topk`. Each query probes only its ``nprobe`` nearest
+    centroid lists and scans COMPRESSED 4-byte codes there — candidate
+    volume falls by n_lists/nprobe and the scan reads 64× fewer bytes
+    than the float corpus, which is why this pair of tricks is the one
+    that survives at 100 TB.
+
+    Determinism: the IVF side is sim2's exactly-replicable assignment
+    (label-rep centroids, IEEE-fold cosines, smaller-id ties); the PQ
+    side is sim9's md5-seeded codebook; adc_dist is the strict
+    m-ordered fold; ties rank by neighbor_id — so the full composed
+    index hash-gates bit-for-bit against DuckDB.
+
+    Scale shape: the corpus never reshuffles — codes join the
+    (vec_id → centroid_id) assignment on vec_id (both sides partitioned
+    by vec_id; at scale the codes table is WRITTEN clustered by list,
+    making this a metadata join), then the tiny probe set
+    (queries × nprobe rows, with each query's 128-double ADC table)
+    broadcasts onto it. Map-side lookups, one per-query top-k window.
+    """
+    assign = ivf_assignments(embeddings)
+    codes = _pq_codes(embeddings, n_subspaces, n_codewords).join(assign, "vec_id")
+
+    cents = _centroid_frame(embeddings, None, None)
+    q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_cosine"), "centroid_id")
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("c_cosine", _cosine("q_emb", "q_norm", "c_emb", "c_norm"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    probe_tabs = probes.join(
+        _pq_query_tables(embeddings, n_subspaces, n_codewords), "query_id"
+    )
+    scored = (
+        _spread(codes)
+        .join(F.broadcast(probe_tabs), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", _adc_dist(n_subspaces, n_codewords))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     k: int = TOP_K,
@@ -798,34 +915,13 @@ def pq_adc_topk(
     map-side lookups + one per-query top-k window. Compose with sim2's
     probing to scan only nprobe lists; this operator is the full-scan
     ADC baseline, exactly as sim1 is to sim2."""
-    codes = _pq_best(embeddings, n_subspaces, n_codewords).groupBy("vec_id").agg(
-        F.expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
-        .alias("codes")
-    )
-    q_tab = (
-        embeddings.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-        .join(F.broadcast(_pq_codebook(embeddings, n_subspaces, n_codewords)))
-        .withColumn(
-            "qd2",
-            _pq_slice_d2("q_emb", n_subspaces),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(m, code, qd2))), s -> s.qd2)"
-            ).alias("tab")
-        )
-    )
-    adc = F.expr(
-        f"aggregate(sequence(0, {n_subspaces - 1}), 0D, "
-        f"(acc, m) -> acc + tab[m * {n_codewords} + codes[m]])"
-    )
+    codes = _pq_codes(embeddings, n_subspaces, n_codewords)
+    q_tab = _pq_query_tables(embeddings, n_subspaces, n_codewords)
     scored = (
         _spread(codes)
         .join(F.broadcast(q_tab))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("adc_dist", adc)
+        .withColumn("adc_dist", _adc_dist(n_subspaces, n_codewords))
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
     return (

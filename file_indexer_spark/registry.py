@@ -4901,7 +4901,8 @@ def m7c_audio_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs)
     SELECT vec_id,
            string_agg(code::VARCHAR, '-' ORDER BY m) AS pq_code,
-           round(SUM(d2), 6) AS recon_sse
+           round(list_reduce(list(d2 ORDER BY m), (x, y) -> x + y), 6)
+               AS recon_sse
     FROM best WHERE rn = 1
     GROUP BY vec_id ORDER BY vec_id
     """,
@@ -4912,6 +4913,102 @@ def sim9_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the 128-row codebook, map-side slice-L2, two narrow
     hash aggs; deterministic codebook => full hash gate on a quantizer."""
     return sim.pq_encode(_table(spark, sf_dir, "embeddings"))
+
+
+_PQ_DIM = sim.EMB_DIM // sim.PQ_SUBSPACES
+# per-(row, subspace) slice-L2 against codebook column c_emb, 1-based
+# DuckDB slicing, strict left-to-right fold (the sim9 oracle's shape)
+_DUCK_SLICE_D2 = (
+    f"list_reduce(list_transform(range({_PQ_DIM} * {{m}} + 1, "
+    f"{_PQ_DIM} * {{m}} + {_PQ_DIM + 1}), "
+    "i -> ({v}[i]::DOUBLE - {c}[i]::DOUBLE)"
+    " * ({v}[i]::DOUBLE - {c}[i]::DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@register(
+    "sim10_ivfpq_topk",
+    f"""
+    -- IVF-PQ ADC search: sim2's inverted-list probing composed with
+    -- sim9's product-quantized codes. Candidates come only from each
+    -- query's nprobe nearest centroid lists; their distances are M
+    -- table lookups into the query's precomputed (m, code)-ordered ADC
+    -- table, summed by the strict m-ordered fold. Every stage is the
+    -- already-hash-gated sim2/sim9 arithmetic => full hash gate on the
+    -- composed index.
+    WITH c AS ({_DUCK_NORMS}),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
+                ON c.vec_id = reps.vec_id),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                        / (v.norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM c v, cents) t
+        WHERE rn = 1),
+    seeds AS (
+        SELECT embedding AS c_emb,
+               row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                   AS code
+        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id
+        LIMIT {sim.PQ_CODEWORDS}),
+    best AS (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, code) AS rn
+        FROM (
+            SELECT v.vec_id, m.m, s.code,
+                   {_DUCK_SLICE_D2.format(m="m.m", v="v.embedding", c="s.c_emb")} AS d2
+            FROM embeddings v, range(0, {sim.PQ_SUBSPACES}) m(m), seeds s)),
+    codes AS (
+        SELECT vec_id, list(code ORDER BY m) AS codes
+        FROM best WHERE rn = 1 GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+          FROM c WHERE vec_id < {sim.N_QUERIES}),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                        {_DUCK_DOT.format(a="q.q_emb", b="cents.c_emb")}
+                        / (q.q_norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM q, cents) t
+        WHERE rn <= {sim.NPROBE}),
+    qtab AS (
+        SELECT query_id, list(qd2 ORDER BY m, code) AS tab FROM (
+            SELECT q.query_id, m.m, s.code,
+                   {_DUCK_SLICE_D2.format(m="m.m", v="q.q_emb", c="s.c_emb")} AS qd2
+            FROM q, range(0, {sim.PQ_SUBSPACES}) m(m), seeds s)
+        GROUP BY query_id),
+    scored AS (
+        SELECT p.query_id, cd.vec_id AS neighbor_id,
+               list_reduce(list_transform(range(0, {sim.PQ_SUBSPACES}),
+                   m -> t.tab[m * {sim.PQ_CODEWORDS} + cd.codes[m + 1] + 1]),
+                   (x, y) -> x + y) AS adc_dist
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN codes cd ON cd.vec_id = a.vec_id
+        JOIN qtab t ON t.query_id = p.query_id
+        WHERE cd.vec_id != p.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank,
+               adc_dist
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, round(adc_dist, 6) AS adc_dist
+    FROM ranked WHERE rank <= {sim.TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def sim10_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM10: IVF-PQ — inverted-list pruning (sim2) over product-
+    quantized codes (sim9) scanned by asymmetric distance computation:
+    the FAISS-shaped index a 100 TB vector corpus actually serves.
+    Corpus codes never reshuffle; probes + ADC tables broadcast."""
+    return sim.ivfpq_topk(_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -4976,3 +5073,117 @@ def w10_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("max_files_per_dir", F.lit(audit).cast("long"))
         .orderBy("path", "filename")
     )
+
+
+# ------------------------------------- cross-modal duplicates (round 8)
+
+from file_indexer_spark.operators import crossmodal as xm  # noqa: E402
+
+
+@register(
+    "x1_cross_modal_dup_assets",
+    f"""
+    -- x1: duplicate-asset groups across ALL modalities in one J2-shaped
+    -- table with A13 wasted-unit accounting per group. Each branch is
+    -- the already-hash-gated derivation of its modality's fingerprint
+    -- (dd7 components / m6c ahash64 / m7c envelope / m8b frame md5s),
+    -- grouped and unioned; all accounting integer-exact.
+    WITH RECURSIVE
+    {_DD7_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE e.dst <> r.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    assigned AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    text_groups AS (
+        SELECT 'text' AS modality, cluster_id::VARCHAR AS group_key,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               cluster_id AS canonical_asset_id,
+               'chars' AS unit,
+               CAST(SUM(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS wasted_units
+        FROM assigned GROUP BY cluster_id HAVING COUNT(*) >= 2),
+    {_M6C_CTES},
+    image_groups AS (
+        SELECT 'image' AS modality, ahash64 AS group_key,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               MIN(media_id) AS canonical_asset_id,
+               'pixels' AS unit,
+               CAST(SUM(width * height)
+                    - min_by(width * height, media_id) AS BIGINT)
+                   AS wasted_units
+        FROM fp GROUP BY ahash64 HAVING COUNT(*) >= 2),
+    a_base AS (
+        SELECT doc_id, text, length(text) AS L, 4 + doc_id % 4 AS nf
+        FROM documents
+        WHERE doc_id % 9 <> 0 AND doc_id % 13 <> 0 AND doc_id % 7 <> 0),
+    a_env AS (
+        SELECT doc_id, nf,
+               array_to_string(list_transform(energies, E ->
+                   CAST((CASE WHEN E = 0 THEN 0
+                              ELSE length(bin(E)) END) AS VARCHAR)), '-')
+                   AS envelope
+        FROM (
+            SELECT doc_id, nf,
+                   list_transform(range(0, nf), f ->
+                       CAST(list_sum(list_transform(
+                           range(160 * f, 160 * f + 160),
+                           i -> CAST(({_M7_SAMPLE}) AS BIGINT)
+                                * CAST(({_M7_SAMPLE}) AS BIGINT))) AS BIGINT)
+                   ) AS energies
+            FROM a_base) t),
+    audio_groups AS (
+        SELECT 'audio' AS modality, envelope AS group_key,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               MIN(doc_id) AS canonical_asset_id,
+               'samples' AS unit,
+               CAST(SUM(nf * 160) - min_by(nf * 160, doc_id) AS BIGINT)
+                   AS wasted_units
+        FROM a_env GROUP BY envelope HAVING COUNT(*) >= 2),
+    v_base AS (
+        SELECT doc_id, text, length(text) AS L,
+               4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+               6 + doc_id % 5 AS nf
+        FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 19 <> 0),
+    v_fp AS (
+        SELECT doc_id, nf * w * h AS n_pixels,
+               printf('%dx%d:', w, h) || array_to_string(
+                   list_transform(range(0, nf), f ->
+                       md5(array_to_string(list_transform(range(0, w * h), p ->
+                           chr(ascii(substr(text,
+                               CAST(((f // 3) * 31 + p) % L + 1 AS BIGINT),
+                               1)))), ''))), '-') AS fingerprint
+        FROM v_base),
+    video_groups AS (
+        SELECT 'video' AS modality, fingerprint AS group_key,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               MIN(doc_id) AS canonical_asset_id,
+               'pixels' AS unit,
+               CAST(SUM(n_pixels) - min_by(n_pixels, doc_id) AS BIGINT)
+                   AS wasted_units
+        FROM v_fp GROUP BY fingerprint HAVING COUNT(*) >= 2)
+    SELECT * FROM text_groups
+    UNION ALL SELECT * FROM image_groups
+    UNION ALL SELECT * FROM audio_groups
+    UNION ALL SELECT * FROM video_groups
+    ORDER BY modality, group_key
+    """,
+)
+def x1_cross_modal_dup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: the cross-modal duplicate-asset report — dd7 text
+    components, m6d image groups, m7c audio groups, and whole-video
+    fingerprint groups in ONE table with wasted-unit accounting (A13
+    corpus-wide). Each branch keeps its own 100 TB shape; the union
+    adds no cross-modality shuffle."""
+    return xm.duplicate_assets(_table(spark, sf_dir, "documents"))

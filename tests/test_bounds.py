@@ -125,8 +125,11 @@ def test_kmeans_bounds_green_and_emission_path(spark, sf_smoke):
     # sse_slack=0 makes the SSE check unsatisfiable (sse_lloyd > 0):
     # proves the violation path emits (the check is live, not dead code)
     out = bd.kmeans_bounds(emb, k=8, sse_slack=0.0).collect()
-    assert [r["metric"] for r in out] == ["sse_vs_oneshot_seeds"]
-    assert out[0]["observed"] <= 1.0001
+    assert [r["metric"] for r in out] == ["sse_vs_training_cost"]
+    # recomputed SSE sits just under MLlib's trainingCost (the final
+    # center update's half-step improvement) — the bound the real gate
+    # pins one-sidedly at sse_slack=1.0001
+    assert 0.9 < out[0]["observed"] <= 1.0001
 
 
 def test_registered_bounds_queries_empty_at_smoke(spark, sf_smoke):

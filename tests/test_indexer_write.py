@@ -304,9 +304,13 @@ def test_legacy_layout_reads_and_migrates_to_manifest(spark, tmp_path):
     got = {r["path"]: r["checksum"] for r in table.read().collect()}
     assert got["/p1"] == "NEW" and got["/p9"] == "ins" and len(got) == 7
     # legacy root parquet files replaced by manifest-managed data dirs
+    # (+ the arbiter log every manifest table now carries)
     stray = [
         n for n in os.listdir(loc)
-        if not (n.startswith("data-") or n == "_MANIFEST")
+        if not (
+            n.startswith("data-")
+            or n in (FilesTable._MANIFEST, FilesTable._MANIFEST_LOG)
+        )
     ]
     assert stray == [], stray
     assert table.vacuum() == []
@@ -314,10 +318,12 @@ def test_legacy_layout_reads_and_migrates_to_manifest(spark, tmp_path):
 
 def test_crash_mid_commit_leaves_consistent_table(spark, bucketed, monkeypatch):
     """Crash-injection for the manifest protocol: kill the writer at
-    every window — (a) after staging, before the manifest rename, and
-    (b) at the rename itself — and the table must still read the
-    LAST COMMITTED generation exactly. A retried upsert then lands, and
-    vacuum() reclaims the crashed attempt's orphan staging dir."""
+    every window — (a) after staging, before any commit step; (b) at
+    the put-if-absent arbiter link itself (pre-commit: old generation
+    must survive exactly); (c) between the arbiter link and the cache
+    refresh (POST-commit: the log entry IS the commit, so reads must
+    self-heal to the NEW generation). A retried upsert then lands, and
+    vacuum() reclaims the crashed attempts' orphan staging dirs."""
     import file_indexer_spark.indexer.files_table as ft
 
     rows = [(f"/d{i}", f"f{j}", f"c{i}{j}", i + j) for i in range(8) for j in range(2)]
@@ -342,20 +348,18 @@ def test_crash_mid_commit_leaves_consistent_table(spark, bucketed, monkeypatch):
     got = {(r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()}
     assert got == committed, "crash before commit must not change reads"
 
-    # window (b): crash inside the atomic rename itself
-    real_replace = os.replace
+    # window (b): crash inside the arbiter link — still PRE-commit
+    real_link = os.link
 
-    def exploding_replace(src, dst):
-        if os.path.basename(dst) == "_MANIFEST":
-            raise Boom()
-        return real_replace(src, dst)
+    def exploding_link(src, dst):
+        raise Boom()
 
-    monkeypatch.setattr(ft.os, "replace", exploding_replace)
+    monkeypatch.setattr(ft.os, "link", exploding_link)
     with pytest.raises(Boom):
         bucketed.upsert(updates)
     monkeypatch.undo()
     got = {(r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()}
-    assert got == committed, "failed rename must not change reads"
+    assert got == committed, "failed arbiter link must not change reads"
 
     # both crashed attempts left orphan staging dirs; vacuum reclaims
     # them without touching live data
@@ -365,8 +369,31 @@ def test_crash_mid_commit_leaves_consistent_table(spark, bucketed, monkeypatch):
         (r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()
     } == committed
 
-    # the retry (no injection) commits normally
+    # window (c): cache refresh fails after the arbiter link — the log
+    # entry IS the commit, so the write SUCCEEDS (a propagated error
+    # here would make callers roll back live data) and the table must
+    # read the NEW rows via self-healing resolution (the Delta
+    # crash-after-log-write shape)
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if os.path.basename(dst) == "_MANIFEST":
+            raise Boom()
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ft.os, "replace", exploding_replace)
+    bucketed.upsert(updates)  # must NOT raise: commit became durable
+    monkeypatch.undo()
+    assert bucketed._read_manifest_cache()["generation"] < bucketed._current_generation()
+    got = {(r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()}
+    assert got[("/d1", "f0")] == "NEW" and got[("/dNEW", "fN")] == "ins"
+    assert len(got) == 17, "post-arbiter crash must read as committed"
+
+    # the retry (idempotent upsert, no injection) also refreshes the
+    # manifest cache past the healed generation
+    gen_healed = bucketed._current_generation()
     bucketed.upsert(updates)
+    assert bucketed._read_manifest_cache()["generation"] == gen_healed + 1
     got = {(r["path"], r["filename"]): r["checksum"] for r in bucketed.read().collect()}
     assert got[("/d1", "f0")] == "NEW" and got[("/dNEW", "fN")] == "ins"
     assert len(got) == 17
@@ -477,12 +504,14 @@ def test_time_travel_generations(spark, tmp_path):
     with pytest.raises(ValueError, match="not retained"):
         t.read_at(1)
 
-    # a table WITHOUT history keeps the old inline-GC behavior: no log,
-    # read_at refuses, vacuum(1) is the default no-op on a clean table
+    # a table WITHOUT history keeps the inline-GC behavior: only the
+    # LATEST arbiter entry is retained (it is the commit record, not a
+    # history), old generations are not readable, vacuum(1) is the
+    # default no-op on a clean table
     plain = FilesTable(spark, str(tmp_path / "plain_db"))
     plain.overwrite(_mk_rows(spark, [("/p", "f", "c", 1)]))
     plain.upsert(_mk_rows(spark, [("/p", "f", "c2", 1)]))
-    assert plain.generations() == []
+    assert plain.generations() == [2]
     with pytest.raises(ValueError, match="not retained"):
         plain.read_at(1)
     assert plain.vacuum() == []
@@ -726,3 +755,69 @@ def test_two_writer_race_detected_on_bucketed_partial_commit(spark, tmp_path, mo
 
     sizes = {r["filename"]: r["file_size"] for r in a.read().collect()}
     assert sizes["f3.txt"] == 77 and len(sizes) == 20
+
+
+def test_arbiter_closes_toctou_race_both_writers_pass_check(spark, tmp_path, monkeypatch):
+    """The w9 snapshot check is check-then-act: two writers that BOTH
+    read generation G pass it. The put-if-absent arbiter must let
+    exactly one own G+1 — inject B's full commit AFTER A's generation
+    check (inside A's commit, at the arbiter link), so A's only
+    defense is the atomic link; A must get ConcurrentWriteError, B's
+    rows must survive, and no lost update is possible."""
+    import file_indexer_spark.indexer.files_table as ft
+    from file_indexer_spark.indexer.files_table import ConcurrentWriteError
+
+    loc = str(tmp_path / "arbiter_tbl")
+    a = FilesTable(spark, loc)
+    b = FilesTable(spark, loc)
+    a.overwrite(_w9_rows(spark, ["base.txt"]))
+
+    real_link = os.link
+    state = {"armed": True}
+
+    def b_commits_first(src, dst):
+        if state["armed"]:
+            state["armed"] = False  # only intercept A's first commit
+            b.upsert(_w9_rows(spark, ["from_b.txt"], size=99))
+        return real_link(src, dst)
+
+    monkeypatch.setattr(ft.os, "link", b_commits_first)
+    with pytest.raises(ConcurrentWriteError, match="concurrently"):
+        a.upsert(_w9_rows(spark, ["from_a.txt"], size=50))
+    monkeypatch.undo()
+
+    names = {r["filename"] for r in a.read().collect()}
+    assert names == {"base.txt", "from_b.txt"}, "B's commit must survive intact"
+    # A retries on a fresh snapshot and succeeds
+    a.upsert(_w9_rows(spark, ["from_a.txt"], size=50))
+    assert {r["filename"] for r in a.read().collect()} == {
+        "base.txt", "from_b.txt", "from_a.txt",
+    }
+
+
+def test_stale_cache_resolves_to_logged_commit(spark, tmp_path):
+    """_MANIFEST is a cache: if a (crashed) writer committed a newer
+    generation to the log without refreshing it, readers and the next
+    writer must resolve the LOGGED generation — and history pruning on
+    no-history tables must keep the latest arbiter entry only."""
+    import json
+
+    loc = str(tmp_path / "heal_tbl")
+    t = FilesTable(spark, loc)
+    t.overwrite(_w9_rows(spark, ["base.txt"]))
+    gen = t._current_generation()
+
+    # fabricate a crashed writer's commit: newer log entry, stale cache
+    m = dict(t._load_manifest())
+    m["generation"] = gen + 1
+    log_dir = os.path.join(loc, FilesTable._MANIFEST_LOG)
+    with open(os.path.join(log_dir, f"{gen + 1}.json"), "w") as fh:
+        json.dump(m, fh)
+
+    assert t._current_generation() == gen + 1
+    assert t._read_manifest_cache()["generation"] == gen  # cache IS stale
+    # next commit builds on the healed generation and refreshes the cache
+    t.upsert(_w9_rows(spark, ["next.txt"]))
+    assert t._read_manifest_cache()["generation"] == gen + 2
+    # no-history pruning keeps exactly the latest arbiter entry
+    assert [g for g, _ in t._log_generations()] == [gen + 2]

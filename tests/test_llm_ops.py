@@ -156,6 +156,60 @@ def test_minhash_lsh_ml_parity_with_expr_lsh(docs):
     assert not (ml_pairs - expr_pairs) or recall >= 0.9
 
 
+def test_ivfpq_agrees_with_fullscan_adc_on_probed_lists(embeddings):
+    """sim10's ONLY approximation over sim9+ADC is list pruning: its
+    result must be EXACTLY the full-scan ADC ranking recomputed over
+    the probed lists' members (same distances, same tie order) — a
+    bit-level invariant, not a recall heuristic. Plus a loose recall
+    floor vs full-scan ADC (nprobe=3 over ~14 label-rep lists), the
+    sim2-vs-sim1 pattern."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim.ivf_assignments(embeddings).collect()
+    }
+    cents = sim._centroid_frame(embeddings, None, None)
+    q = sim._with_norm(embeddings.filter(F.col("vec_id") < sim.N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("c_cosine"), "centroid_id")
+    probed: dict[int, set[int]] = {}
+    for r in (
+        q.join(F.broadcast(cents))
+        .withColumn("c_cosine", sim._cosine("q_emb", "q_norm", "c_emb", "c_norm"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= sim.NPROBE)
+        .collect()
+    ):
+        probed.setdefault(r["query_id"], set()).add(r["centroid_id"])
+
+    full = sim.pq_adc_topk(embeddings, k=10**9).collect()  # full ranking
+    expected: dict[int, list[tuple]] = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        if assign[r["neighbor_id"]] in probed[r["query_id"]]:
+            expected.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["adc_dist"])
+            )
+    got: dict[int, list[tuple]] = {}
+    for r in sim.ivfpq_topk(embeddings).collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adc_dist"]))
+    assert set(got) == set(expected)
+    for qid, rows in got.items():
+        assert rows == expected[qid][: sim.TOP_K], f"query {qid} diverges"
+
+    adc_full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_adc_topk(embeddings).collect()
+    }
+    approx = {(qid, n) for qid, rows in got.items() for (n, _) in rows}
+    recall = len(adc_full & approx) / len(adc_full)
+    assert recall >= 0.4, f"IVF-PQ recall {recall:.2f} vs full-scan ADC"
+
+
 def test_brp_lsh_recall_vs_exact(embeddings):
     """sim3 (BucketedRandomProjectionLSH, euclidean) vs sim1 (exact
     cosine). Metrics differ, so compare against exact EUCLIDEAN top-k

@@ -283,6 +283,24 @@ def test_audio_frame_energy_semantics(spark):
     assert errs == {2: "not PCM1", 3: "null content", 4: "truncated payload"}
 
 
+def test_audio_partial_trailing_frame_truncates_not_crashes(spark):
+    """A structurally valid PCM1 clip whose sample count is NOT a frame
+    multiple must analyze its whole frames and drop the tail — never
+    raise in the executor (m7 and the m7c envelope both)."""
+    import numpy as np
+
+    clip = np.full(mm.AUDIO_FRAME + 40, 3, dtype="<i2")  # 1 frame + tail
+    media = spark.createDataFrame(
+        [(1, "audio", mm.encode_pcm(clip))], mm.MEDIA_SCHEMA
+    )
+    got = mm.audio_frame_energy(media).collect()
+    assert [(r["frame_idx"], r["energy"], r["decode_error"]) for r in got] == [
+        (0, 9 * mm.AUDIO_FRAME, None)
+    ]
+    env = mm.audio_envelope(media).collect()
+    assert env[0]["n_frames"] == 1 and env[0]["decode_error"] is None
+
+
 def test_silence_spans_islands(spark):
     """m7b: quiet frames 0,1 and 3 form two extents; an all-loud clip
     yields none."""
@@ -386,3 +404,51 @@ def test_audio_envelope_groups_by_loudness_shape(spark):
     assert g["envelope"] == "10-20-10" and g["canonical_media_id"] == 1
     # the sub-quantum tweak must NOT split the group (coarse contract)
     assert g["n_clips"] == 3
+
+
+def test_cross_modal_duplicate_assets_planted(spark):
+    """x1 on a crafted corpus: doc ids 23 and 83 are congruent mod
+    every fixture geometry knob (diff 60 = lcm of 5,3,4,2) and clear
+    every error-class modulus, so identical text must duplicate in ALL
+    FOUR modalities; doc 1 is unique everywhere. Checks group keys
+    stay namespaced by modality and the wasted-unit accounting."""
+    from file_indexer_spark.operators import crossmodal as xm
+
+    text = ("the quick brown fox jumps over the lazy dog again and "
+            "again because near duplicate detection needs shingles ") * 2
+    other = ("completely different content about distributed query "
+             "engines and columnar storage layouts for training data ") * 2
+    docs = spark.createDataFrame(
+        [(23, text, len(text)), (83, text, len(text)), (1, other, len(other))],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = xm.duplicate_assets(docs).collect()
+    by_mod = {}
+    for r in rows:
+        by_mod.setdefault(r["modality"], []).append(r)
+    assert set(by_mod) == {"text", "image", "audio", "video"}
+
+    (t,) = by_mod["text"]
+    assert t["n_assets"] == 2 and t["canonical_asset_id"] == 23
+    assert t["unit"] == "chars" and t["wasted_units"] == len(text)
+
+    # base + 3x-scaled copy of BOTH docs share one canonical ahash
+    # (doc 1's own base/scaled pair forms its separate 2-asset group —
+    # the resolution-invariance working as designed)
+    assert sorted(g["n_assets"] for g in by_mod["image"]) == [2, 4]
+    (i,) = [g for g in by_mod["image"] if g["n_assets"] == 4]
+    assert i["canonical_asset_id"] == 46  # 2*23
+    w0, h0, s = 4 + 23 % 5, 4 + 23 % 3, 2 + 23 % 2
+    per_doc = w0 * h0 + (w0 * s) * (h0 * s)
+    assert i["unit"] == "pixels"
+    assert i["wasted_units"] == 2 * per_doc - w0 * h0  # all but one base
+
+    (a,) = by_mod["audio"]
+    assert a["n_assets"] == 2 and a["canonical_asset_id"] == 23
+    nf = 4 + 23 % 4
+    assert a["unit"] == "samples" and a["wasted_units"] == nf * mm.AUDIO_FRAME
+
+    (v,) = by_mod["video"]
+    assert v["n_assets"] == 2 and v["canonical_asset_id"] == 23
+    w, h, vnf = 4 + 23 % 3, 3 + 23 % 2, 6 + 23 % 5
+    assert v["unit"] == "pixels" and v["wasted_units"] == vnf * w * h

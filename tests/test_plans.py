@@ -86,6 +86,21 @@ _NESTED_LOOP_OK = {
     # t12 crosses the O(doc-terms) rollup with the broadcast 1-row
     # n_docs aggregate — t10's exact pattern, bounded 1 x rollup.
     "t12_doc_top_terms",
+    # dd6/sim3 bounds companions: 1-row x 1-row crosses of two global
+    # count aggregates (n_hit x n_base, bounds.py recall_floor) plus
+    # the probe operators' own allow-listed MLlib/broadcast passes.
+    "dd6_bounds",
+    "sim3_bounds",
+    # sim8 bounds companion: crosses four 1-row aggregate frames
+    # (cluster stats x n_total x sse_lloyd x sse_seed) — each side is
+    # a global aggregate, bounded by construction.
+    "sim8_bounds",
+    # sim9/sim10 cross every vector with the BROADCAST M x K' = 128-row
+    # codebook (and sim10 with the per-query broadcast ADC tables) —
+    # the bounded scoring pass of product quantization, same shape as
+    # sim6's coarse-centroid assignment.
+    "sim9_pq_encode",
+    "sim10_ivfpq_topk",
 }
 
 
