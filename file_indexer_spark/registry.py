@@ -5187,3 +5187,133 @@ def x1_cross_modal_dup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide). Each branch keeps its own 100 TB shape; the union
     adds no cross-modality shuffle."""
     return xm.duplicate_assets(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "st12_late_data_accounting",
+    """
+    -- st12: the late-data DROP contract. Three arrivals (two
+    -- chronological halves split at the floor-second midpoint + a
+    -- straggler replay of event_id%5==0): Spark's watermark commits
+    -- one planned batch BEHIND the data (the wm enforced in batch N
+    -- is computed from batches 0..N-2 — measured, then gated here,
+    -- not assumed), so the replay batch's enforcement watermark is
+    -- max(first-half ts) - 4h; a replayed row is DROPPED iff its
+    -- hour-window end <= that, and DOUBLE-COUNTED otherwise.
+    -- n_events pins the kept set (the STREAM's actual final state —
+    -- a drop-rule drift re-counts a window and hash-fails),
+    -- dropped_late_rows the per-window drop count, and dropped_total
+    -- the corpus-wide A13-style number. Spark's own
+    -- numRowsDroppedByWatermark metric proved to UNDERCOUNT at
+    -- sf0.01 (355 of 984; final state said 984), so it is a sanity
+    -- ceiling in the engine, not a gated column.
+    WITH mid AS (
+        SELECT min(ts) + to_seconds(
+                   ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000) // 2
+               ) AS m
+        FROM events),
+    wm AS (
+        SELECT max(ts) - INTERVAL 4 HOUR AS w
+        FROM events WHERE ts <= (SELECT m FROM mid)),
+    base AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+                   AS window_end,
+               event_id
+        FROM events),
+    kept AS (
+        SELECT window_start, window_end,
+               CAST(COUNT(*) + SUM(CASE WHEN event_id % 5 = 0
+                                        AND window_end > (SELECT w FROM wm)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+        FROM base GROUP BY 1, 2),
+    drops AS (
+        SELECT window_start, CAST(COUNT(*) AS BIGINT) AS dropped
+        FROM base
+        WHERE event_id % 5 = 0 AND window_end <= (SELECT w FROM wm)
+        GROUP BY 1)
+    SELECT k.window_start, k.window_end, k.n_events,
+           COALESCE(d.dropped, 0) AS dropped_late_rows,
+           CAST((SELECT COUNT(*) FROM base
+                 WHERE event_id % 5 = 0
+                   AND window_end <= (SELECT w FROM wm)) AS BIGINT)
+               AS dropped_total
+    FROM kept k LEFT JOIN drops d USING (window_start)
+    ORDER BY k.window_start
+    """,
+)
+def st12_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12: late-data accounting — the last unobserved streaming
+    contract. A replay of already-seen rows arrives AFTER the
+    watermark advanced; the gate hash-pins (a) the final per-window
+    state (kept replays double-count, dropped ones don't), (b) the
+    per-window batch derivation of the dropped set, and (c) Spark's
+    own engine-observed drop total, all against one DuckDB derivation.
+    State stays O(open windows); the changelog is O(windows x
+    batches)."""
+    import os
+
+    from file_indexer_spark.streaming import windows as sw
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st12", sf_dir)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "changelog")
+    ev2 = events_df(spark, sf_dir)
+    bounds = ev2.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    delta = bounds["hi"] - bounds["lo"]
+    half_s = (delta.days * 86400 + delta.seconds) // 2  # floor-second mid
+    mid = bounds["lo"] + __import__("datetime").timedelta(seconds=half_s)
+    stragglers = ev2.filter(F.col("event_id") % 5 == 0)
+    first_half = ev2.filter(F.col("ts") <= F.lit(mid))
+    _land_arrivals(
+        src,
+        [
+            first_half,
+            ev2.filter(F.col("ts") > F.lit(mid)),
+            stragglers,
+        ],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    q = sw.run_update_mode_to_parquet(sw.windowed_total_counts(stream), out)
+    observed = sw.dropped_by_watermark_total(q)
+
+    final = sw.last_emission(spark, out, ["window_start", "window_end"])
+    # enforcement watermark for the replay batch: max ts of BATCH 0
+    # minus the delay (Spark's one-planned-batch watermark lag)
+    max_first = first_half.agg(F.max("ts")).first()[0]
+    wm = max_first - __import__("datetime").timedelta(hours=4)
+    dropped = (
+        stragglers.select(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            (F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")).alias(
+                "window_end"
+            ),
+        )
+        .filter(F.col("window_end") <= F.lit(wm))
+        .groupBy("window_start")
+        .agg(F.count("*").cast("long").alias("dropped_late_rows"))
+    )
+    total = dropped.agg(F.sum("dropped_late_rows")).first()[0] or 0
+    # Spark's numRowsDroppedByWatermark UNDERCOUNTS (pre-shuffle
+    # filtering isn't metered), so it can't be the gated number — but
+    # an observed count EXCEEDING the derivation would mean the drop
+    # rule drifted, and that must fail loudly rather than hash-pass.
+    if observed > total:
+        raise RuntimeError(
+            f"st12: engine reported {observed} watermark-dropped rows, "
+            f"derivation predicts {total} — drop semantics drifted"
+        )
+    return (
+        final.join(dropped, ["window_start"], "left")
+        .select(
+            "window_start",
+            "window_end",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.coalesce("dropped_late_rows", F.lit(0)).cast("long").alias(
+                "dropped_late_rows"
+            ),
+            F.lit(int(total)).cast("long").alias("dropped_total"),
+        )
+        .orderBy("window_start")
+    )

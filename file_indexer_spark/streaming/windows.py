@@ -78,6 +78,41 @@ def windowed_counts(
     )
 
 
+def windowed_total_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "4 hours",
+) -> DataFrame:
+    """Window-only rollup (no event_type key) — the st12 late-data
+    accounting gate's aggregation: one state row per open window."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def dropped_by_watermark_total(query) -> int:
+    """ENGINE-OBSERVED late-row count: the sum of
+    ``numRowsDroppedByWatermark`` over a finished query's progress —
+    Spark's own accounting of input rows it refused as older than the
+    watermark. st12 emits this next to the batch-derived count so the
+    oracle pins Spark's ACTUAL drop behavior (enforcement watermark =
+    max event time through the micro-batch before last, minus delay;
+    drop rule window_end <= watermark — both verified empirically and
+    gated, not assumed)."""
+    total = 0
+    for p in query.recentProgress:
+        for so in p["stateOperators"] or []:
+            total += int(so.get("numRowsDroppedByWatermark", 0))
+    return total
+
+
 def run_to_memory_sink(stream_df: DataFrame, table_name: str):
     """Drain everything currently available into an in-memory table and
     stop (complete mode: windowed aggs re-emit full state)."""

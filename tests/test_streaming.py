@@ -437,3 +437,40 @@ def test_update_mode_reemits_grown_aggregates(spark, tmp_path):
     )
     got = {(r["event_type"], r["n_events"], r["total_value"]) for r in final.collect()}
     assert got == {("view", 3, 6.0), ("click", 1, 4.0)}
+
+
+def test_update_mode_drop_rule_and_accounting(spark, tmp_path):
+    """st12's drop rule on a controlled fixture (measured semantics):
+    the watermark ENFORCED in batch N derives from batches 0..N-2, the
+    drop predicate is window_end <= watermark, a dropped replay never
+    re-counts its window, and a kept replay double-counts. On this
+    single-partition fixture Spark's numRowsDroppedByWatermark metric
+    is exact too (it undercounts on multi-partition corpora — why st12
+    gates the derived accounting instead)."""
+    from datetime import datetime
+
+    from file_indexer_spark.registry import _land_arrivals
+
+    src = str(tmp_path / "st12_src")
+    out = str(tmp_path / "st12_log")
+    mk = lambda rows: spark.createDataFrame(rows, sw.EVENTS_STREAM_SCHEMA)
+    # batch 0: max ts 12:30 => enforcement wm for batch 2 = 10:30
+    b0 = mk([(1, datetime(2024, 5, 1, 12, 30), 1, "view", 1.0, "{}")])
+    b1 = mk([(2, datetime(2024, 5, 1, 9, 0), 1, "view", 1.0, "{}")])  # not yet enforced
+    b2 = mk([
+        (3, datetime(2024, 5, 1, 9, 30), 1, "view", 1.0, "{}"),   # end 10:00 <= 10:30: DROP
+        (4, datetime(2024, 5, 1, 10, 0, 1), 1, "view", 1.0, "{}"),  # end 11:00 > 10:30: KEEP
+    ])
+    _land_arrivals(src, [b0, b1, b2])
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    q = sw.run_update_mode_to_parquet(
+        sw.windowed_total_counts(stream, watermark_delay="2 hours"), out
+    )
+    fin = {
+        r["window_start"].hour: r["n_events"]
+        for r in sw.last_emission(spark, out, ["window_start", "window_end"]).collect()
+    }
+    # 09:00 window holds ONLY the batch-1 row (the 09:30 replay-era row
+    # dropped); 10:00 window holds the kept batch-2 row
+    assert fin == {9: 1, 10: 1, 12: 1}
+    assert sw.dropped_by_watermark_total(q) == 1
