@@ -432,6 +432,11 @@ SCALE_QUERIES = [
     "t6a_bounds",
     "e12a_bounds",
     "e13a_bounds",
+    # round 8: IVF-PQ query path (fixed query set probes 10x-longer
+    # lists — linear scan growth, no pair join) and the cross-modal
+    # duplicate-asset rollup (linear decode + group aggregates)
+    "sim10_ivfpq_topk",
+    "x1_cross_modal_dup_assets",
 ]
 
 
@@ -711,7 +716,8 @@ def main_scale_neardup() -> None:
 # ``python bench.py --stream`` records BENCH_STREAM.json: throughput
 # (rows/sec over the drain wall-clock) and STATE SIZE (progress-listener
 # stateOperators: peak numRowsTotal / memoryUsedBytes across batches)
-# for the three stateful streaming operator classes, on a 10x stream:
+# for the four stateful streaming operator classes, on a 10x stream:
+#   st1  watermarked windowed aggregation       (state: active windows x keys)
 #   st3  applyInPandasWithState sessionization  (state: one row/user)
 #   st9  two-sided stream-stream interval join  (state: rate x window)
 #   st7  streaming curation funnel              (state: distinct hashes)
@@ -810,6 +816,15 @@ def main_stream() -> None:
         "doc_id", "source", "text"
     )
     results: dict[str, dict] = {}
+
+    src1 = os.path.join(base, "st1_src")
+    _land_chunks(spark, events, src1, "ts", _STREAM_CHUNKS)
+    results["st1_windowed_counts"] = _drain_with_metrics(
+        sw.windowed_counts(
+            sw.read_events_stream(spark, src1, max_files_per_trigger=1)
+        ),
+        "update",
+    )
 
     src3 = os.path.join(base, "st3_src")
     _land_chunks(spark, events, src3, "ts", _STREAM_CHUNKS)
