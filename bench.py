@@ -675,6 +675,14 @@ def main_scale_neardup() -> None:
         bench_case(
             "sim2_ivf_topk_query", label, lambda: sm.ivf_topk(vecs, n_centroids=kq)
         )
+        # sim10 QUERY path, same regime: n_lists ~ sqrt(n) so probed
+        # candidate volume grows sqrt(n), and the ADC scan reads 4-bit
+        # codes instead of floats — the IVF-PQ serving shape at scale.
+        bench_case(
+            "sim10_ivfpq_topk_query",
+            label,
+            lambda: sm.ivfpq_topk(vecs, n_centroids=kq),
+        )
 
     for name, per in results.items():
         if "x1" in per and f"x{factor}" in per and per["x1"] > 0:

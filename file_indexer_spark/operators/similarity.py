@@ -827,6 +827,7 @@ def ivfpq_topk(
     nprobe: int = NPROBE,
     n_subspaces: int = PQ_SUBSPACES,
     n_codewords: int = PQ_CODEWORDS,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """sim10: IVF-PQ — the actual 100 TB ANN serving shape (Jégou et
     al., the FAISS ``IVFx,PQy`` index): sim2's inverted-list pruning
@@ -850,10 +851,10 @@ def ivfpq_topk(
     (queries × nprobe rows, with each query's 128-double ADC table)
     broadcasts onto it. Map-side lookups, one per-query top-k window.
     """
-    assign = ivf_assignments(embeddings)
+    assign = ivf_assignments(embeddings, n_centroids=n_centroids)
     codes = _pq_codes(embeddings, n_subspaces, n_codewords).join(assign, "vec_id")
 
-    cents = _centroid_frame(embeddings, None, None)
+    cents = _centroid_frame(embeddings, n_centroids, None)
     q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

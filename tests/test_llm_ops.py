@@ -210,6 +210,28 @@ def test_ivfpq_agrees_with_fullscan_adc_on_probed_lists(embeddings):
     assert recall >= 0.4, f"IVF-PQ recall {recall:.2f} vs full-scan ADC"
 
 
+def test_ivfpq_scaled_centroids_path(embeddings):
+    """The sqrt(n)-centroid serving regime (bench --scale-neardup):
+    ivfpq_topk(n_centroids=...) must keep every query answered, ranks
+    contiguous from 1, and stay bit-deterministic across runs — the
+    same contract as the default label-rep path it parameterizes."""
+    from pyspark.sql import functions as F
+
+    n = embeddings.count()
+    kq = max(int(round(n**0.5)), 1)
+    a = sim.ivfpq_topk(embeddings, n_centroids=kq).collect()
+    b = sim.ivfpq_topk(embeddings, n_centroids=kq).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    per_q: dict[int, list[int]] = {}
+    for r in a:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    n_queries = embeddings.filter(F.col("vec_id") < sim.N_QUERIES).count()
+    assert len(per_q) == n_queries
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+        assert len(ranks) <= sim.TOP_K
+
+
 def test_brp_lsh_recall_vs_exact(embeddings):
     """sim3 (BucketedRandomProjectionLSH, euclidean) vs sim1 (exact
     cosine). Metrics differ, so compare against exact EUCLIDEAN top-k
