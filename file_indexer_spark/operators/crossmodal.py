@@ -133,6 +133,98 @@ def _grouped(
     )
 
 
+def fingerprint_tables(docs: DataFrame) -> dict[str, DataFrame]:
+    """The compute-once decode layer behind x1: one NARROW member table
+    per modality (asset id, fingerprint key, accounting units). At
+    100 TB these are materialized once per corpus snapshot — every blob
+    is decoded exactly once — and each downstream report (x1,
+    incremental re-runs, per-modality audits) is a cheap agg over the
+    narrow tables instead of a corpus re-decode. x2 gates the parquet
+    round-trip of exactly this split."""
+    text = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs)).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    image = (
+        mm.image_ahash_canonical(mm.ppm_multires_media_from_docs(docs))
+        .filter(F.col("decode_error").isNull())
+        .select(
+            "media_id",
+            "ahash64",
+            (F.col("width") * F.col("height")).cast("long").alias("units"),
+        )
+    )
+    audio = (
+        mm.audio_envelope(mm.pcm_media_from_docs(docs))
+        .filter(F.col("decode_error").isNull())
+        .select(
+            "media_id",
+            "envelope",
+            (F.col("n_frames") * mm.AUDIO_FRAME).cast("long").alias("units"),
+        )
+    )
+    video = (
+        video_fingerprint(mm.video_media_from_docs(docs))
+        .filter(F.col("decode_error").isNull())
+        .select("media_id", "fingerprint", F.col("n_pixels").cast("long").alias("units"))
+    )
+    return {
+        "text_members": text,
+        "image_members": image,
+        "audio_members": audio,
+        "video_members": video,
+    }
+
+
+def duplicate_assets_from_tables(
+    tables: dict[str, DataFrame], min_group_size: int = 2
+) -> DataFrame:
+    """The report phase of x1, decoupled from decoding: consume the
+    :func:`fingerprint_tables` member tables (live frames or parquet
+    re-reads — x2) and emit the cross-modal duplicate-group report.
+    Per-modality hash aggs + a no-shuffle union; nothing here ever
+    touches a blob."""
+    text = (
+        tables["text_members"]
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.sum(
+                F.when(~F.col("is_canonical"), F.col("n_chars")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("wasted_units"),
+        )
+        .filter(F.col("n_assets") >= min_group_size)
+        .select(
+            F.lit("text").alias("modality"),
+            F.col("cluster_id").cast("string").alias("group_key"),
+            "n_assets",
+            F.col("cluster_id").alias("canonical_asset_id"),
+            F.lit("chars").alias("unit"),
+            "wasted_units",
+        )
+    )
+    image = _grouped(
+        tables["image_members"], "ahash64", "media_id", "units",
+        "image", "pixels", min_group_size,
+    )
+    audio = _grouped(
+        tables["audio_members"], "envelope", "media_id", "units",
+        "audio", "samples", min_group_size,
+    )
+    video = _grouped(
+        tables["video_members"], "fingerprint", "media_id", "units",
+        "video", "pixels", min_group_size,
+    )
+    return (
+        text.unionByName(image)
+        .unionByName(audio)
+        .unionByName(video)
+        .select(*_X1_COLS)
+        .orderBy("modality", "group_key")
+    )
+
+
 def duplicate_assets(docs: DataFrame, min_group_size: int = 2) -> DataFrame:
     """x1: the cross-modal duplicate-asset report — every modality's
     duplicate groups in one table, each with its canonical keeper and
@@ -143,58 +235,9 @@ def duplicate_assets(docs: DataFrame, min_group_size: int = 2) -> DataFrame:
     their FULL resolution); audio on the loudness envelope (m7c;
     wasted samples); video on the whole-video fingerprint (wasted
     pixels across frames). All accounting is integer-exact, so the
-    whole report carries a full DuckDB oracle."""
-    text = (
-        dd.cluster_consolidation(
-            docs, dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
-        )
-        .filter(F.col("n_docs") >= min_group_size)
-        .select(
-            F.lit("text").alias("modality"),
-            F.col("cluster_id").cast("string").alias("group_key"),
-            F.col("n_docs").alias("n_assets"),
-            F.col("cluster_id").alias("canonical_asset_id"),
-            F.lit("chars").alias("unit"),
-            F.col("chars_saved").alias("wasted_units"),
-        )
-    )
-    image = _grouped(
-        mm.image_ahash_canonical(mm.ppm_multires_media_from_docs(docs))
-        .filter(F.col("decode_error").isNull())
-        .withColumn("units", (F.col("width") * F.col("height")).cast("long")),
-        "ahash64",
-        "media_id",
-        "units",
-        "image",
-        "pixels",
-        min_group_size,
-    )
-    audio = _grouped(
-        mm.audio_envelope(mm.pcm_media_from_docs(docs))
-        .filter(F.col("decode_error").isNull())
-        .withColumn("units", (F.col("n_frames") * mm.AUDIO_FRAME).cast("long")),
-        "envelope",
-        "media_id",
-        "units",
-        "audio",
-        "samples",
-        min_group_size,
-    )
-    video = _grouped(
-        video_fingerprint(mm.video_media_from_docs(docs)).filter(
-            F.col("decode_error").isNull()
-        ),
-        "fingerprint",
-        "media_id",
-        "n_pixels",
-        "video",
-        "pixels",
-        min_group_size,
-    )
-    return (
-        text.unionByName(image)
-        .unionByName(audio)
-        .unionByName(video)
-        .select(*_X1_COLS)
-        .orderBy("modality", "group_key")
-    )
+    whole report carries a full DuckDB oracle.
+
+    Composed as decode layer + report layer
+    (:func:`fingerprint_tables` → :func:`duplicate_assets_from_tables`)
+    so the expensive blob decode is a materialization boundary."""
+    return duplicate_assets_from_tables(fingerprint_tables(docs), min_group_size)

@@ -452,3 +452,31 @@ def test_cross_modal_duplicate_assets_planted(spark):
     assert v["n_assets"] == 2 and v["canonical_asset_id"] == 23
     w, h, vnf = 4 + 23 % 3, 3 + 23 % 2, 6 + 23 % 5
     assert v["unit"] == "pixels" and v["wasted_units"] == vnf * w * h
+
+
+def test_x2_report_phase_never_touches_blobs(spark, tmp_path):
+    """x2's contract: after the fingerprint tables are materialized,
+    the report phase runs entirely JVM-side over narrow parquet —
+    no Python eval (= no decode) anywhere in its plan — and returns
+    the identical report x1 computes from raw docs."""
+    from file_indexer_spark.operators import crossmodal as xm
+    from file_indexer_spark.plans import inspect as pi
+
+    text = ("the quick brown fox jumps over the lazy dog again and "
+            "again because near duplicate detection needs shingles ") * 2
+    other = ("completely different content about distributed query "
+             "engines and columnar storage layouts for training data ") * 2
+    docs = spark.createDataFrame(
+        [(23, text, len(text)), (83, text, len(text)), (1, other, len(other))],
+        "doc_id long, text string, n_chars long",
+    )
+    mats = {}
+    for name, df in xm.fingerprint_tables(docs).items():
+        path = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = spark.read.parquet(path)
+    report = xm.duplicate_assets_from_tables(mats)
+    plan = pi.simple_plan(report)
+    assert "EvalPython" not in plan, plan
+    expected = sorted(tuple(r) for r in xm.duplicate_assets(docs).collect())
+    assert sorted(tuple(r) for r in report.collect()) == expected
