@@ -161,6 +161,8 @@ LLM_EXTENSION = [
     "sim9_pq_encode",
     "sim10_ivfpq_topk",
     "x1_cross_modal_dup_assets",
+    "x2_dup_assets_materialized",
+    "dd12_incremental_lsh",
 ]
 
 
@@ -437,6 +439,9 @@ SCALE_QUERIES = [
     # duplicate-asset rollup (linear decode + group aggregates)
     "sim10_ivfpq_topk",
     "x1_cross_modal_dup_assets",
+    # round 8: incremental LSH probe (index build + batch probe; the
+    # probe leg is O(batch x matched buckets), never O(corpus))
+    "dd12_incremental_lsh",
 ]
 
 

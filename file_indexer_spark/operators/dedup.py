@@ -144,18 +144,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """dd3: MinHash-LSH candidate pairs, verified with exact Jaccard.
-
-    Banding: P(candidate) = 1 - (1 - s^4)^8 — ~0.97 at s = 0.8, ~0.03
-    at s = 0.3 — the classic S-curve around the 0.8 threshold.
-
-    The signature is computed as 32 ``min`` aggregates over the exploded
-    (doc_id, shingle-hash) stream — a single whole-stage-codegen hash
-    aggregation with map-side partials, rather than nested lambda
-    expressions (which Catalyst interprets row-at-a-time, ~10x slower).
-    """
-    sets = _shingle_sets(docs)
+def _minhash_bands(sets: DataFrame) -> DataFrame:
+    """(doc_id, band, digest) from shingle sets: 32 min-aggregates over
+    the exploded (doc_id, shingle-hash) stream (one codegen hash agg
+    with map-side partials), then the per-band digests. Per-doc pure —
+    a doc's rows are identical whether it is signed alone or with the
+    whole corpus, which is what makes the dd12 incremental probe exact."""
     exploded = sets.select("doc_id", F.explode("shingles").alias("h")).select(
         "doc_id", (F.col("h") % H.MERSENNE_P).alias("hm")
     )
@@ -171,10 +165,25 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
             F.array(*[F.col(f"s{i}") for i in range(H.NUM_PERM)]).alias("sig"),
         )
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(F.expr(H.spark_band_hashes("sig"))).alias("band", "digest"),
     )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """dd3: MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    Banding: P(candidate) = 1 - (1 - s^4)^8 — ~0.97 at s = 0.8, ~0.03
+    at s = 0.3 — the classic S-curve around the 0.8 threshold.
+
+    The signature is computed as 32 ``min`` aggregates over the exploded
+    (doc_id, shingle-hash) stream — a single whole-stage-codegen hash
+    aggregation with map-side partials, rather than nested lambda
+    expressions (which Catalyst interprets row-at-a-time, ~10x slower).
+    """
+    sets = _shingle_sets(docs)
+    bands = _minhash_bands(sets)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -198,6 +207,89 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
         .withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def lsh_index_tables(docs: DataFrame) -> dict[str, DataFrame]:
+    """The materializable corpus LSH index behind dd12: the narrow
+    (doc_id, band, digest) band table plus the (doc_id, shingles)
+    verification sets. At 100 TB these are written once per corpus
+    snapshot (bucketed by (band, digest) so the probe join is
+    co-located) and every incremental batch probes them instead of
+    re-signing the corpus — the x2 compute-once pattern applied to
+    near-dup detection."""
+    sets = _shingle_sets(docs)
+    return {"bands": _minhash_bands(sets), "shingle_sets": sets}
+
+
+def incremental_lsh_pairs(
+    index: dict[str, DataFrame],
+    new_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """dd12: near-dup pairs for a NEW batch against an EXISTING corpus
+    without touching the corpus text — probe the materialized band
+    table (:func:`lsh_index_tables`, live frames or parquet re-reads)
+    with the batch's own band rows, plus the within-batch self-join.
+
+    Exactness: per-doc signatures are corpus-independent
+    (:func:`_minhash_bands`), so the emitted pair set is EXACTLY dd3's
+    full-corpus output restricted to pairs with >= 1 new side — the
+    registry gate oracles this equality. ``pair_class`` tags each pair
+    ``new_base`` (one side in the index) or ``new_new`` (both in the
+    batch); the two candidate legs are disjoint by construction.
+
+    Scale shape: batch bands broadcast-join (or shuffle on the
+    (band, digest) bucketing) against the index — work is
+    O(batch x matching buckets), never O(corpus); verification joins
+    fetch only the matched partners' shingle sets.
+    """
+    new_tables = lsh_index_tables(new_docs)
+    nb = new_tables["bands"]
+    bb = index["bands"]
+    cross = (
+        nb.alias("n")
+        .join(
+            bb.alias("b"),
+            (F.col("n.band") == F.col("b.band"))
+            & (F.col("n.digest") == F.col("b.digest")),
+        )
+        .select(
+            F.least("n.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "b.doc_id").alias("doc_b"),
+            F.lit("new_base").alias("pair_class"),
+        )
+        .distinct()
+    )
+    within = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit("new_new").alias("pair_class"),
+        )
+        .distinct()
+    )
+    cand = cross.unionByName(within)
+    sets = index["shingle_sets"].unionByName(new_tables["shingle_sets"])
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard", "pair_class")
         .orderBy("doc_a", "doc_b")
     )
 

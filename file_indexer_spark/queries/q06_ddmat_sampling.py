@@ -103,6 +103,48 @@ def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
 
 
+@register(
+    "dd12_incremental_lsh",
+    f"""
+    -- dd12: incremental near-dup detection. The new batch (the
+    -- deterministic doc_id % 10 = 7 slice) probes a MATERIALIZED
+    -- corpus band index instead of re-signing the corpus; per-doc
+    -- signatures are corpus-independent, so the result must equal
+    -- dd3's FULL-corpus pairs restricted to >= 1 new side — which is
+    -- exactly what this oracle computes.
+    WITH
+    {_DD7_PAIRS_CTES}
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)
+               AS jaccard,
+           CASE WHEN doc_a % 10 = 7 AND doc_b % 10 = 7 THEN 'new_new'
+                ELSE 'new_base' END AS pair_class
+    FROM verified
+    WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+          >= {dd.JACCARD_THRESHOLD}
+      AND (doc_a % 10 = 7 OR doc_b % 10 = 7)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dd12_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD12: probe a new document batch against the materialized corpus
+    LSH index (parquet round-trip of the band + shingle-set tables —
+    the x2 compute-once pattern applied to dd3). Work is
+    O(batch x matched buckets), never O(corpus)."""
+    import os
+
+    docs = _table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+    workdir, _ = _stream_workdir("fis_dd12", sf_dir)
+    mats: dict[str, DataFrame] = {}
+    for name, df in dd.lsh_index_tables(base).items():
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = spark.read.parquet(path)
+    return dd.incremental_lsh_pairs(mats, new)
+
+
 # ----------------------------------------- LLM pillar: sampling / splits
 
 from file_indexer_spark.operators import sampling as sp  # noqa: E402

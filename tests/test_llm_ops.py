@@ -1021,3 +1021,33 @@ def test_pq_encode_invariants(spark, sf_smoke):
     # statistically
     assert all(sse16[v] <= sse4[v] + 1e-9 for v in sse4)
     assert sum(sse16.values()) < sum(sse4.values())
+
+
+def test_incremental_lsh_equals_full_restricted(docs, tmp_path):
+    """dd12's exactness contract: probing the materialized corpus index
+    with the new batch yields EXACTLY dd3's full-corpus pairs
+    restricted to >= 1 new side, with pair_class tagging which leg
+    produced each pair — through a real parquet round-trip of the
+    index, as the registry gate runs it."""
+    from pyspark.sql import functions as F
+
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+    mats = {}
+    for name, df in dd.lsh_index_tables(base).items():
+        path = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = df.sparkSession.read.parquet(path)
+    got = dd.incremental_lsh_pairs(mats, new).collect()
+
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(docs).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got} == expected
+    assert len(expected) > 0  # the fixture must actually exercise both legs
+    for r in got:
+        both_new = r["doc_a"] in new_ids and r["doc_b"] in new_ids
+        assert r["pair_class"] == ("new_new" if both_new else "new_base")
