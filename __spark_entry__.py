@@ -44,7 +44,7 @@ _DRIVER_PRIORITY = [
     "sim9_pq_encode", "w10_compaction_roundtrip",
     "sim10_ivfpq_topk", "x1_cross_modal_dup_assets",
     "st12_late_data_accounting", "x2_dup_assets_materialized",
-    "dd12_incremental_lsh",
+    "dd12_incremental_lsh", "sim11_ivfpq_materialized",
     # round 7: the seven BOUNDS COMPANIONS lead — oracle-bearing
     # violation sets (expected empty) that turn the rows-only set's
     # err:"no_oracle" driver rows into hash-checkable tolerance

@@ -163,6 +163,7 @@ LLM_EXTENSION = [
     "x1_cross_modal_dup_assets",
     "x2_dup_assets_materialized",
     "dd12_incremental_lsh",
+    "sim11_ivfpq_materialized",
 ]
 
 

@@ -851,28 +851,82 @@ def ivfpq_topk(
     (queries × nprobe rows, with each query's 128-double ADC table)
     broadcasts onto it. Map-side lookups, one per-query top-k window.
     """
-    assign = ivf_assignments(embeddings, n_centroids=n_centroids)
-    codes = _pq_codes(embeddings, n_subspaces, n_codewords).join(assign, "vec_id")
+    index = ivfpq_index_tables(
+        embeddings, n_subspaces, n_codewords, n_centroids=n_centroids
+    )
+    queries = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_from_index(
+        index, queries, k=k, nprobe=nprobe,
+        n_subspaces=n_subspaces, n_codewords=n_codewords,
+    )
 
-    cents = _centroid_frame(embeddings, n_centroids, None)
-    q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES)).select(
+
+def ivfpq_index_tables(
+    embeddings: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codewords: int = PQ_CODEWORDS,
+    n_centroids: int | None = None,
+) -> dict[str, DataFrame]:
+    """The materializable IVF-PQ index behind sim10/sim11: the coded
+    corpus (vec_id, codes, centroid_id) — 4 bytes of payload per
+    vector, written clustered by list at scale — plus the centroid
+    frame and the M×K' codebook (both broadcast-sized). Build once per
+    corpus snapshot; every query batch reads ONLY these narrow tables
+    (sim11 gates the parquet round-trip) — the raw float corpus is
+    never touched at serving time."""
+    assign = ivf_assignments(embeddings, n_centroids=n_centroids)
+    return {
+        "codes": _pq_codes(embeddings, n_subspaces, n_codewords).join(
+            assign, "vec_id"
+        ),
+        "centroids": _centroid_frame(embeddings, n_centroids, None),
+        "codebook": _pq_codebook(embeddings, n_subspaces, n_codewords),
+    }
+
+
+def ivfpq_topk_from_index(
+    index: dict[str, DataFrame],
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codewords: int = PQ_CODEWORDS,
+) -> DataFrame:
+    """The serving phase of IVF-PQ, decoupled from index construction:
+    ``queries`` is a (query_id, embedding) batch; ``index`` is
+    :func:`ivfpq_index_tables` (live frames or parquet re-reads —
+    sim11). Per batch: nprobe centroid ranking + one ADC table against
+    the broadcast codebook per query, then map-side code lookups over
+    only the probed lists and one per-query top-k window."""
+    q = _with_norm(queries.select(F.col("query_id").alias("vec_id"), "embedding")).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_cosine"), "centroid_id")
     probes = (
-        q.join(F.broadcast(cents))
+        q.join(F.broadcast(index["centroids"]))
         .withColumn("c_cosine", _cosine("q_emb", "q_norm", "c_emb", "c_norm"))
         .withColumn("rn", F.row_number().over(probe_w))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "centroid_id")
     )
-    probe_tabs = probes.join(
-        _pq_query_tables(embeddings, n_subspaces, n_codewords), "query_id"
+    q_tabs = (
+        q.select("query_id", "q_emb")
+        .join(F.broadcast(index["codebook"]))
+        .withColumn("qd2", _pq_slice_d2("q_emb", n_subspaces))
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, code, qd2))), s -> s.qd2)"
+            ).alias("tab")
+        )
     )
+    probe_tabs = probes.join(q_tabs, "query_id")
     scored = (
-        _spread(codes)
+        _spread(index["codes"])
         .join(F.broadcast(probe_tabs), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("adc_dist", _adc_dist(n_subspaces, n_codewords))

@@ -318,6 +318,31 @@ def x1_cross_modal_dup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xm.duplicate_assets(_table(spark, sf_dir, "documents"))
 
 
+# sim11 shares sim10's oracle verbatim: serving from the parquet
+# round-trip of the index tables must produce the IDENTICAL ranking
+# (the hash gate proves the build/serve split is lossless).
+@register("sim11_ivfpq_materialized", ORACLES["sim10_ivfpq_topk"])
+def sim11_ivfpq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM11: sim10 via the build-once/serve-many pattern — materialize
+    the IVF-PQ index (coded corpus + centroids + codebook) to parquet,
+    then answer the query batch from the re-reads only. At 100 TB the
+    serving path reads 4-byte codes clustered by list; the raw float
+    corpus is never touched after the build."""
+    import os
+
+    emb = _table(spark, sf_dir, "embeddings")
+    base, _ = _stream_workdir("fis_sim11", sf_dir)
+    mats: dict[str, DataFrame] = {}
+    for name, df in sim.ivfpq_index_tables(emb).items():
+        path = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivfpq_topk_from_index(mats, queries)
+
+
 # x2 shares x1's oracle verbatim: the materialized path must produce
 # the IDENTICAL report (the hash gate proves the decode/report split is
 # lossless through a parquet round-trip).

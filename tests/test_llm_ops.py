@@ -1051,3 +1051,27 @@ def test_incremental_lsh_equals_full_restricted(docs, tmp_path):
     for r in got:
         both_new = r["doc_a"] in new_ids and r["doc_b"] in new_ids
         assert r["pair_class"] == ("new_new" if both_new else "new_base")
+
+
+def test_ivfpq_serving_from_materialized_index(embeddings, tmp_path):
+    """sim11's contract: the serving phase answers the query batch from
+    the parquet-materialized index tables alone — identical ranking to
+    sim10's inline build, and no Python eval anywhere in the serving
+    plan (the scan reads 4-byte codes, never the float corpus)."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.plans import inspect as pi
+
+    mats = {}
+    for name, df in sim.ivfpq_index_tables(embeddings).items():
+        path = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = df.sparkSession.read.parquet(path)
+    queries = embeddings.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = sim.ivfpq_topk_from_index(mats, queries)
+    assert "EvalPython" not in pi.simple_plan(served)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in sim.ivfpq_topk(embeddings).collect()
+    ]

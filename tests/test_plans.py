@@ -101,6 +101,11 @@ _NESTED_LOOP_OK = {
     # sim6's coarse-centroid assignment.
     "sim9_pq_encode",
     "sim10_ivfpq_topk",
+    # sim11 is sim10's serving phase over the parquet-materialized
+    # index: the same bounded broadcast crosses (query batch x 128-row
+    # codebook, query batch x centroid frame); the code scan joins on
+    # centroid_id (a real hash join).
+    "sim11_ivfpq_materialized",
 }
 
 
