@@ -164,6 +164,7 @@ LLM_EXTENSION = [
     "x2_dup_assets_materialized",
     "dd12_incremental_lsh",
     "sim11_ivfpq_materialized",
+    "dd13_incremental_clusters",
 ]
 
 

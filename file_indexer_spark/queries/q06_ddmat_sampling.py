@@ -145,6 +145,33 @@ def dd12_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_lsh_pairs(mats, new)
 
 
+# dd13 shares dd7's oracle verbatim: the incremental refresh must equal
+# the from-scratch recompute on the full corpus (see the exactness
+# argument in incremental_cluster_refresh's docstring).
+@register("dd13_incremental_clusters", ORACLES["dd7_dedup_clusters"])
+def dd13_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD13: the full incremental dedup maintenance loop — materialize
+    the base corpus's LSH index AND dd7 assignment once, then for the
+    ingest batch: probe the index (dd12) and refresh only the touched
+    clusters. Output is the whole corpus's assignment table, provably
+    identical to dd7 recomputed from scratch."""
+    import os
+
+    docs = _table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+    workdir, _ = _stream_workdir("fis_dd13", sf_dir)
+    stored = dict(dd.lsh_index_tables(base))
+    stored["assignments"] = dd.dedup_clusters(base, dd.minhash_lsh_pairs(base))
+    mats: dict[str, DataFrame] = {}
+    for name, df in stored.items():
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = spark.read.parquet(path)
+    new_pairs = dd.incremental_lsh_pairs(mats, new)
+    return dd.incremental_cluster_refresh(mats["assignments"], new_pairs, new)
+
+
 # ----------------------------------------- LLM pillar: sampling / splits
 
 from file_indexer_spark.operators import sampling as sp  # noqa: E402

@@ -1075,3 +1075,25 @@ def test_ivfpq_serving_from_materialized_index(embeddings, tmp_path):
     assert [tuple(r) for r in served.collect()] == [
         tuple(r) for r in sim.ivfpq_topk(embeddings).collect()
     ]
+
+
+def test_incremental_cluster_refresh_merges_old_clusters(spark):
+    """dd13's hard case: one new doc bridges TWO existing clusters —
+    the refresh must merge them under the global min-id label, leave
+    untouched clusters alone, and keep pair-free new docs singletons."""
+    old = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 3, True), (4, 3, False), (5, 5, True)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    new_docs = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    new_pairs = spark.createDataFrame(
+        [(2, 10), (3, 10)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dd.incremental_cluster_refresh(old, new_pairs, new_docs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        5: (5, True), 10: (1, False), 11: (11, True),
+    }
