@@ -249,3 +249,50 @@ def test_preceding_window_counts_match_bruteforce(spark, raw):
         if etype == "purchase"
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=3, max_value=14).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(0, n - 1), st.integers(0, n - 1)
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=20,
+            ),
+            st.integers(min_value=2, max_value=4),  # every k-th node is "new"
+        )
+    )
+)
+def test_incremental_refresh_matches_union_find(spark, case):
+    """dd13 on random topologies: split nodes into base/new by a random
+    modulus, build the base assignment from base-base edges only, feed
+    the >=1-new-side edges through the refresh — the result must equal
+    exact union-find on the FULL graph for every node (the chain /
+    cycle / multi-bridge merge shapes a hand-picked example misses)."""
+    from file_indexer_spark.operators import dedup as dd
+
+    n, edges, k = case
+    is_new = lambda v: v % k == 0  # noqa: E731
+    base_nodes = [i for i in range(n) if not is_new(i)]
+    new_nodes = [i for i in range(n) if is_new(i)]
+    norm = {(min(a, b), max(a, b)) for a, b in edges}
+    base_edges = [e for e in norm if not (is_new(e[0]) or is_new(e[1]))]
+    new_edges = [e for e in norm if is_new(e[0]) or is_new(e[1])]
+
+    base_docs = spark.createDataFrame([(i,) for i in base_nodes], "doc_id long")
+    base_pairs = spark.createDataFrame(
+        base_edges or [], "doc_a long, doc_b long"
+    )
+    old_assign = dd.dedup_clusters(base_docs, base_pairs)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.incremental_cluster_refresh(
+            old_assign,
+            spark.createDataFrame(new_edges or [], "doc_a long, doc_b long"),
+            spark.createDataFrame([(i,) for i in new_nodes], "doc_id long"),
+        ).collect()
+    }
+    assert got == _cc_reference(n, list(norm))
