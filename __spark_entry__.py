@@ -45,7 +45,7 @@ _DRIVER_PRIORITY = [
     "sim10_ivfpq_topk", "x1_cross_modal_dup_assets",
     "st12_late_data_accounting", "x2_dup_assets_materialized",
     "dd12_incremental_lsh", "sim11_ivfpq_materialized",
-    "dd13_incremental_clusters",
+    "dd13_incremental_clusters", "sim12_ivfpq_append",
     # round 7: the seven BOUNDS COMPANIONS lead — oracle-bearing
     # violation sets (expected empty) that turn the rows-only set's
     # err:"no_oracle" driver rows into hash-checkable tolerance

@@ -165,6 +165,7 @@ LLM_EXTENSION = [
     "dd12_incremental_lsh",
     "sim11_ivfpq_materialized",
     "dd13_incremental_clusters",
+    "sim12_ivfpq_append",
 ]
 
 

@@ -768,13 +768,22 @@ def _pq_slice_d2(vec_col: str, n_subspaces: int) -> F.Column:
     )
 
 
-def _pq_best(embeddings: DataFrame, n_subspaces: int, n_codewords: int) -> DataFrame:
+def _pq_best(
+    embeddings: DataFrame,
+    n_subspaces: int,
+    n_codewords: int,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, m, code, d2): each vector's argmin codeword per
-    subspace — one broadcast join + map-side slice-d2 + one argmin agg."""
+    subspace — one broadcast join + map-side slice-d2 + one argmin agg.
+    ``codebook`` overrides the corpus-derived seed codebook (the frozen
+    quantizer of sim12's index append)."""
+    if codebook is None:
+        codebook = _pq_codebook(embeddings, n_subspaces, n_codewords)
     scored = (
         _spread(embeddings)
         .select("vec_id", "embedding")
-        .join(F.broadcast(_pq_codebook(embeddings, n_subspaces, n_codewords)))
+        .join(F.broadcast(codebook))
         .withColumn("d2", _pq_slice_d2("embedding", n_subspaces))
     )
     return scored.groupBy("vec_id", "m").agg(
@@ -783,13 +792,54 @@ def _pq_best(embeddings: DataFrame, n_subspaces: int, n_codewords: int) -> DataF
     )
 
 
-def _pq_codes(embeddings: DataFrame, n_subspaces: int, n_codewords: int) -> DataFrame:
+def _pq_codes(
+    embeddings: DataFrame,
+    n_subspaces: int,
+    n_codewords: int,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, codes): the per-vector PQ code array in subspace order —
     the compressed corpus an ADC scan reads."""
-    return _pq_best(embeddings, n_subspaces, n_codewords).groupBy("vec_id").agg(
-        F.expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
-        .alias("codes")
+    return (
+        _pq_best(embeddings, n_subspaces, n_codewords, codebook=codebook)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, code))), s -> s.code)"
+            ).alias("codes")
+        )
     )
+
+
+def ivfpq_append(
+    index: dict[str, DataFrame],
+    new_vectors: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codewords: int = PQ_CODEWORDS,
+) -> dict[str, DataFrame]:
+    """sim12: ADD a vector batch to a stored IVF-PQ index with a FROZEN
+    quantizer (FAISS ``add()`` semantics): new vectors are assigned to
+    the STORED centroids and coded against the STORED codebook — the
+    index definition never drifts with ingest, so stored codes stay
+    comparable and nothing is re-encoded. Returns the merged index
+    (centroids/codebook unchanged, codes = stored ∪ new batch).
+
+    Scale shape: per-batch work is one broadcast assignment pass + one
+    broadcast codebook encode over the BATCH only; the stored coded
+    corpus is untouched (an append-only parquet write at scale).
+    """
+    cents = index["centroids"].select(
+        "centroid_id", F.col("c_emb").alias("embedding")
+    )
+    assign = ivf_assignments(new_vectors, centroids=cents)
+    new_codes = _pq_codes(
+        new_vectors, n_subspaces, n_codewords, codebook=index["codebook"]
+    ).join(assign, "vec_id")
+    return {
+        "codes": index["codes"].unionByName(new_codes),
+        "centroids": index["centroids"],
+        "codebook": index["codebook"],
+    }
 
 
 def _pq_query_tables(

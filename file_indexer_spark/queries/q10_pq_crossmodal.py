@@ -55,20 +55,25 @@ _DUCK_SLICE_D2 = (
 )
 
 
-@register(
-    "sim10_ivfpq_topk",
-    f"""
+def _ivfpq_oracle(quantizer_filter: str) -> str:
+    """The IVF-PQ ADC search oracle, parameterized by WHICH vectors
+    define the quantizer (centroid label-reps + codebook seeds):
+    ``TRUE`` = the whole corpus (sim10/sim11); a slice predicate = the
+    frozen-quantizer index-append semantics (sim12). The searched
+    corpus and the query set are always the full table."""
+    return f"""
     -- IVF-PQ ADC search: sim2's inverted-list probing composed with
     -- sim9's product-quantized codes. Candidates come only from each
     -- query's nprobe nearest centroid lists; their distances are M
     -- table lookups into the query's precomputed (m, code)-ordered ADC
     -- table, summed by the strict m-ordered fold. Every stage is the
     -- already-hash-gated sim2/sim9 arithmetic => full hash gate on the
-    -- composed index.
+    -- composed index. Quantizer source: {quantizer_filter}.
     WITH c AS ({_DUCK_NORMS}),
     cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
               FROM c
-              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings
+                    WHERE {quantizer_filter} GROUP BY label) reps
                 ON c.vec_id = reps.vec_id),
     assign AS (
         SELECT vec_id, centroid_id FROM (
@@ -82,7 +87,8 @@ _DUCK_SLICE_D2 = (
         SELECT embedding AS c_emb,
                row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
                    AS code
-        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id
+        FROM embeddings WHERE {quantizer_filter}
+        ORDER BY md5(vec_id::VARCHAR), vec_id
         LIMIT {sim.PQ_CODEWORDS}),
     best AS (
         SELECT vec_id, m, code,
@@ -130,8 +136,10 @@ _DUCK_SLICE_D2 = (
     SELECT query_id, neighbor_id, rank, round(adc_dist, 6) AS adc_dist
     FROM ranked WHERE rank <= {sim.TOP_K}
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("sim10_ivfpq_topk", _ivfpq_oracle("TRUE"))
 def sim10_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIM10: IVF-PQ — inverted-list pruning (sim2) over product-
     quantized codes (sim9) scanned by asymmetric distance computation:
@@ -341,6 +349,38 @@ def sim11_ivfpq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.ivfpq_topk_from_index(mats, queries)
+
+
+# sim12's oracle is the same composed search with the quantizer frozen
+# to the BASE slice: centroid label-reps and codebook seeds come from
+# the pre-ingest corpus only, while the searched codes and queries span
+# the full table — exactly the FAISS add() contract the Spark side
+# implements via ivfpq_append.
+@register("sim12_ivfpq_append", _ivfpq_oracle("vec_id % 10 != 7"))
+def sim12_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM12: index MAINTENANCE — add an embedding batch (the
+    doc-split rule: vec_id % 10 == 7) to the materialized base IVF-PQ
+    index with a FROZEN quantizer: new vectors assign to the stored
+    centroids and encode against the stored codebook; nothing already
+    indexed is touched. The search then runs over the merged index.
+    Completes the incremental family: dd12/dd13 maintain the dedup
+    index, sim12 the ANN index."""
+    import os
+
+    emb = _table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    workdir, _ = _stream_workdir("fis_sim12", sf_dir)
+    mats: dict[str, DataFrame] = {}
+    for name, df in sim.ivfpq_index_tables(base).items():
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = spark.read.parquet(path)
+    merged = sim.ivfpq_append(mats, new)
+    queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivfpq_topk_from_index(merged, queries)
 
 
 # x2 shares x1's oracle verbatim: the materialized path must produce

@@ -1097,3 +1097,40 @@ def test_incremental_cluster_refresh_merges_old_clusters(spark):
         1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
         5: (5, True), 10: (1, False), 11: (11, True),
     }
+
+
+def test_ivfpq_append_frozen_quantizer(embeddings, tmp_path):
+    """sim12's contract: appending a batch never re-encodes or
+    re-assigns what is already indexed (byte-identical stored rows),
+    and the new rows use the STORED codebook/centroids — verified by
+    encoding the batch directly against the base index's tables."""
+    from pyspark.sql import functions as F
+
+    base = embeddings.filter(F.col("vec_id") % 10 != 7)
+    new = embeddings.filter(F.col("vec_id") % 10 == 7)
+    mats = {}
+    for name, df in sim.ivfpq_index_tables(base).items():
+        path = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = df.sparkSession.read.parquet(path)
+    merged = sim.ivfpq_append(mats, new)
+
+    stored = {
+        r["vec_id"]: (tuple(r["codes"]), r["centroid_id"])
+        for r in mats["codes"].collect()
+    }
+    after = {
+        r["vec_id"]: (tuple(r["codes"]), r["centroid_id"])
+        for r in merged["codes"].collect()
+    }
+    assert {k: v for k, v in after.items() if k in stored} == stored
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    assert set(after) - set(stored) == new_ids
+    # new rows must match a direct encode against the frozen tables
+    direct = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in sim._pq_codes(
+            new, sim.PQ_SUBSPACES, sim.PQ_CODEWORDS, codebook=mats["codebook"]
+        ).collect()
+    }
+    assert {k: v[0] for k, v in after.items() if k in new_ids} == direct

@@ -106,6 +106,10 @@ _NESTED_LOOP_OK = {
     # codebook, query batch x centroid frame); the code scan joins on
     # centroid_id (a real hash join).
     "sim11_ivfpq_materialized",
+    # sim12 adds the batch-encode pass (batch x broadcast frozen
+    # codebook / centroids) on top of sim11's serving crosses — all
+    # broadcast-bounded; the merged-code scan joins on centroid_id.
+    "sim12_ivfpq_append",
 }
 
 
