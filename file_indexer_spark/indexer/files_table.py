@@ -148,15 +148,28 @@ class FilesTable:
         between the two leaves a log entry newer than the cache, so
         resolution takes the HIGHEST log generation when it beats the
         cached one; the next commit refreshes the cache (self-healing,
-        no wedged table)."""
-        doc = self._read_manifest_cache()
-        cached_gen = doc.get("generation", 0) if doc else 0
-        newer = [(g, n) for g, n in self._log_generations() if g > cached_gen]
-        if newer:
+        no wedged table).
+
+        Listing the log and opening the chosen entry is two steps, so a
+        concurrent commit's no-history prune (or a vacuum) can delete
+        the listed entry in between. A missing entry always means a
+        NEWER generation committed (entries are only removed once the
+        cache covers them), so the consistent-reader contract is kept
+        by re-resolving from the refreshed cache rather than failing —
+        each retry observes a strictly higher generation, so the loop
+        terminates once resolution wins the race."""
+        while True:
+            doc = self._read_manifest_cache()
+            cached_gen = doc.get("generation", 0) if doc else 0
+            newer = [(g, n) for g, n in self._log_generations() if g > cached_gen]
+            if not newer:
+                return doc
             gen, name = max(newer)
-            with open(os.path.join(self.location, self._MANIFEST_LOG, name)) as fh:
-                doc = json.load(fh)
-        return doc
+            try:
+                with open(os.path.join(self.location, self._MANIFEST_LOG, name)) as fh:
+                    return json.load(fh)
+            except FileNotFoundError:
+                continue  # pruned mid-read => a newer generation exists
 
     def _current_generation(self) -> int:
         m = self._load_manifest()

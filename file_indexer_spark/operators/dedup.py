@@ -242,12 +242,23 @@ def incremental_lsh_pairs(
 
     Scale shape: batch bands broadcast-join (or shuffle on the
     (band, digest) bucketing) against the index — work is
-    O(batch x matching buckets), never O(corpus); verification joins
-    fetch only the matched partners' shingle sets.
+    O(batch x matching buckets), never O(corpus); the verification
+    stage semi-joins the stored shingle-set table down to the docs
+    that actually appear in a candidate pair before fetching arrays
+    (broadcast semi-join on the small candidate-id set — at 100 TB
+    with the sets table bucketed by doc_id this prunes to the matched
+    buckets instead of scanning the full index).
+
+    The index and batch slices are expected disjoint; if a batch
+    re-delivers a doc_id already indexed (an at-least-once source),
+    the batch's row is authoritative — stale index rows for those ids
+    are dropped up front (broadcast anti-joins on the batch-id set)
+    so re-delivery can never fan out duplicate or self pairs.
     """
     new_tables = lsh_index_tables(new_docs)
+    new_ids = new_tables["shingle_sets"].select("doc_id")
     nb = new_tables["bands"]
-    bb = index["bands"]
+    bb = index["bands"].join(F.broadcast(new_ids), "doc_id", "left_anti")
     cross = (
         nb.alias("n")
         .join(
@@ -277,8 +288,18 @@ def incremental_lsh_pairs(
         )
         .distinct()
     )
-    cand = cross.unionByName(within)
-    sets = index["shingle_sets"].unionByName(new_tables["shingle_sets"])
+    cand = _materialize(cross.unionByName(within))
+    pair_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    base_sets = (
+        index["shingle_sets"]
+        .join(F.broadcast(new_ids), "doc_id", "left_anti")
+        .join(F.broadcast(pair_ids), "doc_id", "left_semi")
+    )
+    sets = base_sets.unionByName(new_tables["shingle_sets"])
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

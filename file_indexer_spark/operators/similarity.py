@@ -247,6 +247,7 @@ def ivf_assignments(
     n_assign: int = 1,
     n_centroids: int | None = None,
     centroids: DataFrame | None = None,
+    hier: bool | None = None,
 ) -> DataFrame:
     """IVF build: assign every vector to its nearest centroid
     (argmax cosine, ties to the smaller centroid id). Centroids are
@@ -278,14 +279,26 @@ def ivf_assignments(
     centers from :func:`kmeans_centroid_frame`. The assignment plan is
     unchanged (broadcast + argmax; two-level past the threshold, with
     k read from the frame's row count — metadata-sized).
+
+    ``hier`` pins the routing regime explicitly: ``False`` forces the
+    flat scoring pass, ``True`` the two-level route, ``None`` (default)
+    infers from the effective centroid count. Incremental consumers
+    that must reproduce a STORED index's assignments (sim12's
+    frozen-quantizer append) pass the regime the index was built with
+    instead of re-inferring — the two regimes can assign a borderline
+    vector differently, so count-based inference is not a stable
+    contract across build and append.
     """
     cents = _centroid_frame(embeddings, n_centroids, centroids)
     vecs = _with_norm(_spread(embeddings)).select(
         "vec_id", F.col("embedding").alias("v_emb"), F.col("norm").alias("v_norm")
     )
     k_eff = centroids.count() if centroids is not None else n_centroids
-    if k_eff is not None and k_eff > _HIER_THRESHOLD:
-        scored = _hier_scored(vecs, cents, k_eff)
+    use_hier = (
+        hier if hier is not None else (k_eff is not None and k_eff > _HIER_THRESHOLD)
+    )
+    if use_hier:
+        scored = _hier_scored(vecs, cents, k_eff if k_eff is not None else cents.count())
     else:
         scored = vecs.join(F.broadcast(cents)).withColumn(
             "cosine", _cosine("v_emb", "v_norm", "c_emb", "c_norm")
@@ -827,19 +840,33 @@ def ivfpq_append(
     Scale shape: per-batch work is one broadcast assignment pass + one
     broadcast codebook encode over the BATCH only; the stored coded
     corpus is untouched (an append-only parquet write at scale).
+
+    The assignment REGIME comes from the index's stored ``meta`` row
+    (``hier_assign``), never from the centroid count: a label-rep
+    index (``n_centroids=None``) was built with the flat pass
+    regardless of how many label-reps exist, and replaying the stored
+    regime is what keeps appended assignments consistent with stored
+    ones. Indexes persisted before ``meta`` existed fall back to the
+    count-based inference they were built under.
     """
     cents = index["centroids"].select(
         "centroid_id", F.col("c_emb").alias("embedding")
     )
-    assign = ivf_assignments(new_vectors, centroids=cents)
+    hier: bool | None = None
+    if "meta" in index:
+        hier = bool(index["meta"].select("hier_assign").first()["hier_assign"])
+    assign = ivf_assignments(new_vectors, centroids=cents, hier=hier)
     new_codes = _pq_codes(
         new_vectors, n_subspaces, n_codewords, codebook=index["codebook"]
     ).join(assign, "vec_id")
-    return {
+    merged = {
         "codes": index["codes"].unionByName(new_codes),
         "centroids": index["centroids"],
         "codebook": index["codebook"],
     }
+    if "meta" in index:
+        merged["meta"] = index["meta"]
+    return merged
 
 
 def _pq_query_tables(
@@ -925,14 +952,29 @@ def ivfpq_index_tables(
     frame and the M×K' codebook (both broadcast-sized). Build once per
     corpus snapshot; every query batch reads ONLY these narrow tables
     (sim11 gates the parquet round-trip) — the raw float corpus is
-    never touched at serving time."""
+    never touched at serving time.
+
+    ``meta`` records the build configuration (``n_centroids``,
+    ``hier_assign``) as a one-row table so maintenance operations
+    (:func:`ivfpq_append`) replay the STORED assignment regime instead
+    of inferring one from the centroid-frame row count — an index
+    built with the label-rep default (``n_centroids=None``) always
+    assigned FLAT even when label-reps outnumber ``_HIER_THRESHOLD``,
+    and an append that re-inferred two-level routing from the count
+    would break the append==rebuild equivalence."""
     assign = ivf_assignments(embeddings, n_centroids=n_centroids)
+    hier_assign = n_centroids is not None and n_centroids > _HIER_THRESHOLD
+    meta = embeddings.sparkSession.createDataFrame(
+        [(n_centroids, hier_assign, int(n_subspaces), int(n_codewords))],
+        "n_centroids long, hier_assign boolean, n_subspaces long, n_codewords long",
+    )
     return {
         "codes": _pq_codes(embeddings, n_subspaces, n_codewords).join(
             assign, "vec_id"
         ),
         "centroids": _centroid_frame(embeddings, n_centroids, None),
         "codebook": _pq_codebook(embeddings, n_subspaces, n_codewords),
+        "meta": meta,
     }
 
 

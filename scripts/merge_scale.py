@@ -20,6 +20,10 @@ def main() -> None:
     assert new["factor"] == art["factor"], (new["factor"], art["factor"])
     for name, entry in new["queries"].items():
         art["queries"][name] = entry
+        # a query the new run measured successfully must not keep a
+        # stale error entry from an earlier merge
+        if "errors" in art:
+            art["errors"].pop(name, None)
     ratios = [q["ratio"] for q in art["queries"].values() if "ratio" in q]
     corrected = [
         q["overhead_corrected_ratio"]
