@@ -37,10 +37,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # window verifies them; the already-verified ones keep local regression
 # coverage.
 _DRIVER_PRIORITY = [
-    # round 8: the ONLY two oracle-gated queries never driver-checked
-    # (added in the round-7 end-of-round snapshot) lead, followed by
-    # this round's additions; behind them the round-7 window for
-    # regression reads (verdict r7 #2).
+    # round 9: this round's additions lead (never driver-checked),
+    # then the ROTATION set — the ten oldest-driver-checked headline
+    # queries (last verified r02/r03, and the round-8 registry split
+    # touched every registration; verdict r8 #3 — standing rule:
+    # oldest-driver-check-first for spare slots). Behind them the
+    # round-8 window for regression reads.
+    "st13_streaming_neardup_ingest", "x3_dup_assets_append",
+    "w11_schema_evolution",
+    "j2_duplicate_groups", "a12_duplicate_groups_nested",
+    "a1_database_stats", "p1_search_multidim", "d5_duplicates_report",
+    "h1_regional_revenue", "h3_late_order_priorities",
+    "dd3_minhash_lsh", "e1_sessionization", "sp1_hash_split",
+    # round 8 window:
     "sim9_pq_encode", "w10_compaction_roundtrip",
     "sim10_ivfpq_topk", "x1_cross_modal_dup_assets",
     "st12_late_data_accounting", "x2_dup_assets_materialized",

@@ -175,8 +175,71 @@ class FilesTable:
         m = self._load_manifest()
         return m.get("generation", 0) if m else 0
 
+    # -- schema (w11) -------------------------------------------------
+    # The column set is a PER-GENERATION manifest property (Delta's
+    # schema-in-the-log): ``add_column`` commits a metadata-only new
+    # generation; old immutable data dirs are read through the evolved
+    # schema (absent parquet columns null-fill), and read_at() replays
+    # any retained generation under ITS OWN schema. Manifests written
+    # before this existed carry no schema entry and resolve to the
+    # fixed FILES_SCHEMA — full back-compat.
+    @staticmethod
+    def _schema_of(manifest: dict | None) -> T.StructType:
+        if manifest and manifest.get("schema"):
+            return T.StructType.fromJson(manifest["schema"])
+        return FILES_SCHEMA
+
+    def schema(self) -> T.StructType:
+        """The live generation's column contract."""
+        return self._schema_of(self._load_manifest())
+
+    def _cols(self) -> list[str]:
+        return [f.name for f in self.schema().fields]
+
+    def _conform(self, df: DataFrame, schema: T.StructType | None = None) -> DataFrame:
+        """Project ``df`` onto the (live) schema: present columns pass
+        through untouched, absent NULLABLE columns null-fill (so
+        pre-evolution writers keep working after an add_column), absent
+        non-nullable columns are an error."""
+        schema = schema or self.schema()
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name))
+            elif f.nullable:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                raise ValueError(
+                    f"input is missing non-nullable column {f.name!r} "
+                    f"required by the table schema at {self.location}"
+                )
+        return df.select(*cols)
+
+    def add_column(self, name: str, dtype: str) -> None:
+        """ADD COLUMN (w11): evolve the table schema with a new
+        NULLABLE column — a METADATA-ONLY commit (Delta/Iceberg
+        semantics): no data dir is touched; existing rows read the new
+        column as NULL because the parquet reader null-fills columns
+        absent from a file. The commit goes through the same
+        put-if-absent arbiter as any write, so it is conflict-detected
+        (w9) and, with history on, time-travel reads of PRE-evolution
+        generations still present their original column set."""
+        snapshot_doc = self._load_manifest()
+        snapshot = snapshot_doc.get("generation", 0) if snapshot_doc else 0
+        schema = self._schema_of(snapshot_doc)
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} already exists at {self.location}")
+        evolved = T.StructType(
+            list(schema.fields) + [T.StructField(name, T.DataType.fromDDL(dtype), True)]
+        )
+        entries = dict(snapshot_doc["entries"]) if snapshot_doc else {}
+        self._commit_manifest(entries, snapshot, schema=evolved)
+
     def _commit_manifest(
-        self, entries: dict[str, str], expected_generation: int | None = None
+        self,
+        entries: dict[str, str],
+        expected_generation: int | None = None,
+        schema: T.StructType | None = None,
     ) -> None:
         """THE commit point: one atomic rename publishes the new
         generation. Everything before this is invisible to readers;
@@ -213,7 +276,14 @@ class FilesTable:
                 f"{expected_generation}; retry on a fresh snapshot"
             )
         gen = cur + 1
-        doc = {"buckets": self.buckets, "entries": entries, "generation": gen}
+        doc = {
+            "buckets": self.buckets,
+            "entries": entries,
+            "generation": gen,
+            # schema rides in every manifest: a data commit carries the
+            # live schema forward, add_column passes the evolved one
+            "schema": json.loads((schema or self._schema_of(prev)).json()),
+        }
         log_dir = os.path.join(self.location, self._MANIFEST_LOG)
         os.makedirs(log_dir, exist_ok=True)
         marker = os.path.join(log_dir, f"{gen}.json")
@@ -356,14 +426,18 @@ class FilesTable:
                 f"generation {generation} is not retained at {self.location} "
                 f"(retained: {self.generations()})"
             ) from None
+        gen_schema = self._schema_of(doc)
+        gen_cols = [f.name for f in gen_schema.fields]
         if not doc["entries"]:
-            return self._empty().select(*_COLS)
+            return self._empty(gen_schema).select(*gen_cols)
         for rel in doc["entries"].values():
             if not os.path.isdir(os.path.join(self.location, rel.split("/", 1)[0])):
                 raise ValueError(
                     f"generation {generation}'s data was vacuumed from {self.location}"
                 )
-        return self._read_dirs(sorted(doc["entries"].values())).select(*_COLS)
+        return self._read_dirs(
+            sorted(doc["entries"].values()), gen_schema
+        ).select(*gen_cols)
 
     def _validate_layout(self) -> None:
         """The bucket count is part of the on-disk layout: the manifest
@@ -403,13 +477,14 @@ class FilesTable:
                 return True
         return False
 
-    def _empty(self) -> DataFrame:
-        empty = self.spark.createDataFrame([], FILES_SCHEMA)
+    def _empty(self, schema: T.StructType | None = None) -> DataFrame:
+        empty = self.spark.createDataFrame([], schema or self.schema())
         return empty.withColumn(BUCKET_COL, F.lit(None).cast("int")) if self.buckets else empty
 
-    def _read_dirs(self, rels: list[str]) -> DataFrame:
+    def _read_dirs(self, rels: list[str], schema: T.StructType | None = None) -> DataFrame:
         paths = [os.path.join(self.location, r) for r in rels]
-        df = self.spark.read.schema(FILES_SCHEMA).parquet(*paths)
+        # absent columns (dirs written pre-evolution) null-fill
+        df = self.spark.read.schema(schema or self.schema()).parquet(*paths)
         # the bucket is a pure function of path — recomputed, never
         # parsed from directory names
         return df.withColumn(BUCKET_COL, self._bucket_expr()) if self.buckets else df
@@ -423,7 +498,7 @@ class FilesTable:
             return self._read_dirs(sorted(m["entries"].values()))
         if not self.exists():
             return self._empty()
-        # legacy (pre-manifest) layout
+        # legacy (pre-manifest) layout: always the fixed files schema
         if self.buckets:
             return self.spark.read.parquet(self.location).select(*_COLS, BUCKET_COL)
         return self.spark.read.schema(FILES_SCHEMA).parquet(self.location)
@@ -432,15 +507,16 @@ class FilesTable:
         """ONLY the touched buckets' dirs — manifest pruning; untouched
         buckets are never opened."""
         m = self._load_manifest()
+        cols = [f.name for f in self._schema_of(m).fields]
         if m is not None:
             rels = [m["entries"][str(b)] for b in touched if str(b) in m["entries"]]
-            return self._read_dirs(sorted(rels)).select(*_COLS) if rels else (
-                self._empty().select(*_COLS)
+            return self._read_dirs(sorted(rels)).select(*cols) if rels else (
+                self._empty().select(*cols)
             )
-        return self._read_raw().filter(F.col(BUCKET_COL).isin(touched)).select(*_COLS)
+        return self._read_raw().filter(F.col(BUCKET_COL).isin(touched)).select(*cols)
 
     def read(self) -> DataFrame:
-        return self._read_raw().select(*_COLS)
+        return self._read_raw().select(*self._cols())
 
     # -- write --------------------------------------------------------
     def overwrite(self, df: DataFrame, expected_generation: int | None = None) -> None:
@@ -454,7 +530,7 @@ class FilesTable:
         if expected_generation is None:
             expected_generation = old.get("generation", 0) if old else 0
         staging = self._staging_dir()
-        writer = df.select(*_COLS)
+        writer = self._conform(df)
         try:
             if self.buckets:
                 writer = writer.withColumn(BUCKET_COL, self._bucket_expr())
@@ -513,7 +589,7 @@ class FilesTable:
                 continue
             staging = self._staging_dir()
             (
-                self.spark.read.schema(FILES_SCHEMA)
+                self.spark.read.schema(self._schema_of(m))
                 .parquet(full)
                 .coalesce(files_per_bucket)
                 .write.mode("overwrite")
@@ -618,11 +694,11 @@ class FilesTable:
         if not bucketed or self._wide(touched):
             current = self.read()
             kept = current.join(updates.select(*PK), PK, "left_anti")
-            self.overwrite(kept.unionByName(updates.select(*_COLS)), snapshot)
+            self.overwrite(kept.unionByName(self._conform(updates)), snapshot)
             return
         slice_df = self._read_slice(touched)
         kept = slice_df.join(updates.select(*PK), PK, "left_anti")
-        self._commit_buckets(kept.unionByName(updates.select(*_COLS)), touched, snapshot)
+        self._commit_buckets(kept.unionByName(self._conform(updates)), touched, snapshot)
 
     def delete(self, keys: DataFrame) -> None:
         """MERGE ... WHEN MATCHED DELETE (S9): anti-join rewrite of the
@@ -681,5 +757,9 @@ class FilesTable:
 
     def import_json(self, src: str) -> None:
         """Replace the table from a JSON export."""
-        df = self.spark.read.schema(FILES_SCHEMA).option("timestampFormat", self._JSON_TS).json(src)
+        df = (
+            self.spark.read.schema(self.schema())
+            .option("timestampFormat", self._JSON_TS)
+            .json(src)
+        )
         self.overwrite(df)

@@ -133,6 +133,41 @@ def _grouped(
     )
 
 
+def _image_members(docs: DataFrame) -> DataFrame:
+    """Per-asset image fingerprint rows — a PURE per-row decode (m6d's
+    canonical ahash), so an ingest batch's rows are computed from the
+    batch's blobs alone and appended."""
+    return (
+        mm.image_ahash_canonical(mm.ppm_multires_media_from_docs(docs))
+        .filter(F.col("decode_error").isNull())
+        .select(
+            "media_id",
+            "ahash64",
+            (F.col("width") * F.col("height")).cast("long").alias("units"),
+        )
+    )
+
+
+def _audio_members(docs: DataFrame) -> DataFrame:
+    return (
+        mm.audio_envelope(mm.pcm_media_from_docs(docs))
+        .filter(F.col("decode_error").isNull())
+        .select(
+            "media_id",
+            "envelope",
+            (F.col("n_frames") * mm.AUDIO_FRAME).cast("long").alias("units"),
+        )
+    )
+
+
+def _video_members(docs: DataFrame) -> DataFrame:
+    return (
+        video_fingerprint(mm.video_media_from_docs(docs))
+        .filter(F.col("decode_error").isNull())
+        .select("media_id", "fingerprint", F.col("n_pixels").cast("long").alias("units"))
+    )
+
+
 def fingerprint_tables(docs: DataFrame) -> dict[str, DataFrame]:
     """The compute-once decode layer behind x1: one NARROW member table
     per modality (asset id, fingerprint key, accounting units). At
@@ -144,34 +179,72 @@ def fingerprint_tables(docs: DataFrame) -> dict[str, DataFrame]:
     text = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs)).join(
         docs.select("doc_id", "n_chars"), "doc_id"
     )
-    image = (
-        mm.image_ahash_canonical(mm.ppm_multires_media_from_docs(docs))
-        .filter(F.col("decode_error").isNull())
-        .select(
-            "media_id",
-            "ahash64",
-            (F.col("width") * F.col("height")).cast("long").alias("units"),
-        )
-    )
-    audio = (
-        mm.audio_envelope(mm.pcm_media_from_docs(docs))
-        .filter(F.col("decode_error").isNull())
-        .select(
-            "media_id",
-            "envelope",
-            (F.col("n_frames") * mm.AUDIO_FRAME).cast("long").alias("units"),
-        )
-    )
-    video = (
-        video_fingerprint(mm.video_media_from_docs(docs))
-        .filter(F.col("decode_error").isNull())
-        .select("media_id", "fingerprint", F.col("n_pixels").cast("long").alias("units"))
-    )
     return {
         "text_members": text,
-        "image_members": image,
-        "audio_members": audio,
-        "video_members": video,
+        "image_members": _image_members(docs),
+        "audio_members": _audio_members(docs),
+        "video_members": _video_members(docs),
+    }
+
+
+def fingerprint_state(docs: DataFrame) -> dict[str, DataFrame]:
+    """The x3 maintenance state: the x1/x2 member tables PLUS the text
+    LSH index (dd12's band + shingle-set tables). The media member
+    tables are per-row pure, so batch appends need nothing else; the
+    text members carry corpus-global cluster labels, and the index is
+    what lets an ingest batch refresh them without re-signing the
+    corpus (the dd12/dd13 machinery)."""
+    state = fingerprint_tables(docs)
+    lsh = dd.lsh_index_tables(docs)
+    state["lsh_bands"] = lsh["bands"]
+    state["lsh_shingle_sets"] = lsh["shingle_sets"]
+    return state
+
+
+def fingerprint_state_append(
+    state: dict[str, DataFrame], new_docs: DataFrame
+) -> dict[str, DataFrame]:
+    """x3: fold a document/media ingest batch into the materialized
+    fingerprint state — the compute-once family's append operation
+    (ANN has sim12, dedup has dd12/dd13; this completes the symmetry
+    for the cross-modal report).
+
+    Per batch: the media branches decode ONLY the batch's blobs (pure
+    per-row rows, appended); the text branch probes the stored LSH
+    index for near-dup pairs with >= 1 new side (dd12) and refreshes
+    only the touched clusters (dd13) — the stored corpus is never
+    re-decoded or re-signed. The returned state's member tables are
+    provably identical to :func:`fingerprint_state` recomputed over
+    base ∪ batch (dd12/dd13's exactness arguments; the media branches
+    are per-row pure), which is why the x3 gate can hash-check the
+    post-append report against x1's full-corpus oracle VERBATIM.
+
+    Physical write discipline at scale (the registry gate performs
+    it): media member tables and the LSH index are parquet APPENDS;
+    the text member table is rewritten to a fresh version (labels can
+    change on merge) — its touched-cluster slice plus an anti-join
+    passthrough, the dd13 shape.
+    """
+    index = {"bands": state["lsh_bands"], "shingle_sets": state["lsh_shingle_sets"]}
+    new_pairs = dd.incremental_lsh_pairs(index, new_docs)
+    refreshed = dd.incremental_cluster_refresh(
+        state["text_members"].select("doc_id", "cluster_id"), new_pairs, new_docs
+    )
+    chars = (
+        state["text_members"]
+        .select("doc_id", "n_chars")
+        .unionByName(new_docs.select("doc_id", "n_chars"))
+    )
+    new_lsh = dd.lsh_index_tables(new_docs)
+    return {
+        "text_members": refreshed.join(chars, "doc_id"),
+        "image_members": state["image_members"].unionByName(_image_members(new_docs)),
+        "audio_members": state["audio_members"].unionByName(_audio_members(new_docs)),
+        "video_members": state["video_members"].unionByName(_video_members(new_docs)),
+        "lsh_bands": state["lsh_bands"].unionByName(new_lsh["bands"]),
+        "lsh_shingle_sets": state["lsh_shingle_sets"].unionByName(
+            new_lsh["shingle_sets"]
+        ),
     }
 
 

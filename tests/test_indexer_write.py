@@ -821,3 +821,114 @@ def test_stale_cache_resolves_to_logged_commit(spark, tmp_path):
     assert t._read_manifest_cache()["generation"] == gen + 2
     # no-history pruning keeps exactly the latest arbiter entry
     assert [g for g, _ in t._log_generations()] == [gen + 2]
+
+
+# ------------------------------------------------- schema evolution (w11)
+
+def test_add_column_is_metadata_only_and_null_fills(spark, tmp_path):
+    """w11: ADD COLUMN commits a new generation without touching any
+    data dir; existing rows read the new column as NULL, and writes
+    lacking the column keep working (null-filled by _conform)."""
+    t = FilesTable(spark, str(tmp_path / "evo_db"))
+    t.overwrite(_mk_rows(spark, [("/a", "f1", "c1", 1), ("/a", "f2", "c2", 2)]))
+    data_dirs = sorted(
+        n for n in os.listdir(t.location) if n.startswith("data-")
+    )
+    t.add_column("category", "string")
+    # metadata-only: same data dirs, no new staging
+    assert sorted(
+        n for n in os.listdir(t.location) if n.startswith("data-")
+    ) == data_dirs
+    assert t._cols() == [
+        "path", "filename", "checksum", "modification_datetime",
+        "file_size", "indexed_at", "category",
+    ]
+    rows = {r["filename"]: r for r in t.read().collect()}
+    assert rows["f1"]["category"] is None and rows["f2"]["category"] is None
+    # a pre-evolution writer (no category column) still works
+    t.upsert(_mk_rows(spark, [("/a", "f3", "c3", 3)]))
+    assert {r["filename"]: r["category"] for r in t.read().collect()} == {
+        "f1": None, "f2": None, "f3": None,
+    }
+    # and an evolved writer sets it
+    t.upsert(
+        _mk_rows(spark, [("/a", "f1", "c1", 1)]).withColumn(
+            "category", F.lit("doc")
+        )
+    )
+    assert {r["filename"]: r["category"] for r in t.read().collect()} == {
+        "f1": "doc", "f2": None, "f3": None,
+    }
+
+
+def test_add_column_time_travel_reads_old_schema(spark, tmp_path):
+    """read_at() replays a PRE-evolution generation under its own
+    column set — the evolved column is absent, not null-filled."""
+    t = FilesTable(spark, str(tmp_path / "evo_hist_db"), keep_history=True)
+    t.overwrite(_mk_rows(spark, [("/a", "f1", "c1", 1)]))   # gen 1
+    t.add_column("category", "string")                       # gen 2
+    t.upsert(
+        _mk_rows(spark, [("/a", "f2", "c2", 2)]).withColumn(
+            "category", F.lit("doc")
+        )
+    )                                                        # gen 3
+    assert t.read_at(1).columns == [
+        "path", "filename", "checksum", "modification_datetime",
+        "file_size", "indexed_at",
+    ]
+    assert t.read_at(1).count() == 1
+    g2 = t.read_at(2)
+    assert "category" in g2.columns and g2.count() == 1
+    assert [r["category"] for r in g2.collect()] == [None]
+    g3 = {r["filename"]: r["category"] for r in t.read_at(3).collect()}
+    assert g3 == {"f1": None, "f2": "doc"}
+    # vacuum to the live generation: old generations become unreadable
+    # loudly, the evolved live table is unaffected
+    t.vacuum(retain_generations=1)
+    with pytest.raises(ValueError):
+        t.read_at(1)
+    assert {r["filename"] for r in t.read().collect()} == {"f1", "f2"}
+
+
+def test_add_column_rejections_and_conflict_detection(spark, tmp_path):
+    """Duplicate names are rejected; the evolution commit is w9
+    conflict-detected like any write."""
+    from file_indexer_spark.indexer.files_table import ConcurrentWriteError
+
+    t = FilesTable(spark, str(tmp_path / "evo_rej_db"))
+    t.overwrite(_mk_rows(spark, [("/a", "f1", "c1", 1)]))
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("checksum", "string")
+    # a competing writer advances the generation between the evolver's
+    # snapshot and its commit => ConcurrentWriteError, schema unchanged
+    snapshot_doc = t._load_manifest()
+    t.upsert(_mk_rows(spark, [("/a", "f2", "c2", 2)]))
+    with pytest.raises(ConcurrentWriteError):
+        t._commit_manifest(
+            dict(snapshot_doc["entries"]),
+            snapshot_doc["generation"],
+            schema=t.schema().add("category", "string"),
+        )
+    assert "category" not in t._cols()
+
+
+def test_evolved_column_survives_compaction_and_bucketed_merge(spark, tmp_path):
+    """The evolved column rides through the bucketed merge path and
+    compact() (both read with the live schema)."""
+    t = FilesTable(spark, str(tmp_path / "evo_bkt_db"), buckets=4)
+    t.overwrite(
+        _mk_rows(
+            spark,
+            [(f"/d{i}", f"f{i}", f"c{i}", i) for i in range(12)],
+        ).repartition(6)
+    )
+    t.add_column("category", "string")
+    t.upsert(
+        _mk_rows(spark, [("/d0", "f0", "c0", 0)]).withColumn(
+            "category", F.lit("hot")
+        )
+    )
+    t.compact(files_per_bucket=1)
+    rows = {r["filename"]: r["category"] for r in t.read().collect()}
+    assert rows["f0"] == "hot"
+    assert all(v is None for k, v in rows.items() if k != "f0")

@@ -480,3 +480,41 @@ def test_x2_report_phase_never_touches_blobs(spark, tmp_path):
     assert "EvalPython" not in plan, plan
     expected = sorted(tuple(r) for r in xm.duplicate_assets(docs).collect())
     assert sorted(tuple(r) for r in report.collect()) == expected
+
+
+def test_x3_append_introduces_duplicate_of_existing_asset(spark, tmp_path):
+    """x3: an ingest batch carrying a copy (doc 83) of an asset already
+    in the stored state (doc 23, congruent mod every fixture knob) must
+    surface as a duplicate group in EVERY modality after the append —
+    and the post-append report must equal x1 recomputed from scratch
+    over base ∪ batch. The batch's decode is batch-only by
+    construction (the media builders only see the batch frame)."""
+    from file_indexer_spark.operators import crossmodal as xm
+
+    text = ("the quick brown fox jumps over the lazy dog again and "
+            "again because near duplicate detection needs shingles ") * 2
+    other = ("completely different content about distributed query "
+             "engines and columnar storage layouts for training data ") * 2
+    schema = "doc_id long, text string, n_chars long"
+    base = spark.createDataFrame([(23, text, len(text)), (1, other, len(other))], schema)
+    batch = spark.createDataFrame([(83, text, len(text))], schema)
+
+    mats = {}
+    for name, df in xm.fingerprint_state(base).items():
+        path = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = spark.read.parquet(path)
+    appended = xm.fingerprint_state_append(mats, batch)
+    report = sorted(
+        tuple(r) for r in xm.duplicate_assets_from_tables(appended).collect()
+    )
+    scratch = sorted(
+        tuple(r) for r in xm.duplicate_assets(base.unionByName(batch)).collect()
+    )
+    assert report == scratch
+    by_mod = {}
+    for r in xm.duplicate_assets_from_tables(appended).collect():
+        by_mod.setdefault(r["modality"], []).append(r)
+    assert set(by_mod) == {"text", "image", "audio", "video"}
+    (t,) = by_mod["text"]
+    assert t["n_assets"] == 2 and t["canonical_asset_id"] == 23

@@ -474,3 +474,102 @@ def test_update_mode_drop_rule_and_accounting(spark, tmp_path):
     # dropped); 10:00 window holds the kept batch-2 row
     assert fin == {9: 1, 10: 1, 12: 1}
     assert sw.dropped_by_watermark_total(q) == 1
+
+
+def _nd_doc(prefix: str, head: list[str] | None = None, tail: list[str] | None = None) -> str:
+    """A 40-word doc of unique tokens; optionally replace the first / last
+    4 words. 38 word-3-gram shingles; replacing one 4-word end changes 4
+    of them => pruned-set Jaccard 34/42 ~ 0.8095 (>= 0.8 pairs), while
+    replacing BOTH ends leaves 30 shared => 30/46 ~ 0.652 (< 0.8)."""
+    words = [f"{prefix}{i}" for i in range(40)]
+    if head:
+        words[:4] = head
+    if tail:
+        words[-4:] = tail
+    return " ".join(words)
+
+
+def test_streaming_neardup_ingest_matches_batch_dd7(spark, tmp_path):
+    """st13: the foreachBatch near-dup ingest must reproduce dd7 from
+    scratch across micro-batches — including a LATE CLUSTER MERGE: A
+    (batch 1) and B (batch 2) are not near-dups of each other, then C
+    (batch 3) pairs with BOTH; the refresh must fold A, B, C into one
+    cluster and demote B, which greedy drop-on-arrival cannot do."""
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.registry_core import _land_arrivals
+    from file_indexer_spark.streaming import neardup as snd
+
+    a = _nd_doc("w")                                            # doc 1
+    b = _nd_doc("w", head=["bh0", "bh1", "bh2", "bh3"],
+                tail=["ct0", "ct1", "ct2", "ct3"])              # doc 2
+    c = _nd_doc("w", tail=["ct0", "ct1", "ct2", "ct3"])         # doc 4
+    noise = _nd_doc("z")                                        # doc 3
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, a), (3, noise)], schema)
+    b2 = spark.createDataFrame([(2, b)], schema)
+    b3 = spark.createDataFrame([(4, c)], schema)
+    all_docs = b1.unionByName(b2).unionByName(b3)
+
+    # the fixture's whole point: A~C and B~C pair, A~B does not
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_pairs(all_docs).collect()
+    }
+    assert pairs == {(1, 4), (2, 4)}
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    _land_arrivals(src, [b1, b2, b3])
+    stream = snd.read_docs_stream(spark, src, max_files_per_trigger=1)
+    snd.ingest_neardup_stream(spark, stream, state, str(tmp_path / "ckpt"))
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in snd.final_assignments(spark, state).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dd.dedup_clusters(
+            all_docs, dd.minhash_lsh_pairs(all_docs)
+        ).collect()
+    }
+    assert got == want
+    # the late merge happened: B was accepted at ingestion (no pair with
+    # A existed yet) but is non-canonical in the final state
+    assert got[2] == (1, False) and got[4] == (1, False) and got[1] == (1, True)
+    dec = {
+        r["doc_id"]: (r["batch_id"], r["accepted"])
+        for r in snd.ingest_decisions(spark, state).collect()
+    }
+    assert dec[1] == (0, True) and dec[3] == (0, True)
+    assert dec[2] == (1, True)   # accepted at ingestion...
+    assert dec[4] == (2, False)  # ...C dropped (near-dups 1 and 2)
+
+
+def test_streaming_neardup_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-folding an already-committed
+    micro-batch version must be a no-op (no duplicate decisions, no
+    duplicate index rows)."""
+    from file_indexer_spark.streaming import neardup as snd
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, _nd_doc("w")), (3, _nd_doc("z"))], schema)
+    b2 = spark.createDataFrame([(2, _nd_doc("w"))], schema)  # identical text to doc 1
+    state = str(tmp_path / "state")
+    snd.ingest_batch(spark, b1, state, 0)
+    snd.ingest_batch(spark, b2, state, 1)
+    before = sorted(
+        (r["batch_id"], r["doc_id"]) for r in snd.ingest_decisions(spark, state).collect()
+    )
+    n_bands = spark.read.parquet(f"{state}/bands").count()
+    snd.ingest_batch(spark, b2, state, 1)  # replay
+    after = sorted(
+        (r["batch_id"], r["doc_id"]) for r in snd.ingest_decisions(spark, state).collect()
+    )
+    assert after == before
+    assert spark.read.parquet(f"{state}/bands").count() == n_bands
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in snd.final_assignments(spark, state).collect()
+    }
+    assert got == {1: (1, True), 2: (1, False), 3: (3, True)}
