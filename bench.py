@@ -445,7 +445,33 @@ SCALE_QUERIES = [
     # round 8: incremental LSH probe (index build + batch probe; the
     # probe leg is O(batch x matched buckets), never O(corpus))
     "dd12_incremental_lsh",
+    # round 9: sim10 in its DESIGN regime (n_centroids ~ sqrt(n), the
+    # serving rule) beside the fixed-64-centroid gate config — the gate
+    # row's ratio is a by-construction artifact of scanning 100x-longer
+    # lists (verdict r8 #5); this row is the number the serving path
+    # actually exhibits.
+    "sim10_ivfpq_topk_serving_regime",
 ]
+
+
+def _sim10_serving_regime(spark, sf_dir: str):
+    """sim10 with the centroid count scaled to the corpus
+    (n_centroids = sqrt(n)): per-query candidate volume stays ~sqrt(n)
+    instead of n/64, the regime an IVF-PQ deployment runs. Not
+    oracle-replicable per-factor (k varies with n), so it lives only
+    in the scale sweep."""
+    import math
+
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.session import tune_session
+
+    tune_session(spark)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    return sim.ivfpq_topk(emb, n_centroids=max(64, math.isqrt(n)))
+
+
+SCALE_EXTRA = {"sim10_ivfpq_topk_serving_regime": _sim10_serving_regime}
 
 
 def materialize_scale(spark, src_dir: str, dst_dir: str, factor: int) -> None:
@@ -500,10 +526,12 @@ def main_scale() -> None:
     # pairs (a corpus artifact, not an engine property).
     override = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
     base_names = override.split(",") if override else SCALE_QUERIES
-    names = [n for n in base_names if n in registry.QUERIES]
+    names = [
+        n for n in base_names if n in registry.QUERIES or n in SCALE_EXTRA
+    ]
     results: dict[str, dict] = {}
     for name in names:
-        fn = registry.QUERIES[name]
+        fn = registry.QUERIES.get(name) or SCALE_EXTRA[name]
         per_dir = {}
         for label, d in [("x1", sf_dir), (f"x{factor}", scale_dir)]:
             run_query_safe(fn, spark, d, errors, name)  # warm-up
@@ -1005,6 +1033,42 @@ def main_incremental() -> None:
         "steady_state_dd13_probe_plus_refresh": timed(refresh, reps=2),
     }
 
+    # dedup family on the REALISTIC-DENSITY corpus (the 50k-vocab
+    # near-dup-scale generator: planted duplicate pairs, natural-text
+    # shingle density). On the dense gate corpus a 10% batch touches
+    # MOST clusters, so the refresh ratio understates the production
+    # win; here "affected members" tracks the batch and the refresh
+    # cost decomposes into a fixed multi-stage floor + a batch term —
+    # the asymmetry the operator exists for (verdict r8 #2).
+    nd_n = int(os.environ.get("SPARK_GRAFT_INCR_ND_N", "50000"))
+    nd_path = os.path.join(base_dir, "nd_docs")
+    _synth_docs(spark, nd_n).write.mode("overwrite").parquet(nd_path)
+    rdocs = spark.read.parquet(nd_path)
+    realistic: dict[str, float | int] = {
+        "n_docs": nd_n,
+        "vocab": _ND_VOCAB,
+        "from_scratch_dd7": timed(
+            lambda: dd.dedup_clusters(rdocs, dd.minhash_lsh_pairs(rdocs)).count()
+        ),
+    }
+    for tag, pred in [("10pct", F.col("doc_id") % 10 == 7),
+                      ("1pct", F.col("doc_id") % 100 == 37)]:
+        rnew = rdocs.filter(pred)
+        rbase = rdocs.filter(~pred)
+        rmats: dict = {}
+        stored = dict(dd.lsh_index_tables(rbase))
+        stored["assignments"] = dd.dedup_clusters(
+            rbase, dd.minhash_lsh_pairs(rbase)
+        )
+        rmats.update(mat(stored, f"dd13_nd_{tag}"))
+
+        def rrefresh(rm=rmats, rn=rnew):
+            pairs = dd.incremental_lsh_pairs(rm, rn)
+            dd.incremental_cluster_refresh(rm["assignments"], pairs, rn).count()
+
+        realistic[f"steady_state_dd13_refresh_{tag}_batch"] = timed(rrefresh, reps=2)
+    results["dedup_index_realistic"] = realistic
+
     doc = {
         "metric": "incremental_split_sec",
         "unit": "sec",
@@ -1015,8 +1079,13 @@ def main_incremental() -> None:
             "from_scratch = the inline gate operator; build_once = "
             "materialize the index/member tables to parquet (incl. "
             "write+re-read); steady_state = min-of-N over the parquet "
-            "re-reads only. Dense synthetic corpus — dedup refresh "
-            "ratios understate the production win (see PERFORMANCE.md)"
+            "re-reads only. dedup_index uses the dense gate corpus "
+            "(31-word vocab: a 10% batch touches MOST clusters, so its "
+            "refresh ratio understates the production win); "
+            "dedup_index_realistic re-measures the family on the "
+            "50k-vocab planted-duplicate corpus, where the refresh "
+            "cost tracks the BATCH over a fixed multi-stage floor "
+            "while from_scratch tracks the corpus"
         ),
         "families": results,
     }
