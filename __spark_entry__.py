@@ -44,7 +44,7 @@ _DRIVER_PRIORITY = [
     # oldest-driver-check-first for spare slots). Behind them the
     # round-8 window for regression reads.
     "st13_streaming_neardup_ingest", "x3_dup_assets_append",
-    "w11_schema_evolution",
+    "w11_schema_evolution", "sim13_streaming_ann_ingest",
     "j2_duplicate_groups", "a12_duplicate_groups_nested",
     "a1_database_stats", "p1_search_multidim", "d5_duplicates_report",
     "h1_regional_revenue", "h3_late_order_priorities",

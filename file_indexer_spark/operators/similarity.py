@@ -824,6 +824,31 @@ def _pq_codes(
     )
 
 
+def ivfpq_encode_batch(
+    index: dict[str, DataFrame],
+    new_vectors: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codewords: int = PQ_CODEWORDS,
+) -> DataFrame:
+    """The batch-only encode leg of :func:`ivfpq_append`: the
+    (vec_id, codes, centroid_id) rows for ``new_vectors`` under the
+    index's FROZEN quantizer — the stored centroids, codebook, and
+    assignment regime (``meta.hier_assign``). This is the row set a
+    streaming ingest appends per micro-batch (sim13): the stored coded
+    corpus is never read, so per-batch cost is two broadcast passes
+    over the batch alone."""
+    cents = index["centroids"].select(
+        "centroid_id", F.col("c_emb").alias("embedding")
+    )
+    hier: bool | None = None
+    if "meta" in index:
+        hier = bool(index["meta"].select("hier_assign").first()["hier_assign"])
+    assign = ivf_assignments(new_vectors, centroids=cents, hier=hier)
+    return _pq_codes(
+        new_vectors, n_subspaces, n_codewords, codebook=index["codebook"]
+    ).join(assign, "vec_id")
+
+
 def ivfpq_append(
     index: dict[str, DataFrame],
     new_vectors: DataFrame,
@@ -849,16 +874,7 @@ def ivfpq_append(
     ones. Indexes persisted before ``meta`` existed fall back to the
     count-based inference they were built under.
     """
-    cents = index["centroids"].select(
-        "centroid_id", F.col("c_emb").alias("embedding")
-    )
-    hier: bool | None = None
-    if "meta" in index:
-        hier = bool(index["meta"].select("hier_assign").first()["hier_assign"])
-    assign = ivf_assignments(new_vectors, centroids=cents, hier=hier)
-    new_codes = _pq_codes(
-        new_vectors, n_subspaces, n_codewords, codebook=index["codebook"]
-    ).join(assign, "vec_id")
+    new_codes = ivfpq_encode_batch(index, new_vectors, n_subspaces, n_codewords)
     merged = {
         "codes": index["codes"].unionByName(new_codes),
         "centroids": index["centroids"],

@@ -1,5 +1,6 @@
 """Registered queries — round 9: streaming near-dup ingestion (st13),
-cross-modal fingerprint append (x3), FilesTable schema evolution (w11).
+cross-modal fingerprint append (x3), FilesTable schema evolution (w11),
+streaming ANN index ingestion (sim13).
 """
 
 from __future__ import annotations
@@ -129,6 +130,59 @@ def x3_dup_assets_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "video_members": spark.read.parquet(p("video_members")),
         }
     )
+
+
+# sim13's oracle is sim12's family: the composed IVF-PQ search with the
+# quantizer CTEs filtered to the BOOTSTRAP arrival slice (the first
+# micro-batch trains the quantizer, then it is FROZEN — FAISS
+# train()-then-add() run from a stream). The searched codes and the
+# query set span the full table; the filter computes the same 80%
+# vec_id cut the Spark gate lands as arrival 1.
+from file_indexer_spark.queries.q10_pq_crossmodal import _ivfpq_oracle  # noqa: E402
+
+
+@register(
+    "sim13_streaming_ann_ingest",
+    _ivfpq_oracle("vec_id <= (SELECT MAX(vec_id) * 8 // 10 FROM embeddings)"),
+)
+def sim13_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM13: streaming ANN index INGESTION — the st13 of the ANN
+    family. Embeddings arrive chronologically in three micro-batches
+    (a large bootstrap drop + two ingest batches); the first batch
+    trains and freezes the quantizer, each later batch broadcast-
+    encodes only itself (sim12's encode leg) and appends its coded
+    rows. The gate drains the stream, then answers the query batch
+    from the stored index alone — hash-checked against the composed
+    DuckDB search with the quantizer frozen to the bootstrap slice,
+    proving stream-ingest == bootstrap-build + one big add()."""
+    import os
+
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.streaming import ann as sann
+
+    tune_session(spark)
+    base, _ = _stream_workdir("fis_sim13", sf_dir)
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    emb = _table(spark, sf_dir, "embeddings")
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    c1, c2 = int(hi * 8 // 10), int(hi * 9 // 10)
+    cols = ["vec_id", "embedding", "label"]
+    _land_arrivals(
+        src,
+        [
+            emb.filter(F.col("vec_id") <= c1).select(*cols),
+            emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2)).select(*cols),
+            emb.filter(F.col("vec_id") > c2).select(*cols),
+        ],
+    )
+    stream = sann.read_embeddings_stream(spark, src, max_files_per_trigger=1)
+    sann.ingest_ann_stream(spark, stream, state, ckpt)
+    queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sann.search(spark, state, queries)
 
 
 @register(

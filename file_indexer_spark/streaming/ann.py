@@ -1,0 +1,173 @@
+"""Streaming ANN index ingestion (sim13) — the st13 of the ANN family.
+
+A 100 TB vector corpus is not indexed once; it is INGESTED. The
+production loop is FAISS's ``train()``-then-``add()`` run from a
+stream: the quantizer (IVF centroids + PQ codebook) is trained on the
+bootstrap corpus and then FROZEN, and every arriving embedding batch
+is assigned + encoded against it and appended to the coded corpus —
+nothing already indexed is ever touched, and the serving path
+(:func:`~file_indexer_spark.operators.similarity.ivfpq_topk_from_index`,
+sim11) keeps answering from the stored narrow tables mid-ingest.
+
+Driven from ``foreachBatch`` over the batch maintenance operators this
+repo already gates:
+
+  * the STATE is the materialized IVF-PQ index of
+    :func:`~file_indexer_spark.operators.similarity.ivfpq_index_tables`
+    — broadcast-sized ``centroids`` / ``codebook`` / ``meta`` written
+    once at bootstrap, plus the coded corpus as APPEND-ONLY parquet
+    (one ``codes/v{batch}`` dir per micro-batch: a foreachBatch replay
+    overwrites its own version dir, so at-least-once delivery cannot
+    duplicate rows);
+  * each micro-batch runs
+    :func:`~file_indexer_spark.operators.similarity.ivfpq_encode_batch`
+    (sim12's encode leg): one broadcast assignment pass + one broadcast
+    codebook encode over the BATCH only — O(batch), never O(corpus);
+  * serving reads ``codes/*`` (all versions) + the frozen quantizer —
+    at scale the codes dirs are written clustered by centroid list, so
+    the probe join prunes to the probed lists' files.
+
+Exactness: encode-under-frozen-quantizer is exactly sim12's
+``ivfpq_append`` contract (hash-gated against the composed DuckDB
+oracle with the quantizer CTEs filtered to the base slice), so by
+induction over micro-batches the drained index equals one bootstrap
+build plus one big ``add()`` — the sim13 registry gate drains a
+3-arrival stream and hash-checks the final search results against the
+same oracle family, quantizer filtered to the FIRST arrival slice.
+
+State at scale: codes are ~(M + id) bytes per vector of append-only
+parquet; centroids/codebook/meta are broadcast-sized and immutable
+after bootstrap. Re-training the quantizer (index rebuild after drift)
+is a batch job — sim11's build — swapped in by pointing serving at the
+new state dir; the stream itself never retrains.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from file_indexer_spark.operators import similarity as sim
+
+EMB_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+_QUANTIZER_TABLES = ("centroids", "codebook", "meta")
+
+
+def read_embeddings_stream(
+    spark: SparkSession, src: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(src)
+    )
+
+
+def _code_versions(state_dir: str) -> list[int]:
+    root = os.path.join(state_dir, "codes")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(n[1:])
+        for n in os.listdir(root)
+        if n.startswith("v")
+        and n[1:].isdigit()
+        # only COMMITTED versions count (parquet write is dir-atomic via
+        # _SUCCESS; a crashed half-write must be re-folded, not skipped)
+        and os.path.exists(os.path.join(root, n, "_SUCCESS"))
+    )
+
+
+def _codes_path(state_dir: str, version: int) -> str:
+    return os.path.join(state_dir, "codes", f"v{version}")
+
+
+def load_index(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
+    """The stored index as serving-ready frames: the frozen quantizer
+    tables + ALL committed code versions (sim11's serve path runs on
+    this dict unchanged, mid-ingest or after drain)."""
+    versions = _code_versions(state_dir)
+    if not versions:
+        raise ValueError(f"no ANN index state at {state_dir}")
+    index = {
+        name: spark.read.parquet(os.path.join(state_dir, name))
+        for name in _QUANTIZER_TABLES
+    }
+    index["codes"] = spark.read.parquet(
+        *[_codes_path(state_dir, v) for v in versions]
+    )
+    return index
+
+
+def ingest_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str, version: int
+) -> None:
+    """Fold ONE embedding micro-batch into the ANN index at
+    ``state_dir``. The first batch BOOTSTRAPS: it trains the quantizer
+    (label-rep centroids + md5-seeded codebook — sim10's build) and
+    writes the frozen tables; every later batch encodes against them
+    (:func:`~file_indexer_spark.operators.similarity.ivfpq_encode_batch`)
+    and appends only its own coded rows. Idempotent per version: a
+    replayed micro-batch (foreachBatch's at-least-once contract) whose
+    committed version dir already exists is skipped."""
+    versions = _code_versions(state_dir)
+    if version in versions:
+        return  # replayed micro-batch: already committed
+    if not versions:
+        tables = sim.ivfpq_index_tables(batch)
+        for name in _QUANTIZER_TABLES:
+            tables[name].write.mode("overwrite").parquet(
+                os.path.join(state_dir, name)
+            )
+        codes = tables["codes"]
+    else:
+        stored = {
+            name: spark.read.parquet(os.path.join(state_dir, name))
+            for name in _QUANTIZER_TABLES
+        }
+        codes = sim.ivfpq_encode_batch(stored, batch)
+    codes.write.mode("overwrite").parquet(_codes_path(state_dir, version))
+
+
+def ingest_ann_stream(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Run the ANN ingest over an embedding stream (availableNow:
+    drain-and-stop; pass a processingTime trigger via ``.trigger`` on a
+    long-lived pipeline). Each micro-batch runs :func:`ingest_batch`."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_batch(spark, batch, state_dir, int(batch_id))
+
+    query = (
+        emb_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def search(
+    spark: SparkSession, state_dir: str, queries: DataFrame, **kwargs
+) -> DataFrame:
+    """Answer a (query_id, embedding) batch from the stored index —
+    sim11's serving path over the streamed-in state; valid mid-ingest
+    (it sees every committed version) and after drain."""
+    return sim.ivfpq_topk_from_index(load_index(spark, state_dir), queries, **kwargs)

@@ -110,6 +110,11 @@ _NESTED_LOOP_OK = {
     # codebook / centroids) on top of sim11's serving crosses — all
     # broadcast-bounded; the merged-code scan joins on centroid_id.
     "sim12_ivfpq_append",
+    # sim13 is sim11's serving phase over the streamed-in index state —
+    # identical bounded broadcast crosses (query batch x 128-row
+    # codebook / centroid frame); per-batch ingest work happened inside
+    # foreachBatch and is sim12's allow-listed encode shape.
+    "sim13_streaming_ann_ingest",
 }
 
 

@@ -573,3 +573,78 @@ def test_streaming_neardup_ingest_batch_replay_is_idempotent(spark, tmp_path):
         for r in snd.final_assignments(spark, state).collect()
     }
     assert got == {1: (1, True), 2: (1, False), 3: (3, True)}
+
+
+def test_streaming_ann_ingest_matches_frozen_quantizer_build(spark, sf_smoke, tmp_path):
+    """sim13: draining an embedding stream through the foreachBatch ANN
+    ingest must equal one bootstrap build plus one big frozen-quantizer
+    add() (sim12's contract) — and the quantizer tables must be
+    byte-stable across later batches."""
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.registry_core import _land_arrivals
+    from file_indexer_spark.streaming import ann as sann
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    c1, c2 = int(hi * 8 // 10), int(hi * 9 // 10)
+    cols = ["vec_id", "embedding", "label"]
+    b1 = emb.filter(F.col("vec_id") <= c1).select(*cols)
+    b2 = emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2)).select(*cols)
+    b3 = emb.filter(F.col("vec_id") > c2).select(*cols)
+
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    _land_arrivals(src, [b1, b2, b3])
+    stream = sann.read_embeddings_stream(spark, src, max_files_per_trigger=1)
+    sann.ingest_ann_stream(spark, stream, state, str(tmp_path / "ckpt"))
+
+    # quantizer tables froze at bootstrap: identical to a direct build
+    # on the first arrival slice
+    boot = sim.ivfpq_index_tables(b1)
+    for name in ("centroids", "codebook"):
+        want = sorted(map(tuple, boot[name].collect()))
+        got = sorted(map(tuple, spark.read.parquet(f"{state}/{name}").collect()))
+        assert got == want, name
+
+    queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [tuple(r) for r in sann.search(spark, state, queries).collect()]
+    want = [
+        tuple(r)
+        for r in sim.ivfpq_topk_from_index(
+            sim.ivfpq_append(boot, b2.unionByName(b3)), queries
+        ).collect()
+    ]
+    assert got == want and len(got) == sim.N_QUERIES * sim.TOP_K
+
+
+def test_streaming_ann_ingest_batch_replay_is_idempotent(spark, sf_smoke, tmp_path):
+    """foreachBatch is at-least-once: re-folding an already-committed
+    micro-batch version must not duplicate coded rows, and the batch's
+    own rows encode against the STORED quantizer (never retrain)."""
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.streaming import ann as sann
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 10 != 7)
+    b2 = emb.filter(F.col("vec_id") % 10 == 7)
+    state = str(tmp_path / "state")
+    sann.ingest_batch(spark, b1, state, 0)
+    sann.ingest_batch(spark, b2, state, 1)
+    index = sann.load_index(spark, state)
+    n_codes = index["codes"].count()
+    assert n_codes == emb.count()
+    sann.ingest_batch(spark, b2, state, 1)  # replay
+    assert sann.load_index(spark, state)["codes"].count() == n_codes
+    # appended rows match a direct encode against the frozen tables
+    direct = {
+        r["vec_id"]: (tuple(r["codes"]), r["centroid_id"])
+        for r in sim.ivfpq_encode_batch(index, b2).collect()
+    }
+    stored = {
+        r["vec_id"]: (tuple(r["codes"]), r["centroid_id"])
+        for r in spark.read.parquet(f"{state}/codes/v1").collect()
+    }
+    assert stored == direct
