@@ -38,28 +38,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage.
 _DRIVER_PRIORITY = [
     # round 9: this round's additions lead (never driver-checked),
-    # then the ROTATION set — the ten oldest-driver-checked headline
-    # queries (last verified r02/r03, and the round-8 registry split
-    # touched every registration; verdict r8 #3 — standing rule:
-    # oldest-driver-check-first for spare slots). Behind them the
-    # round-8 window for regression reads.
+    # then the ROTATION set — the oldest-driver-checked queries
+    # (standing rule, verdict r8 #3: oldest-check-first for spare
+    # slots). The ten headline rotations verified r02/r03 come first,
+    # then the r2–r4-era block that fills the remaining window slots
+    # (their last driver rows predate every later era's). The recently
+    # re-checked r6–r8 windows sit BEHIND the window boundary — their
+    # green rows are at most two rounds old and the local
+    # test_oracle_diff gate covers all queries every run.
     "st13_streaming_neardup_ingest", "x3_dup_assets_append",
     "w11_schema_evolution", "sim13_streaming_ann_ingest",
+    "x4_streaming_crossmodal_ingest",
     "j2_duplicate_groups", "a12_duplicate_groups_nested",
     "a1_database_stats", "p1_search_multidim", "d5_duplicates_report",
     "h1_regional_revenue", "h3_late_order_priorities",
     "dd3_minhash_lsh", "e1_sessionization", "sp1_hash_split",
-    # round 8 window:
+    # r2–r4-era rotation block (slots 16-50):
+    "dd7_dedup_clusters", "w2_two_phase_roundtrip",
+    "ct1_contamination", "ct2_pii_scrub", "ct3_repetition_stats",
+    "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",
+    "h2_returned_top_customers", "e7_asof_last_view",
+    "e8_rolling_daily_value", "t6_length_percentiles",
+    "e9_preceding_window_counts", "w3_cleanup_roundtrip",
+    "e10_sliding_counts", "st5_streaming_sliding", "w4_json_roundtrip",
+    "t7_rollup_token_totals", "t8_lang_pivot", "e11_event_transitions",
+    "inf1_classifier_scores", "sp4_shard_assignment",
+    "w5_incremental_update", "e12_gap_percentiles",
+    "ct4_boilerplate_ngrams", "t9_cube_token_totals",
+    "e1b_sessionization_skew", "m2b_ppm_decode", "h4_pricing_summary",
+    "h5_shipping_priority", "sp5_stratified_sample",
+    "dd8_duplicate_spans", "ct5_quality_rank_filter",
+    "mx2_temperature_mixture", "t10_distinctive_terms",
+    # r2–r4 era continued (next round's rotation head):
+    "h6_revenue_forecast", "sim5_knn_join", "e13_daily_uniques",
+    "w6_sharded_export", "dd9_duplicate_span_extents",
+    "pp1_curation_pipeline",
+    # round 8 window (checked r8):
     "sim9_pq_encode", "w10_compaction_roundtrip",
     "sim10_ivfpq_topk", "x1_cross_modal_dup_assets",
     "st12_late_data_accounting", "x2_dup_assets_materialized",
     "dd12_incremental_lsh", "sim11_ivfpq_materialized",
     "dd13_incremental_clusters", "sim12_ivfpq_append",
-    # round 7: the seven BOUNDS COMPANIONS lead — oracle-bearing
-    # violation sets (expected empty) that turn the rows-only set's
-    # err:"no_oracle" driver rows into hash-checkable tolerance
-    # contracts (operators/bounds.py; verdict r6 #1). Behind them the
-    # round-7 additions, then the round-6 window for regression reads.
+    # round 7 window (bounds companions + r7 additions, checked r7/r8):
     "t6a_bounds", "e12a_bounds", "e13a_bounds", "st6_bounds",
     "dd6_bounds", "sim3_bounds", "sim8_bounds",
     "st11_update_mode_counts", "m7c_audio_dup_groups",
@@ -83,31 +103,6 @@ _DRIVER_PRIORITY = [
     "m6b_image_dup_groups",
     "e14_session_window", "st8_session_window_stream",
     "h7_large_volume_customers",
-    "dd7_dedup_clusters",
-    "w2_two_phase_roundtrip",
-    "ct1_contamination", "ct2_pii_scrub", "ct3_repetition_stats",
-    "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",
-    "h1_regional_revenue", "h2_returned_top_customers",
-    "h3_late_order_priorities", "e7_asof_last_view", "e8_rolling_daily_value",
-    "t6_length_percentiles", "e9_preceding_window_counts",
-    "w3_cleanup_roundtrip", "e10_sliding_counts", "st5_streaming_sliding",
-    "w4_json_roundtrip", "t7_rollup_token_totals", "t8_lang_pivot",
-    "e11_event_transitions", "inf1_classifier_scores", "sp4_shard_assignment",
-    "w5_incremental_update", "e12_gap_percentiles", "ct4_boilerplate_ngrams",
-    "t9_cube_token_totals",
-    # round-4 additions (never driver-checked either): skew-safe
-    # sessionization, approx-percentile 100TB paths, real-format decode
-    "e1b_sessionization_skew",
-    # t6a/e12a/e13a/st6 are rows-only sketch paths (pytest-pinned) —
-    # their window slots go to fully hash-checkable entries
-    "m2b_ppm_decode",  # e12a is rows-only (pytest-pinned) — slot goes to dd9
-    "h4_pricing_summary", "h5_shipping_priority",
-    "sp5_stratified_sample", "dd8_duplicate_spans", "ct5_quality_rank_filter",
-    "mx2_temperature_mixture", "t10_distinctive_terms", "h6_revenue_forecast", "sim5_knn_join",
-    # e13a/st6 are rows-only (sketch paths, pytest-pinned) — the 50th
-    # window slot goes to w6, which the driver can fully hash-check
-    "e13_daily_uniques", "w6_sharded_export", "dd9_duplicate_span_extents",
-    "pp1_curation_pipeline",
 ]
 
 

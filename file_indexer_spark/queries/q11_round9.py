@@ -132,6 +132,47 @@ def x3_dup_assets_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# x4 shares x1's oracle VERBATIM: after draining a 3-arrival
+# chronological stream through the foreachBatch cross-modal ingest
+# (batch media decoded batch-locally; text clusters refreshed through
+# the stored LSH index), the report over the stored member tables must
+# equal x1 recomputed over the full corpus — the streaming rendition
+# of x2/x3, closing the family's symmetry with st13/sim13.
+@register("x4_streaming_crossmodal_ingest", ORACLES["x1_cross_modal_dup_assets"])
+def x4_streaming_crossmodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: cross-modal fingerprint ingestion AT STREAM TIME — documents
+    plus their derived media arrive chronologically in three
+    micro-batches; each batch appends per-row-pure media member rows
+    (its own blobs only), probes + refreshes the text clusters (dd12 →
+    dd13), and lands its LSH rows — every write a replay-idempotent
+    per-version dir. The gate drains the stream and returns the
+    duplicate-asset report from the stored tables alone."""
+    import os
+
+    from file_indexer_spark.streaming import crossmodal as sxm
+
+    tune_session(spark)
+    base, _ = _stream_workdir("fis_x4", sf_dir)
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    docs = _table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    c1, c2 = int(hi * 8 // 10), int(hi * 9 // 10)
+    cols = ["doc_id", "text", "n_chars"]
+    _land_arrivals(
+        src,
+        [
+            docs.filter(F.col("doc_id") <= c1).select(*cols),
+            docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)).select(*cols),
+            docs.filter(F.col("doc_id") > c2).select(*cols),
+        ],
+    )
+    stream = sxm.read_docs_stream(spark, src, max_files_per_trigger=1)
+    sxm.ingest_crossmodal_stream(spark, stream, state, ckpt)
+    return sxm.duplicate_assets_report(spark, state)
+
+
 # sim13's oracle is sim12's family: the composed IVF-PQ search with the
 # quantizer CTEs filtered to the BOOTSTRAP arrival slice (the first
 # micro-batch trains the quantizer, then it is FROZEN — FAISS

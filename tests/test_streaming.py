@@ -648,3 +648,60 @@ def test_streaming_ann_ingest_batch_replay_is_idempotent(spark, sf_smoke, tmp_pa
         for r in spark.read.parquet(f"{state}/codes/v1").collect()
     }
     assert stored == direct
+
+
+def test_streaming_crossmodal_ingest_matches_batch_report(spark, sf_smoke, tmp_path):
+    """x4: draining a document/media stream through the foreachBatch
+    cross-modal ingest must reproduce x1's report computed from scratch
+    over everything ingested — media decoded batch-locally, text
+    clusters refreshed through the stored LSH index."""
+    from file_indexer_spark.operators import crossmodal as xm
+    from file_indexer_spark.registry_core import _land_arrivals
+    from file_indexer_spark.streaming import crossmodal as sxm
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    c1, c2 = int(hi * 8 // 10), int(hi * 9 // 10)
+    cols = ["doc_id", "text", "n_chars"]
+    b1 = docs.filter(F.col("doc_id") <= c1).select(*cols)
+    b2 = docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)).select(*cols)
+    b3 = docs.filter(F.col("doc_id") > c2).select(*cols)
+
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    _land_arrivals(src, [b1, b2, b3])
+    stream = sxm.read_docs_stream(spark, src, max_files_per_trigger=1)
+    sxm.ingest_crossmodal_stream(spark, stream, state, str(tmp_path / "ckpt"))
+
+    got = [tuple(r) for r in sxm.duplicate_assets_report(spark, state).collect()]
+    want = [
+        tuple(r) for r in xm.duplicate_assets(docs.select(*cols)).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_streaming_crossmodal_ingest_batch_replay_is_idempotent(
+    spark, sf_smoke, tmp_path
+):
+    """Re-folding an already-committed micro-batch version is a no-op:
+    per-version dirs overwrite themselves, so at-least-once delivery
+    cannot duplicate member or index rows."""
+    from file_indexer_spark.streaming import crossmodal as sxm
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    b1 = docs.filter(F.col("doc_id") % 10 != 7)
+    b2 = docs.filter(F.col("doc_id") % 10 == 7)
+    state = str(tmp_path / "state")
+    sxm.ingest_batch(spark, b1, state, 0)
+    sxm.ingest_batch(spark, b2, state, 1)
+    tables = sxm.stored_member_tables(spark, state)
+    counts = {name: df.count() for name, df in tables.items()}
+    before = sorted(map(tuple, sxm.duplicate_assets_report(spark, state).collect()))
+    sxm.ingest_batch(spark, b2, state, 1)  # replay
+    tables2 = sxm.stored_member_tables(spark, state)
+    assert {n: df.count() for n, df in tables2.items()} == counts
+    after = sorted(map(tuple, sxm.duplicate_assets_report(spark, state).collect()))
+    assert after == before
