@@ -48,7 +48,7 @@ _DRIVER_PRIORITY = [
     # test_oracle_diff gate covers all queries every run.
     "st13_streaming_neardup_ingest", "x3_dup_assets_append",
     "w11_schema_evolution", "sim13_streaming_ann_ingest",
-    "x4_streaming_crossmodal_ingest",
+    "x4_streaming_crossmodal_ingest", "w12_pruned_point_lookup",
     "j2_duplicate_groups", "a12_duplicate_groups_nested",
     "a1_database_stats", "p1_search_multidim", "d5_duplicates_report",
     "h1_regional_revenue", "h3_late_order_priorities",

@@ -518,6 +518,55 @@ class FilesTable:
     def read(self) -> DataFrame:
         return self._read_raw().select(*self._cols())
 
+    def read_for_keys(self, keys: DataFrame) -> DataFrame:
+        """w12: manifest-PRUNED key probe — the Spark answer to the
+        reference's embedded point query (P5/P6,
+        file_indexer_api/database.py get_file / files-batch). The probe
+        keys hash to their PK buckets driver-side (probe sets are
+        small by contract — P6's batch shape), ONLY those buckets'
+        data dirs are opened, and the probe broadcast-semi-joins the
+        slice. On a 100 TB / 4096-bucket table a point lookup opens
+        one dir (~1/4096 of the data) instead of scanning the fact
+        table — the same manifest pruning the write path uses, exposed
+        to reads. Falls back to a full-scan semi-join on unbucketed or
+        pre-manifest tables.
+
+        ``keys`` needs ``path`` (+ ``filename`` for full-PK probes;
+        path-only probes match every file in the directory, the D4
+        shape)."""
+        probe_cols = [c for c in PK if c in keys.columns]
+        probe = keys.select(*probe_cols).distinct()
+        if not (self.buckets and self._has_manifest()):
+            return self.read().join(F.broadcast(probe), probe_cols, "left_semi")
+        touched = sorted(self._touched_buckets(probe))
+        return (
+            self._read_slice(touched)
+            .select(*self._cols())
+            .join(F.broadcast(probe), probe_cols, "left_semi")
+        )
+
+    def point_lookup(self, path: str, filename: str) -> DataFrame:
+        """Single-PK pruned read: opens exactly one bucket dir on a
+        bucketed table (pinned by inputFiles() in pytest), with the PK
+        as LITERAL filters so parquet min/max pushdown prunes row
+        groups inside the dir too. One tiny job computes the key's
+        bucket (xxhash64 is JVM-side), one reads the dir — no probe
+        frame, no semi-join; the measured local floor is Spark's
+        job-submission overhead, not the scan (PERFORMANCE.md w12)."""
+        pred = (F.col("path") == path) & (F.col("filename") == filename)
+        if not (self.buckets and self._has_manifest()):
+            return self.read().filter(pred)
+        bucket = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(path)), F.lit(self.buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .first()["b"]
+        )
+        return self._read_slice([bucket]).select(*self._cols()).filter(pred)
+
     # -- write --------------------------------------------------------
     def overwrite(self, df: DataFrame, expected_generation: int | None = None) -> None:
         """Full replace (S10): stage a complete new generation, commit

@@ -132,6 +132,57 @@ def x3_dup_assets_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w12_pruned_point_lookup",
+    with_files_cte(
+        """
+    -- w12: manifest-pruned key probe — the Spark answer to the
+    -- reference's embedded point query. The probe set is the 5
+    -- smallest PKs; the engine hashes them to their buckets and opens
+    -- ONLY those data dirs. `pruned` audits the PHYSICAL read (from
+    -- inputFiles(): distinct data dirs opened <= 5 probe keys, out of
+    -- 16 populated buckets) — a full-scan engine reads 16 dirs and
+    -- hash-fails.
+    , probe AS (
+        SELECT path, filename FROM files ORDER BY path, filename LIMIT 5)
+    SELECT f.path, f.filename, f.checksum, f.modification_datetime,
+           f.file_size, f.indexed_at, TRUE AS pruned
+    FROM files f JOIN probe USING (path, filename)
+    ORDER BY f.path, f.filename
+    """
+    ),
+)
+def w12_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: pruned point/batch reads over the bucketed FilesTable —
+    `read_for_keys` hashes the probe keys to their PK buckets and opens
+    only those dirs (the write path's manifest pruning, exposed to
+    reads). At 100 TB / 4096 buckets a point lookup opens one dir
+    instead of scanning the fact table."""
+    import os
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    base, _ = _stream_workdir("fis_w12", sf_dir)
+    t = FilesTable(spark, os.path.join(base, "db"), buckets=16)
+    original = files_df(spark, sf_dir)
+    t.overwrite(original)
+    # non-vacuity: more populated buckets than probe keys, so a
+    # full-scan engine would open MORE dirs than the pruned bound
+    # (sf fixtures carry ~20 distinct paths — most but not all of the
+    # 16 buckets populate)
+    m = t._load_manifest()
+    if len(m["entries"]) <= 5:
+        raise RuntimeError("w12 fixture under-populated — gate would be vacuous")
+    probe = original.orderBy("path", "filename").limit(5).select("path", "filename")
+    out = t.read_for_keys(probe)
+    n_dirs = len({os.path.dirname(f) for f in out.inputFiles()})
+    return (
+        out.withColumn("pruned", F.lit(n_dirs <= 5))
+        .orderBy("path", "filename")
+    )
+
+
 # x4 shares x1's oracle VERBATIM: after draining a 3-arrival
 # chronological stream through the foreachBatch cross-modal ingest
 # (batch media decoded batch-locally; text clusters refreshed through

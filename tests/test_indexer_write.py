@@ -932,3 +932,69 @@ def test_evolved_column_survives_compaction_and_bucketed_merge(spark, tmp_path):
     rows = {r["filename"]: r["category"] for r in t.read().collect()}
     assert rows["f0"] == "hot"
     assert all(v is None for k, v in rows.items() if k != "f0")
+
+
+def test_read_for_keys_prunes_to_touched_buckets(spark, sf_smoke, tmp_path):
+    """w12: a key probe opens ONLY the buckets the keys hash to — the
+    physical read is pinned via inputFiles(), and the rows equal a
+    full-scan semi-join."""
+    import os
+
+    from file_indexer_spark.tables import files_df
+
+    t = FilesTable(spark, str(tmp_path / "db"), buckets=16)
+    original = files_df(spark, sf_smoke)
+    t.overwrite(original)
+    probe = original.orderBy("path", "filename").limit(3).select("path", "filename")
+    out = t.read_for_keys(probe)
+    dirs = {os.path.dirname(f) for f in out.inputFiles()}
+    assert 1 <= len(dirs) <= 3 < 16
+    got = sorted((r["path"], r["filename"]) for r in out.collect())
+    want = sorted(
+        (r["path"], r["filename"])
+        for r in original.join(probe, ["path", "filename"], "left_semi").collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_point_lookup_opens_one_bucket_dir(spark, sf_smoke, tmp_path):
+    import os
+
+    from file_indexer_spark.tables import files_df
+
+    t = FilesTable(spark, str(tmp_path / "db"), buckets=16)
+    original = files_df(spark, sf_smoke)
+    t.overwrite(original)
+    key = original.orderBy("path", "filename").first()
+    out = t.point_lookup(key["path"], key["filename"])
+    assert len({os.path.dirname(f) for f in out.inputFiles()}) == 1
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["checksum"] == key["checksum"]
+
+
+def test_read_for_keys_unbucketed_fallback(spark, sf_smoke, tmp_path):
+    from file_indexer_spark.tables import files_df
+
+    t = FilesTable(spark, str(tmp_path / "db"))
+    original = files_df(spark, sf_smoke)
+    t.overwrite(original)
+    key = original.orderBy("path", "filename").first()
+    rows = t.point_lookup(key["path"], key["filename"]).collect()
+    assert len(rows) == 1 and rows[0]["file_size"] == key["file_size"]
+
+
+def test_read_for_keys_path_only_probe_matches_directory(spark, sf_smoke, tmp_path):
+    """A path-only probe (no filename column) returns every file in the
+    directory — the D4 shape — still pruned to the path's bucket."""
+    from file_indexer_spark.tables import files_df
+
+    t = FilesTable(spark, str(tmp_path / "db"), buckets=16)
+    original = files_df(spark, sf_smoke)
+    t.overwrite(original)
+    some_path = original.orderBy("path", "filename").first()["path"]
+    probe = spark.createDataFrame([(some_path,)], "path string")
+    got = sorted(r["filename"] for r in t.read_for_keys(probe).collect())
+    want = sorted(
+        r["filename"] for r in original.filter(F.col("path") == some_path).collect()
+    )
+    assert got == want and len(got) >= 1
