@@ -73,39 +73,91 @@ def read_embeddings_stream(
     )
 
 
-def _code_versions(state_dir: str) -> list[int]:
-    root = os.path.join(state_dir, "codes")
+def _committed(root: str, prefix: str) -> list[int]:
+    """Committed ``{prefix}{n}`` dirs under root (parquet writes are
+    dir-atomic via _SUCCESS; a crashed half-write must be re-folded /
+    re-compacted, not trusted)."""
     if not os.path.isdir(root):
         return []
+    plen = len(prefix)
     return sorted(
-        int(n[1:])
+        int(n[plen:])
         for n in os.listdir(root)
-        if n.startswith("v")
-        and n[1:].isdigit()
-        # only COMMITTED versions count (parquet write is dir-atomic via
-        # _SUCCESS; a crashed half-write must be re-folded, not skipped)
+        if n.startswith(prefix)
+        and n[plen:].isdigit()
         and os.path.exists(os.path.join(root, n, "_SUCCESS"))
     )
+
+
+def _code_versions(state_dir: str) -> list[int]:
+    return _committed(os.path.join(state_dir, "codes"), "v")
+
+
+def _compacted_through(state_dir: str) -> int:
+    """Highest committed ``codes/c{m}`` compaction (−1 if none): c{m}
+    holds the union of versions <= m folded into one dir."""
+    cs = _committed(os.path.join(state_dir, "codes"), "c")
+    return cs[-1] if cs else -1
 
 
 def _codes_path(state_dir: str, version: int) -> str:
     return os.path.join(state_dir, "codes", f"v{version}")
 
 
+def _live_code_paths(state_dir: str) -> list[str]:
+    """The consistent read set: the newest compacted dir (if any) plus
+    every committed version ABOVE it. Readers listing during a
+    compaction see either the old set or the new one — never both,
+    because a compaction dir only counts once its _SUCCESS lands and
+    supersedes everything at or below its watermark."""
+    m = _compacted_through(state_dir)
+    paths = (
+        [os.path.join(state_dir, "codes", f"c{m}")] if m >= 0 else []
+    )
+    paths += [
+        _codes_path(state_dir, v) for v in _code_versions(state_dir) if v > m
+    ]
+    return paths
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> int:
+    """Small-files maintenance for a long-running ingest (w10's
+    OPTIMIZE applied to the streamed index): fold the live code dirs
+    into ONE compacted dir ``codes/c{max_version}``, then drop the
+    superseded dirs. Serving stays consistent throughout (see
+    :func:`_live_code_paths`); run from the maintenance cadence, not
+    the hot fold. Returns the new compaction watermark."""
+    import shutil
+
+    old_m = _compacted_through(state_dir)
+    versions = [v for v in _code_versions(state_dir) if v > old_m]
+    if not versions:
+        return old_m
+    new_m = versions[-1]
+    live = _live_code_paths(state_dir)
+    root = os.path.join(state_dir, "codes")
+    spark.read.parquet(*live).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, f"c{new_m}")
+    )
+    for v in versions:
+        shutil.rmtree(_codes_path(state_dir, v), ignore_errors=True)
+    if old_m >= 0:
+        shutil.rmtree(os.path.join(root, f"c{old_m}"), ignore_errors=True)
+    return new_m
+
+
 def load_index(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
     """The stored index as serving-ready frames: the frozen quantizer
-    tables + ALL committed code versions (sim11's serve path runs on
-    this dict unchanged, mid-ingest or after drain)."""
-    versions = _code_versions(state_dir)
-    if not versions:
+    tables + every live code dir (sim11's serve path runs on this dict
+    unchanged, mid-ingest, after drain, or across compactions)."""
+    paths = _live_code_paths(state_dir)
+    if not paths:
         raise ValueError(f"no ANN index state at {state_dir}")
     index = {
         name: spark.read.parquet(os.path.join(state_dir, name))
         for name in _QUANTIZER_TABLES
     }
-    index["codes"] = spark.read.parquet(
-        *[_codes_path(state_dir, v) for v in versions]
-    )
+    index["codes"] = spark.read.parquet(*paths)
     return index
 
 
@@ -121,9 +173,13 @@ def ingest_batch(
     replayed micro-batch (foreachBatch's at-least-once contract) whose
     committed version dir already exists is skipped."""
     versions = _code_versions(state_dir)
-    if version in versions:
-        return  # replayed micro-batch: already committed
-    if not versions:
+    # monotone replay guard: foreachBatch batch ids strictly increase,
+    # so any committed (or compacted-through) id >= this one means the
+    # batch already folded
+    last = max(versions[-1] if versions else -1, _compacted_through(state_dir))
+    if version <= last:
+        return  # replayed micro-batch: already committed (or compacted)
+    if last < 0:
         tables = sim.ivfpq_index_tables(batch)
         for name in _QUANTIZER_TABLES:
             tables[name].write.mode("overwrite").parquet(

@@ -88,27 +88,82 @@ def read_docs_stream(
     )
 
 
-def _versions(state_dir: str, table: str) -> list[int]:
+def _committed(state_dir: str, table: str, prefix: str) -> list[int]:
     root = os.path.join(state_dir, table)
     if not os.path.isdir(root):
         return []
+    plen = len(prefix)
     return sorted(
-        int(n[1:])
+        int(n[plen:])
         for n in os.listdir(root)
-        if n.startswith("v")
-        and n[1:].isdigit()
+        if n.startswith(prefix)
+        and n[plen:].isdigit()
         and os.path.exists(os.path.join(root, n, "_SUCCESS"))
     )
+
+
+def _versions(state_dir: str, table: str) -> list[int]:
+    return _committed(state_dir, table, "v")
+
+
+def _compacted_through(state_dir: str, table: str) -> int:
+    cs = _committed(state_dir, table, "c")
+    return cs[-1] if cs else -1
 
 
 def _vpath(state_dir: str, table: str, version: int) -> str:
     return os.path.join(state_dir, table, f"v{version}")
 
 
+def _live_paths(state_dir: str, table: str) -> list[str]:
+    """Consistent read set for an append-only table: the newest
+    compacted dir (``c{m}`` = versions <= m folded into one) plus every
+    committed version above it — sim13's codes protocol."""
+    m = _compacted_through(state_dir, table)
+    paths = [os.path.join(state_dir, table, f"c{m}")] if m >= 0 else []
+    paths += [
+        _vpath(state_dir, table, v) for v in _versions(state_dir, table) if v > m
+    ]
+    return paths
+
+
 def _read_all(spark: SparkSession, state_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(
-        *[_vpath(state_dir, table, v) for v in _versions(state_dir, table)]
-    )
+    return spark.read.parquet(*_live_paths(state_dir, table))
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> int:
+    """Small-files maintenance for a long-running cross-modal ingest:
+    fold each append-only table's live dirs into one compacted dir and
+    VACUUM the text member table down to its latest version (older
+    text versions are superseded snapshots, retained until now only as
+    crash-recovery slack). Serving stays consistent throughout — a
+    compaction dir only counts once its _SUCCESS lands and supersedes
+    everything at or below its watermark. Returns the new watermark."""
+    import shutil
+
+    new_m = -1
+    for table in _APPEND_TABLES:
+        old_m = _compacted_through(state_dir, table)
+        versions = [v for v in _versions(state_dir, table) if v > old_m]
+        if not versions:
+            new_m = max(new_m, old_m)
+            continue
+        m = versions[-1]
+        new_m = max(new_m, m)
+        live = _live_paths(state_dir, table)
+        spark.read.parquet(*live).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, table, f"c{m}")
+        )
+        for v in versions:
+            shutil.rmtree(_vpath(state_dir, table, v), ignore_errors=True)
+        if old_m >= 0:
+            shutil.rmtree(
+                os.path.join(state_dir, table, f"c{old_m}"), ignore_errors=True
+            )
+    text_versions = _versions(state_dir, "text_members")
+    for v in text_versions[:-1]:
+        shutil.rmtree(_vpath(state_dir, "text_members", v), ignore_errors=True)
+    return new_m
 
 
 def ingest_batch(
@@ -122,7 +177,11 @@ def ingest_batch(
     Idempotent per version: the text rewrite commits LAST, so a
     replayed micro-batch whose text version exists is a no-op and a
     crashed fold re-runs cleanly."""
-    if version in _versions(state_dir, "text_members"):
+    text_versions = _versions(state_dir, "text_members")
+    # monotone replay guard: foreachBatch batch ids strictly increase,
+    # so any committed version >= this one means this batch already
+    # folded (robust to a later vacuum having dropped the old dir)
+    if text_versions and version <= text_versions[-1]:
         return  # replayed micro-batch: already folded
     # media member rows: the batch's blobs only, one version dir each
     xm._image_members(batch).write.mode("overwrite").parquet(
@@ -134,20 +193,22 @@ def ingest_batch(
     xm._video_members(batch).write.mode("overwrite").parquet(
         _vpath(state_dir, "video_members", version)
     )
-    # text: refresh through the PRE-batch index state
-    prior = [v for v in _versions(state_dir, "lsh_bands") if v != version]
-    text_versions = _versions(state_dir, "text_members")
+    # text: refresh through the PRE-batch index state (live paths minus
+    # this batch's own dir — present only after a crashed half-fold,
+    # and then dd12's re-delivery anti-join drops its rows anyway)
+    own = _vpath(state_dir, "lsh_bands", version)
+    own_sets = _vpath(state_dir, "lsh_shingle_sets", version)
+    prior = [p for p in _live_paths(state_dir, "lsh_bands") if p != own]
+    prior_sets = [
+        p for p in _live_paths(state_dir, "lsh_shingle_sets") if p != own_sets
+    ]
     if not prior or not text_versions:
         assign = dd.dedup_clusters(batch, dd.minhash_lsh_pairs(batch))
         text = assign.join(batch.select("doc_id", "n_chars"), "doc_id")
     else:
         index = {
-            "bands": spark.read.parquet(
-                *[_vpath(state_dir, "lsh_bands", v) for v in prior]
-            ),
-            "shingle_sets": spark.read.parquet(
-                *[_vpath(state_dir, "lsh_shingle_sets", v) for v in prior]
-            ),
+            "bands": spark.read.parquet(*prior),
+            "shingle_sets": spark.read.parquet(*prior_sets),
         }
         old_text = spark.read.parquet(
             _vpath(state_dir, "text_members", text_versions[-1])

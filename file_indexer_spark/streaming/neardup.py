@@ -97,7 +97,10 @@ def ingest_batch(
     (foreachBatch's at-least-once contract) that finds its own
     assignment version already present is skipped."""
     versions = _assign_versions(state_dir)
-    if version in versions:
+    # monotone replay guard: foreachBatch batch ids strictly increase,
+    # so any committed version >= this one means this batch already
+    # folded (robust to later maintenance dropping old version dirs)
+    if versions and version <= versions[-1]:
         return  # replayed micro-batch: state already folded
     bands_path = os.path.join(state_dir, "bands")
     sets_path = os.path.join(state_dir, "shingle_sets")

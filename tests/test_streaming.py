@@ -705,3 +705,65 @@ def test_streaming_crossmodal_ingest_batch_replay_is_idempotent(
     assert {n: df.count() for n, df in tables2.items()} == counts
     after = sorted(map(tuple, sxm.duplicate_assets_report(spark, state).collect()))
     assert after == before
+
+
+def test_ann_state_compaction_preserves_serving(spark, sf_smoke, tmp_path):
+    """sim13 maintenance: compacting the per-batch code dirs into one
+    must not change search results, must drop the superseded dirs, and
+    a replay of a compacted-away batch stays a no-op."""
+    import os
+
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.streaming import ann as sann
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 10 != 7)
+    b2 = emb.filter(F.col("vec_id") % 10 == 7)
+    state = str(tmp_path / "state")
+    sann.ingest_batch(spark, b1, state, 0)
+    sann.ingest_batch(spark, b2, state, 1)
+    queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = [tuple(r) for r in sann.search(spark, state, queries).collect()]
+    wm = sann.compact_state(spark, state)
+    assert wm == 1
+    names = sorted(os.listdir(os.path.join(state, "codes")))
+    assert names == ["c1"]
+    after = [tuple(r) for r in sann.search(spark, state, queries).collect()]
+    assert after == before
+    n = sann.load_index(spark, state)["codes"].count()
+    sann.ingest_batch(spark, b2, state, 1)  # replay of a compacted batch
+    assert sann.load_index(spark, state)["codes"].count() == n
+    # a genuinely new batch still folds on top of the compacted base
+    sann.ingest_batch(spark, b2.limit(0), state, 2)  # empty: writes v2
+    assert sann.load_index(spark, state)["codes"].count() == n
+
+
+def test_crossmodal_state_compaction_preserves_report(spark, sf_smoke, tmp_path):
+    """x4 maintenance: compacting the append tables + vacuuming old
+    text versions must not change the report, and replays stay no-ops."""
+    import os
+
+    from file_indexer_spark.streaming import crossmodal as sxm
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    b1 = docs.filter(F.col("doc_id") % 10 != 7)
+    b2 = docs.filter(F.col("doc_id") % 10 == 7)
+    state = str(tmp_path / "state")
+    sxm.ingest_batch(spark, b1, state, 0)
+    sxm.ingest_batch(spark, b2, state, 1)
+    before = sorted(map(tuple, sxm.duplicate_assets_report(spark, state).collect()))
+    wm = sxm.compact_state(spark, state)
+    assert wm == 1
+    assert sorted(os.listdir(os.path.join(state, "image_members"))) == ["c1"]
+    assert sorted(os.listdir(os.path.join(state, "text_members"))) == ["v1"]
+    after = sorted(map(tuple, sxm.duplicate_assets_report(spark, state).collect()))
+    assert after == before
+    sxm.ingest_batch(spark, b2, state, 1)  # replay of a vacuumed-past batch
+    again = sorted(map(tuple, sxm.duplicate_assets_report(spark, state).collect()))
+    assert again == before
