@@ -529,3 +529,19 @@ def test_round7_operator_plan_shapes(spark, sf_smoke):
         "source", "n_chars", [("p50_chars", 0.5)],
     )
     assert pi.has_broadcast_hint(pb)
+
+
+def test_point_lookup_pushes_pk_filters_into_scan(spark, sf_smoke, tmp_path):
+    """w12: the pruned point read must push BOTH PK literals into the
+    single-dir parquet scan (row-group min/max skipping composes with
+    the bucket pruning) — a post-scan filter would read the whole dir."""
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.tables import files_df
+
+    t = FilesTable(spark, str(tmp_path / "db"), buckets=16)
+    original = files_df(spark, sf_smoke)
+    t.overwrite(original)
+    key = original.orderBy("path", "filename").first()
+    out = t.point_lookup(key["path"], key["filename"])
+    pushed = " ".join(pi.pushed_filters(out))
+    assert "path" in pushed and "filename" in pushed

@@ -296,3 +296,74 @@ def test_incremental_refresh_matches_union_find(spark, case):
         ).collect()
     }
     assert got == _cc_reference(n, list(norm))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=4).flatmap(
+        lambda nb: st.tuples(
+            st.just(nb),
+            # cut points partitioning 24 vectors into nb ordered batches
+            st.lists(
+                st.integers(1, 23), min_size=nb - 1, max_size=nb - 1, unique=True
+            ),
+            # after each fold: 0 = nothing, 1 = replay a random earlier
+            # version, 2 = compact
+            st.lists(st.integers(0, 2), min_size=nb, max_size=nb),
+            st.randoms(use_true_random=False),
+        )
+    )
+)
+def test_ann_ingest_random_replay_compact_equals_rebuild(spark, tmp_path_factory, case):
+    """sim13's maintenance protocol under random schedules: fold batches
+    in order with replays and compactions interleaved anywhere — the
+    final served codes must equal one bootstrap build plus a single
+    frozen-quantizer append of everything later, regardless of the
+    maintenance schedule."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.streaming import ann as sann
+
+    nb, cuts, ops, rng = case
+    bounds = [0, *sorted(cuts), 24]
+    spark_ = spark
+    # deterministic 64-dim vectors with 4 labels (hypothesis drives the
+    # TOPOLOGY — batch boundaries and maintenance schedule — not floats)
+    rows = [
+        (i, [float(((i * 7 + d * 3) % 13) - 6) for d in range(64)], i % 4)
+        for i in range(24)
+    ]
+    emb = spark_.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    state = str(tmp_path_factory.mktemp("ann_state"))
+    slices = [
+        emb.filter(
+            (F.col("vec_id") >= bounds[k]) & (F.col("vec_id") < bounds[k + 1])
+        )
+        for k in range(nb)
+    ]
+    for k in range(nb):
+        sann.ingest_batch(spark_, slices[k], state, k)
+        op = ops[k]
+        if op == 1:
+            j = rng.randrange(k + 1)
+            sann.ingest_batch(spark_, slices[j], state, j)  # replay
+        elif op == 2:
+            sann.compact_state(spark_, state)
+
+    got = {
+        r["vec_id"]: (tuple(r["codes"]), r["centroid_id"])
+        for r in sann.load_index(spark_, state)["codes"].collect()
+    }
+    boot = sim.ivfpq_index_tables(slices[0])
+    later = slices[1]
+    for s in slices[2:]:
+        later = later.unionByName(s)
+    want_index = sim.ivfpq_append(boot, later) if nb > 1 else boot
+    want = {
+        r["vec_id"]: (tuple(r["codes"]), r["centroid_id"])
+        for r in want_index["codes"].collect()
+    }
+    assert got == want and len(got) == 24
