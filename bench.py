@@ -166,6 +166,12 @@ LLM_EXTENSION = [
     "sim11_ivfpq_materialized",
     "dd13_incremental_clusters",
     "sim12_ivfpq_append",
+    # round 9 (cont.): IVF radius search, fractional upsampling, head-
+    # vocabulary coverage (w14 is a write gate; st13/sim13/x4 streaming
+    # → excluded by the same convention as w1-w12 / st1-st12)
+    "sim14_range_search",
+    "sp8_weighted_repeat",
+    "t13_vocab_coverage",
 ]
 
 

@@ -374,3 +374,78 @@ def zorder_layout(events: DataFrame, bits: int = ZORDER_BITS, n_shards: int = ZO
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------------------------------- sp8
+# fractional upsampling: per-source mixture weights materialized as
+# actual row multiplicity. floor(w) guaranteed copies; the fractional
+# remainder becomes one extra copy for a deterministic md5-selected
+# subset of the source's docs (frac(w) of them in expectation, with
+# the same content-stable hash contract as hash_split: a doc's copy
+# count never changes across runs or engines).
+REPEAT_SALT = "sp8"
+
+
+def repeat_weight_expr() -> F.Column:
+    """Per-source target weight: a pure function of the source name
+    (the numeric suffix), standing in for a mixture config table —
+    spans downsampling (w<1), pass-through (w=1) and fractional
+    upsampling (w>1): w = 0.25 + (suffix mod 8) * 0.45 ∈ {0.25 … 3.4}."""
+    idx = F.substring(F.col("source"), 4, 10).cast("long")
+    return F.lit(0.25) + (idx % 8).cast("double") * F.lit(0.45)
+
+
+def weighted_repeat(docs: DataFrame) -> DataFrame:
+    """sp8: materialize a weighted mixture as physical row repeats
+    (epoch construction for non-integer domain weights — the step
+    after mx2 computes WHAT the mixture should be, this emits the
+    actual training rows).
+
+    ``n_copies = floor(w) + [md5_frac(doc_id) < frac(w)]`` — the md5
+    threshold is the sp5 idiom (first 4 hex digits vs floor(frac *
+    65536)), so the kept-extra set is integer-deterministic across
+    engines and re-runs. The repeat itself is ``array_repeat`` +
+    ``posexplode``: pure map-side generation, ZERO shuffles — each
+    task inflates its own partition, which is exactly the shape that
+    survives 100 TB (output volume is the corpus times the mean
+    weight; no key ever concentrates).
+
+    A doc whose source downsamples (w < 1, floor = 0) and whose hash
+    misses the remainder threshold emits no rows — posexplode over an
+    empty array drops it, no filter needed.
+    """
+    w = repeat_weight_expr()
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(REPEAT_SALT))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    frac_thresh = F.floor((w - F.floor(w)) * 65536).cast("long")
+    n_copies = (F.floor(w) + F.when(bucket < frac_thresh, 1).otherwise(0)).cast("int")
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.round(w, 6).alias("weight"),
+        n_copies.alias("n_copies"),
+    )
+    return (
+        tagged.select(
+            "doc_id",
+            "source",
+            "weight",
+            "n_copies",
+            F.posexplode(F.expr("array_repeat(1, n_copies)")).alias("pos", "_one"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            "n_copies",
+            (F.col("pos") + 1).cast("long").alias("copy"),
+        )
+        .orderBy("doc_id", "copy")
+    )

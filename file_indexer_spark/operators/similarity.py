@@ -331,18 +331,17 @@ def ivf_assignments(
     )
 
 
-def ivf_topk(
+def _ivf_scored_candidates(
     embeddings: DataFrame,
-    k: int = TOP_K,
-    nprobe: int = NPROBE,
-    n_centroids: int | None = None,
-    centroids: DataFrame | None = None,
+    nprobe: int,
+    n_centroids: int | None,
+    centroids: DataFrame | None,
 ) -> DataFrame:
-    """sim2: IVF ANN — each query searches only its ``nprobe`` nearest
-    centroid lists. Same output contract as sim1 (ranks may differ where
-    the true neighbor lives in an unprobed list — that's the trade).
-    ``centroids`` swaps in a refined list-building set (see
-    :func:`kmeans_centroid_frame`); build and probe use the SAME set."""
+    """Shared IVF probe stage: assign the corpus to centroid lists, rank
+    each query's centroids, and exact-score the candidates in the
+    query's ``nprobe`` nearest lists. Emits (query_id, neighbor_id,
+    cosine) for every candidate — the top-k (sim2) and range (sim14)
+    consumers differ only in how they cut this stream."""
     assign = ivf_assignments(embeddings, n_centroids=n_centroids, centroids=centroids)
     corpus = _with_norm(_spread(embeddings)).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -368,17 +367,64 @@ def ivf_topk(
     # broadcast the tiny probe set (n_queries x nprobe rows) so the
     # corpus keeps its partitioning instead of reshuffling onto the
     # low-cardinality centroid key (<= n_centroids busy tasks)
-    scored = (
+    return (
         corpus.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _cosine("q_emb", "q_norm", "n_emb", "n_norm"))
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+    n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """sim2: IVF ANN — each query searches only its ``nprobe`` nearest
+    centroid lists. Same output contract as sim1 (ranks may differ where
+    the true neighbor lives in an unprobed list — that's the trade).
+    ``centroids`` swaps in a refined list-building set (see
+    :func:`kmeans_centroid_frame`); build and probe use the SAME set."""
+    scored = _ivf_scored_candidates(embeddings, nprobe, n_centroids, centroids)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
         .orderBy("query_id", "rank")
+    )
+
+
+RANGE_COSINE = 0.30  # sim14 default radius (cosine floor)
+
+
+def ivf_range_search(
+    embeddings: DataFrame,
+    threshold: float = RANGE_COSINE,
+    nprobe: int = NPROBE,
+    n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """sim14: RADIUS search — every neighbor with cosine >= threshold,
+    not a fixed top-k (FAISS ``range_search``; the retrieval shape for
+    "give me everything semantically close enough", where neighborhood
+    sizes are wildly uneven and a global k either truncates dense
+    queries or pads sparse ones).
+
+    Same probe plan as sim2 (:func:`_ivf_scored_candidates`): corpus
+    keeps its partitioning, the n_queries × nprobe probe set is
+    broadcast, and the threshold cuts the scored stream map-side — no
+    window, no per-query sort, so the output stage is strictly cheaper
+    than top-k. Neighbors in unprobed lists are the usual IVF trade;
+    the oracle replicates the probed-list restriction exactly, so the
+    gate hash-matches bit-for-bit.
+    """
+    scored = _ivf_scored_candidates(embeddings, nprobe, n_centroids, centroids)
+    return (
+        scored.filter(F.col("cosine") >= threshold)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "neighbor_id")
     )
 
 

@@ -524,3 +524,54 @@ def doc_top_terms(docs: DataFrame, k: int = DOC_TERMS_TOP_K) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+# ----------------------------------------------------------------- t13
+VOCAB_TOP_K = 16  # corpus head-vocabulary size for coverage scoring
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = VOCAB_TOP_K) -> DataFrame:
+    """t13: per-document head-vocabulary coverage / OOV rate — the
+    quality signal that flags boilerplate-heavy or junk docs whose
+    tokens fall outside the corpus's own top-``top_k`` vocabulary.
+
+    Two passes, shaped for 100 TB:
+      1. the corpus vocabulary: ONE word-count shuffle whose result is
+         O(vocab); the total-order rank (count desc, word asc — a
+         deterministic tie-break) runs a single-partition window over
+         that metadata-sized rollup only (t10's discipline);
+      2. scoring: the top-k head is collected (bounded: top_k rows) and
+         inlined as a literal IN-list, so the per-doc pass is a pure
+         map-side projection over ``split(text)`` — zero joins, zero
+         shuffles, no exploded token stream ever moves (t1's stopword
+         idiom, with the list corpus-derived instead of fixed).
+
+    The OOV ratio divides two per-row integers (IEEE double division of
+    identical operands is exact-rounded, hence engine-stable).
+    """
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").cast("long").alias("tf"))
+    w = Window.orderBy(F.desc("tf"), "word")
+    head = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("word")
+        .collect()
+    )
+    vocab_list = ", ".join(f"'{r['word']}'" for r in head)
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+            F.expr(f"size(filter(split(text, ' '), t -> t in ({vocab_list})))")
+            .cast("long")
+            .alias("in_vocab_tokens"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.lit(1.0) - F.col("in_vocab_tokens") / F.col("n_tokens"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,209 @@
+"""Registered queries — round 9 (cont.): IVF radius search (sim14),
+deterministic fractional upsampling (sp8), head-vocabulary coverage
+scoring (t13), and the FilesTable change feed (w14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from file_indexer_spark.operators import sampling as sp
+from file_indexer_spark.operators import similarity as sim
+from file_indexer_spark.operators import text as tx
+from file_indexer_spark.queries.q04_dedup_sim import _DUCK_DOT, _DUCK_NORMS
+from file_indexer_spark.registry_core import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _files,
+    _stream_workdir,
+    _table,
+    register,
+)
+from file_indexer_spark.session import tune_session  # noqa: F401
+
+
+@register(
+    "sim14_range_search",
+    f"""
+    -- IVF RADIUS search: sim2's probed-list restriction with a cosine
+    -- floor instead of a per-query top-k — the oracle replicates the
+    -- nprobe pruning exactly, so the hash gate is bit-for-bit.
+    WITH c AS ({_DUCK_NORMS}),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
+                ON c.vec_id = reps.vec_id),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                        / (v.norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM c v, cents) t
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+          FROM c WHERE vec_id < {sim.N_QUERIES}),
+    probes AS (
+        SELECT query_id, q_emb, q_norm, centroid_id FROM (
+            SELECT q.query_id, q.q_emb, q.q_norm, cents.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                        {_DUCK_DOT.format(a="q.q_emb", b="cents.c_emb")}
+                        / (q.q_norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM q, cents) t
+        WHERE rn <= {sim.NPROBE}),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="p.q_emb", b="c.embedding")} / (p.q_norm * c.norm)
+                   AS cosine
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN c ON c.vec_id = a.vec_id
+        WHERE c.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+    FROM scored WHERE cosine >= {sim.RANGE_COSINE}::DOUBLE
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def sim14_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM14: radius (range) search — all neighbors with cosine >=
+    threshold over the probed IVF lists. Same probe plan as sim2; the
+    threshold cut replaces the per-query window, so the output stage is
+    map-side (FAISS range_search semantics)."""
+    return sim.ivf_range_search(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sp8_weighted_repeat",
+    f"""
+    -- Deterministic fractional upsampling: floor(w) copies per doc
+    -- plus one md5-selected extra for frac(w) of each source's docs
+    -- (sp5's hex-threshold idiom). range(1, 1) is the empty list, so
+    -- downsampled-and-missed docs vanish exactly like posexplode over
+    -- an empty array.
+    WITH tagged AS (
+        SELECT doc_id, source,
+               0.25::DOUBLE + (CAST(substring(source, 4, 10) AS BIGINT) % 8)::DOUBLE
+                   * 0.45::DOUBLE AS w,
+               ('0x' || substring(
+                    md5(doc_id::VARCHAR || ':{sp.REPEAT_SALT}'), 1, 4))::BIGINT
+                   AS bucket
+        FROM documents),
+    counted AS (
+        SELECT doc_id, source, round(w, 6) AS weight,
+               CAST(floor(w) + CASE WHEN bucket <
+                        CAST(floor((w - floor(w)) * 65536) AS BIGINT)
+                    THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+        FROM tagged)
+    SELECT doc_id, source, weight, n_copies,
+           CAST(unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS BIGINT) AS copy
+    FROM counted
+    ORDER BY doc_id, copy
+    """,
+)
+def sp8_weighted_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP8: materialize non-integer mixture weights as physical row
+    repeats — pure map-side array_repeat/posexplode generation, zero
+    shuffles (the output sort is the gate's determinism contract)."""
+    return sp.weighted_repeat(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t13_vocab_coverage",
+    f"""
+    -- Head-vocabulary coverage: corpus top-{tx.VOCAB_TOP_K} vocabulary
+    -- (count desc, word asc — deterministic tie-break), then per-doc
+    -- in-vocab token share and OOV rate.
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    counts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY word),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, row_number() OVER (ORDER BY tf DESC, word) AS rnk
+            FROM counts) t
+        WHERE rnk <= {tx.VOCAB_TOP_K}),
+    per_doc AS (
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS in_vocab_tokens
+        FROM words w LEFT JOIN vocab v USING (word)
+        GROUP BY w.doc_id)
+    SELECT doc_id, n_tokens, in_vocab_tokens,
+           round(1.0::DOUBLE - CAST(in_vocab_tokens AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def t13_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: per-doc head-vocabulary coverage / OOV quality signal. One
+    O(vocab) word-count shuffle builds the head list; the scoring pass
+    inlines it as a literal and stays entirely map-side."""
+    return tx.vocab_coverage(_table(spark, sf_dir, "documents"))
+
+
+from file_indexer_spark.tables import files_df, with_files_cte  # noqa: E402
+
+
+@register(
+    "w14_change_feed",
+    with_files_cte(
+        """
+    , upd AS (SELECT * FROM files WHERE file_size % 7 = 3),
+    del AS (SELECT * FROM files WHERE file_size % 7 = 5),
+    ins AS (SELECT path, filename || '.cdf' AS filename, 'NEW' AS checksum,
+                   modification_datetime, file_size, indexed_at
+            FROM files WHERE file_size % 7 = 1)
+    SELECT * FROM (
+        SELECT 'insert' AS change_type, path, filename, checksum,
+               modification_datetime, file_size, indexed_at FROM ins
+        UNION ALL
+        SELECT 'delete', path, filename, checksum,
+               modification_datetime, file_size, indexed_at FROM del
+        UNION ALL
+        SELECT 'update_preimage', path, filename, checksum,
+               modification_datetime, file_size, indexed_at FROM upd
+        UNION ALL
+        SELECT 'update_postimage', path, filename, 'CDF2',
+               modification_datetime, file_size, indexed_at FROM upd)
+    ORDER BY path, filename, change_type
+    """
+    ),
+)
+def w14_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: CHANGE DATA FEED gate — commit the files derivation as
+    generation 1 of a bucketed history-keeping FilesTable, apply one
+    mixed MERGE batch (value updates + brand-new PKs + NO-OP rewrites
+    of unchanged rows) and one delete batch, then return
+    ``changes(1, 3)``. The oracle derives the expected feed from the
+    files CTE alone, so a missed insert, a phantom row from a no-op
+    rewrite, a wrong pre/post image, or a delete surfacing new-side
+    values all hash-mismatch. The diff itself reads only the buckets
+    whose manifest entries moved (pytest-pinned via inputFiles)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w14_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    t = FilesTable(spark, os.path.join(base, "db"), buckets=16, keep_history=True)
+    orig = files_df(spark, sf_dir)
+    t.overwrite(orig)
+    upd = orig.filter(F.col("file_size") % 7 == 3).withColumn(
+        "checksum", F.lit("CDF2")
+    )
+    noop = orig.filter(F.col("file_size") % 7 == 6)
+    ins = (
+        orig.filter(F.col("file_size") % 7 == 1)
+        .withColumn("filename", F.concat(F.col("filename"), F.lit(".cdf")))
+        .withColumn("checksum", F.lit("NEW"))
+    )
+    t.upsert(upd.unionByName(noop).unionByName(ins))
+    t.delete(orig.filter(F.col("file_size") % 7 == 5).select("path", "filename"))
+    return t.changes(1, 3)

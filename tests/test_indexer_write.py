@@ -998,3 +998,93 @@ def test_read_for_keys_path_only_probe_matches_directory(spark, sf_smoke, tmp_pa
         r["filename"] for r in original.filter(F.col("path") == some_path).collect()
     )
     assert got == want and len(got) >= 1
+
+
+def test_change_feed_classification_and_pruning(spark, tmp_path):
+    """w14 semantics on a crafted history: inserts/deletes/update
+    image pairs classified exactly; no-op rewrites emit nothing; and
+    the diff physically reads ONLY buckets whose manifest entries
+    moved between the two generations."""
+    t = FilesTable(spark, str(tmp_path / "cdf_db"), buckets=8, keep_history=True)
+    initial = _mk_rows(
+        spark,
+        [(f"/d{i}", f"f{j}", f"c{i}{j}", 10 * i + j) for i in range(8) for j in range(2)],
+    )
+    t.overwrite(initial)
+    # gen 2: one value update, one brand-new PK, one no-op rewrite
+    batch = _mk_rows(
+        spark,
+        [("/d0", "f0", "UPDATED", 10), ("/d0", "fNEW", "NEW", 99), ("/d1", "f0", "c10", 10)],
+    )
+    t.upsert(batch)
+    feed = t.changes(1, 2)
+    rows = {(r["change_type"], r["path"], r["filename"]): r for r in feed.collect()}
+    assert set(rows) == {
+        ("update_preimage", "/d0", "f0"),
+        ("update_postimage", "/d0", "f0"),
+        ("insert", "/d0", "fNEW"),
+    }
+    assert rows[("update_preimage", "/d0", "f0")]["checksum"] == "c00"
+    assert rows[("update_postimage", "/d0", "f0")]["checksum"] == "UPDATED"
+    # pruning: only the touched buckets' dirs are opened
+    import json as _json
+
+    docs = {
+        g: _json.load(open(os.path.join(t.location, t._MANIFEST_LOG, f"{g}.json")))
+        for g in (1, 2)
+    }
+    changed_rels = {
+        r
+        for k in set(docs[1]["entries"]) | set(docs[2]["entries"])
+        if docs[1]["entries"].get(k) != docs[2]["entries"].get(k)
+        for r in (docs[1]["entries"].get(k), docs[2]["entries"].get(k))
+        if r
+    }
+    opened = {os.path.relpath(os.path.dirname(f.replace("file:", "")), t.location)
+              for f in t.changes(1, 2).inputFiles()}
+    assert opened <= changed_rels, (opened, changed_rels)
+    assert len(opened) < len(docs[2]["entries"]) + len(docs[1]["entries"])
+
+
+def test_change_feed_endpoint_semantics(spark, tmp_path):
+    """The feed diffs ENDPOINTS: update-then-delete across the window
+    collapses to a delete carrying the g_from image; insert-then-delete
+    inside the window emits nothing; and a feed spanning a schema
+    evolution null-fills old images for the added column."""
+    t = FilesTable(spark, str(tmp_path / "cdf_ep"), buckets=4, keep_history=True)
+    t.overwrite(_mk_rows(spark, [("/a", "f1", "c1", 1), ("/a", "f2", "c2", 2)]))
+    # gen 2: update f1 + insert f3; gen 3: delete f1 and f3
+    t.upsert(_mk_rows(spark, [("/a", "f1", "MUT", 1), ("/a", "f3", "c3", 3)]))
+    t.delete(
+        spark.createDataFrame(
+            [("/a", "f1"), ("/a", "f3")], "path string, filename string"
+        )
+    )
+    rows = {(r["change_type"], r["filename"]): r for r in t.changes(1, 3).collect()}
+    assert set(rows) == {("delete", "f1")}
+    assert rows[("delete", "f1")]["checksum"] == "c1"  # g_from image, not MUT
+    # schema evolution inside the window (w11 interplay)
+    t.add_column("tag", "string")
+    t.upsert(
+        t.read().filter(F.col("filename") == "f2").withColumn("tag", F.lit("T"))
+    )
+    evo = {(r["change_type"]): r for r in t.changes(3, t.generations()[-1]).collect()}
+    assert set(evo) == {"update_preimage", "update_postimage"}
+    assert evo["update_preimage"]["tag"] is None
+    assert evo["update_postimage"]["tag"] == "T"
+
+
+def test_change_feed_guards(spark, tmp_path):
+    """Bad windows fail loudly: reversed endpoints, unretained
+    generations, and vacuumed-away data."""
+    t = FilesTable(spark, str(tmp_path / "cdf_g"), buckets=4, keep_history=True)
+    t.overwrite(_mk_rows(spark, [("/a", "f1", "c1", 1)]))
+    t.upsert(_mk_rows(spark, [("/a", "f1", "c2", 1)]))
+    with pytest.raises(ValueError, match="g_from < g_to"):
+        t.changes(2, 1)
+    with pytest.raises(ValueError, match="not retained"):
+        t.changes(1, 9)
+    t.upsert(_mk_rows(spark, [("/a", "f1", "c3", 1)]))
+    t.vacuum(retain_generations=1)
+    with pytest.raises(ValueError, match="vacuumed|not retained"):
+        t.changes(1, 3)

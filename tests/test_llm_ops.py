@@ -1134,3 +1134,101 @@ def test_ivfpq_append_frozen_quantizer(embeddings, tmp_path):
         ).collect()
     }
     assert {k: v[0] for k, v in after.items() if k in new_ids} == direct
+
+
+def test_range_search_exact_on_probed_lists(embeddings):
+    """sim14's contract: within the probed lists the cut is EXACT —
+    the result is precisely the thresholded candidate stream (every
+    returned pair clears the floor; every probed candidate clearing
+    the floor is returned), and it is a superset-consistent subset of
+    what brute force finds at the same radius."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sim.ivf_range_search(embeddings).collect()
+    }
+    assert got, "radius fixture must return something"
+    assert all(c >= sim.RANGE_COSINE for c in got.values())
+    # candidates = probe stage output; thresholding it must reproduce
+    # the operator's rows exactly (no per-query truncation)
+    cand = sim._ivf_scored_candidates(embeddings, sim.NPROBE, None, None)
+    expect = {
+        (r["query_id"], r["neighbor_id"]): round(r["cosine"], 6)
+        for r in cand.filter(F.col("cosine") >= sim.RANGE_COSINE).collect()
+    }
+    assert got == expect
+    # brute-force radius result at the same floor is a superset (IVF
+    # misses only unprobed lists, never invents pairs)
+    brute = sim._with_norm(sim._spread(embeddings)).select(
+        "vec_id", F.col("embedding").alias("emb"), F.col("norm").alias("nrm")
+    )
+    q = brute.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in q.join(brute, q.query_id != brute.vec_id)
+        .withColumn("cosine", sim._cosine("q_emb", "q_norm", "emb", "nrm"))
+        .filter(F.col("cosine") >= sim.RANGE_COSINE)
+        .collect()
+    }
+    assert set(got) <= exact
+
+
+def test_weighted_repeat_multiplicity_invariants(docs):
+    """sp8: every doc emits floor(w) or floor(w)+1 copies, copy indexes
+    are dense 1..n, a w<1 source drops part of its docs entirely, and a
+    w>1 source upsamples — with the realized mean tracking w."""
+    import math
+
+    from pyspark.sql import functions as F
+    from file_indexer_spark.operators import sampling as sp
+
+    out = sp.weighted_repeat(docs).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    weights = {r["doc_id"]: r["weight"] for r in out}
+    for did, rows in per_doc.items():
+        w = weights[did]
+        n = rows[0]["n_copies"]
+        assert n in (math.floor(w), math.floor(w) + 1)
+        assert sorted(r["copy"] for r in rows) == list(range(1, n + 1))
+    # src0 has w=0.25: some docs must vanish, none emit >1 copy
+    src0_docs = {r["doc_id"] for r in docs.filter(F.col("source") == "src0").collect()}
+    src0_emitted = {d for d in per_doc if d in src0_docs}
+    assert src0_emitted < src0_docs
+    assert all(len(per_doc[d]) == 1 for d in src0_emitted)
+    # realized copies per source ~ w * n_docs (md5 threshold is unbiased;
+    # allow generous slack at fixture scale)
+    n_src0 = len(src0_docs)
+    assert 0 < len(src0_emitted) <= n_src0
+    # a w=3.4 source (suffix % 8 == 7) must emit 3 or 4 copies per doc
+    heavy = {
+        r["doc_id"] for r in docs.filter(F.col("source") == "src7").collect()
+    }
+    assert heavy and all(len(per_doc[d]) in (3, 4) for d in heavy)
+
+
+def test_vocab_coverage_head_and_rates(docs):
+    """t13: the head list is the true top-k by (tf desc, word asc);
+    per-doc accounting sums to n_tokens and oov_rate is the exact
+    integer ratio."""
+    from collections import Counter
+
+    rows = docs.select("doc_id", "text").collect()
+    counts = Counter(w for r in rows for w in r["text"].split(" "))
+    head = sorted(counts, key=lambda w: (-counts[w], w))[: tx.VOCAB_TOP_K]
+    head_set = set(head)
+    got = {r["doc_id"]: r for r in tx.vocab_coverage(docs).collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        toks = r["text"].split(" ")
+        inv = sum(1 for t in toks if t in head_set)
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        assert g["in_vocab_tokens"] == inv
+        assert abs(g["oov_rate"] - round(1 - inv / len(toks), 6)) < 1e-9

@@ -115,6 +115,10 @@ _NESTED_LOOP_OK = {
     # codebook / centroid frame); per-batch ingest work happened inside
     # foreachBatch and is sim12's allow-listed encode shape.
     "sim13_streaming_ann_ingest",
+    # sim14 shares sim2's probe stage verbatim (_ivf_scored_candidates):
+    # the only nested loop is the bounded broadcast centroid/probe
+    # scoring cross; the threshold cut adds no join at all.
+    "sim14_range_search",
 }
 
 
@@ -545,3 +549,48 @@ def test_point_lookup_pushes_pk_filters_into_scan(spark, sf_smoke, tmp_path):
     out = t.point_lookup(key["path"], key["filename"])
     pushed = " ".join(pi.pushed_filters(out))
     assert "path" in pushed and "filename" in pushed
+
+
+def test_round9b_operator_plan_shapes(spark, sf_smoke):
+    """Round-9b scale properties: sp8's repeat generation is pure
+    map-side (the only exchange is the output sort's range partition);
+    t13's scoring pass has no join at all (vocab inlined as a literal);
+    sim14 shares sim2's probe stage and adds no window over the scored
+    stream."""
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.operators import text as tx
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+
+    # sp8: Generate (posexplode) directly over the scan; exactly one
+    # exchange (the deterministic output sort), and the text column is
+    # never read
+    rep = sp.weighted_repeat(docs)
+    plan = pi.simple_plan(rep)
+    assert pi.count_exchanges(rep) == 1, plan
+    assert "Generate" in plan, plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("text" not in ln for ln in scans), plan
+
+    # t13: the returned scoring frame joins nothing — the head vocab is
+    # a literal IN-list, so the plan is scan -> project -> sort
+    cov = tx.vocab_coverage(docs)
+    plan = pi.simple_plan(cov)
+    assert "Join" not in plan, plan
+
+    # sim14: threshold cut instead of per-query top-k — the ONLY window
+    # is the probe ranking over the bounded queries x centroids frame
+    # (sim2's plan has a second one over the corpus-sized scored
+    # stream); the probe set stays broadcast-joined to the corpus
+    rng = sim.ivf_range_search(emb)
+    plan = pi.simple_plan(rng)
+    scored_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "row_number" in ln and "neighbor_id" in ln
+    ]
+    assert not scored_windows, plan
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), plan
