@@ -172,6 +172,8 @@ LLM_EXTENSION = [
     "sim14_range_search",
     "sp8_weighted_repeat",
     "t13_vocab_coverage",
+    "dd14_containment_pairs",
+    "e17_event_debounce",
 ]
 
 

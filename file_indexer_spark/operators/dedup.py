@@ -91,14 +91,11 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
-    max_df: int = MAX_DF,
-) -> DataFrame:
-    """dd2: all pairs with pruned-set Jaccard >= threshold, found via a
-    shingle inverted index (exact w.r.t. the pruned sets).
-    """
+def _pair_overlap(docs: DataFrame, max_df: int) -> DataFrame:
+    """Shared inverted-index overlap stage for dd2/dd14: (doc_a < doc_b,
+    common_shingles, n_a, n_b) over the df-pruned shingle universe.
+    One grouped pass over the posting lists; pairs generated map-side
+    from each bounded (<= max_df) list."""
     sets = _shingle_sets(docs)
     exploded = sets.select("doc_id", F.explode("shingles").alias("h"))
     # one shuffle: group the inverted index by shingle, keeping the
@@ -131,16 +128,81 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("n_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """dd2: all pairs with pruned-set Jaccard >= threshold, found via a
+    shingle inverted index (exact w.r.t. the pruned sets).
+    """
+    overlap = _pair_overlap(docs, max_df)
     jac = F.col("common_shingles").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common_shingles")
     ).cast("double")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        overlap.withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "common_shingles", "n_a", "n_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+CONTAIN_THRESHOLD = 0.9  # dd14: |A ∩ B| / |A| floor for "A inside B"
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """dd14: DIRECTED near-containment pairs — ``|A ∩ B| / |A| >=
+    threshold`` flags doc A as (near-)contained in doc B. Catches the
+    subset-duplication symmetric Jaccard misses: a paragraph quoted
+    whole inside a much longer page has tiny Jaccard but containment
+    ~1.0 (the quote/boilerplate/wrapper-page dedup rule).
+
+    Same inverted-index overlap stage as dd2 (:func:`_pair_overlap` —
+    one posting-list shuffle, pairs generated map-side from bounded
+    lists, never all-pairs); each unordered overlap row then fans out
+    map-side into its <= 2 qualifying directions. Output is directed:
+    (contained, container, containment), ties possible in both
+    directions when the sets are near-identical.
+    """
+    overlap = _pair_overlap(docs, max_df)
+    directions = F.array(
+        F.struct(
+            F.col("doc_a").alias("contained"),
+            F.col("doc_b").alias("container"),
+            F.col("n_a").alias("n_contained"),
+            F.col("n_b").alias("n_container"),
+        ),
+        F.struct(
+            F.col("doc_b").alias("contained"),
+            F.col("doc_a").alias("container"),
+            F.col("n_b").alias("n_contained"),
+            F.col("n_a").alias("n_container"),
+        ),
+    )
+    cont = F.col("common_shingles").cast("double") / F.col("n_contained").cast(
+        "double"
+    )
+    return (
+        overlap.select("common_shingles", F.explode(directions).alias("d"))
+        .select("common_shingles", "d.*")
+        .filter(cont >= threshold)
+        .select(
+            "contained",
+            "container",
+            "common_shingles",
+            "n_contained",
+            "n_container",
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("contained", "container")
     )
 
 

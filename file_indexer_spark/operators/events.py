@@ -660,3 +660,57 @@ def daily_uniques_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ----------------------------------------------------------------- e17
+DEBOUNCE_GAP_S = 3600  # events closer than this (transitively) collapse
+
+
+def debounce_events(events: DataFrame, gap_s: int = DEBOUNCE_GAP_S) -> DataFrame:
+    """e17: per-(user, event_type) burst collapse — repeated firings
+    within ``gap_s`` of the previous event (chained, so a long burst
+    collapses however long it runs) reduce to their FIRST event plus
+    suppression accounting. The telemetry dedup/throttle rule: retries,
+    double-clicks and alert storms become one kept row.
+
+    Same gaps-and-islands program as e1 (lag -> new-burst flag ->
+    running sum: one shuffle on the (user, type) key, three window
+    passes over it, no joins); the burst reduction is the same hash
+    agg. The microsecond key is RELATIVE (timestampdiff from a fixed
+    origin — NTZ-safe, e9's idiom); gap and span only ever subtract it,
+    so the origin cancels. The kept event is the lexicographic
+    (ts, event_id) minimum, so ties are deterministic.
+    """
+    key = ["user_id", "event_type"]
+    w = Window.partitionBy(*key).orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)")
+    tagged = events.select(
+        *key, "event_id", "ts", us.alias("us")
+    ).withColumn("prev_us", F.lag("us").over(w))
+    flagged = tagged.withColumn(
+        "new_burst",
+        (
+            F.col("prev_us").isNull()
+            | ((F.col("us") - F.col("prev_us")) > gap_s * 1_000_000)
+        ).cast("int"),
+    )
+    bursts = flagged.withColumn("burst_seq", F.sum("new_burst").over(run))
+    return (
+        bursts.groupBy(*key, F.col("burst_seq").cast("long").alias("burst_seq"))
+        .agg(
+            F.min(F.struct("us", "event_id", "ts")).alias("kept"),
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "burst_seq",
+            F.col("kept.event_id").alias("kept_event_id"),
+            F.col("kept.ts").alias("kept_ts"),
+            (F.col("n_events") - 1).cast("long").alias("n_suppressed"),
+            "span_us",
+        )
+        .orderBy("user_id", "event_type", "burst_seq")
+    )

@@ -207,3 +207,95 @@ def w14_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.upsert(upd.unionByName(noop).unionByName(ins))
     t.delete(orig.filter(F.col("file_size") % 7 == 5).select("path", "filename"))
     return t.changes(1, 3)
+
+
+from file_indexer_spark.functions import hashing as H  # noqa: E402
+from file_indexer_spark.operators import dedup as dd  # noqa: E402
+from file_indexer_spark.operators import events as ev  # noqa: E402
+
+
+@register(
+    "dd14_containment_pairs",
+    f"""
+    -- Directed near-containment: |A∩B| / |A| >= t flags A as contained
+    -- in B (the subset-duplication rule symmetric Jaccard misses).
+    -- Same df-pruned inverted-index overlap as dd2; each unordered
+    -- overlap row fans into its <= 2 qualifying directions.
+    WITH sets AS (SELECT doc_id, {H.duck_shingle_hashes()} AS shingles FROM documents),
+    expl AS (SELECT doc_id, unnest(shingles) AS h FROM sets),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM expl GROUP BY h),
+    kept AS (SELECT e.doc_id, e.h, d.df FROM expl e JOIN dfreq d USING (h)
+             WHERE d.df <= {dd.MAX_DF}),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM kept GROUP BY doc_id),
+    pair_gen AS (SELECT doc_id, h FROM kept WHERE df >= 2),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
+        FROM pair_gen a JOIN pair_gen b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    overlap AS (
+        SELECT doc_a, doc_b, common_shingles,
+               sa.set_size AS n_a, sb.set_size AS n_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b),
+    directed AS (
+        SELECT doc_a AS contained, doc_b AS container, common_shingles,
+               n_a AS n_contained, n_b AS n_container FROM overlap
+        UNION ALL
+        SELECT doc_b, doc_a, common_shingles, n_b, n_a FROM overlap)
+    SELECT contained, container, common_shingles,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           CAST(n_container AS BIGINT) AS n_container,
+           round(CAST(common_shingles AS DOUBLE) / CAST(n_contained AS DOUBLE), 6)
+               AS containment
+    FROM directed
+    WHERE CAST(common_shingles AS DOUBLE) / CAST(n_contained AS DOUBLE)
+          >= {dd.CONTAIN_THRESHOLD}
+    ORDER BY contained, container
+    """,
+)
+def dd14_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD14: directed near-containment dedup (quote/wrapper-page rule).
+    dd2's single posting-list shuffle; the direction fan-out is a
+    map-side 2-element explode."""
+    return dd.containment_pairs(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "e17_event_debounce",
+    f"""
+    -- Burst collapse (telemetry debounce): chained events within the
+    -- gap reduce to their first occurrence + suppression accounting.
+    WITH ordered AS (
+        SELECT user_id, event_type, event_id, ts,
+               epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                   AS prev_us
+        FROM events),
+    flagged AS (
+        SELECT *, CASE WHEN prev_us IS NULL
+                         OR us - prev_us > {ev.DEBOUNCE_GAP_S}::BIGINT * 1000000
+                       THEN 1 ELSE 0 END AS new_burst
+        FROM ordered),
+    bursts AS (
+        SELECT *, SUM(new_burst) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS burst_seq
+        FROM flagged),
+    agg AS (
+        SELECT user_id, event_type, CAST(burst_seq AS BIGINT) AS burst_seq,
+               min(struct_pack(us := us, event_id := event_id, ts := ts)) AS kept,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed,
+               CAST(max(us) - min(us) AS BIGINT) AS span_us
+        FROM bursts GROUP BY 1, 2, 3)
+    SELECT user_id, event_type, burst_seq,
+           kept.event_id AS kept_event_id, kept.ts AS kept_ts,
+           n_suppressed, span_us
+    FROM agg ORDER BY user_id, event_type, burst_seq
+    """,
+)
+def e17_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17: per-(user, type) burst collapse — e1's gaps-and-islands
+    program with a first-event reduction; one shuffle, no joins."""
+    return ev.debounce_events(_table(spark, sf_dir, "events"))

@@ -1232,3 +1232,63 @@ def test_vocab_coverage_head_and_rates(docs):
         assert g["n_tokens"] == len(toks)
         assert g["in_vocab_tokens"] == inv
         assert abs(g["oov_rate"] - round(1 - inv / len(toks), 6)) < 1e-9
+
+
+def test_containment_directionality_on_crafted_fixture(spark):
+    """dd14 semantics: a short doc whose shingles all appear in a long
+    doc is contained (one direction only); a near-identical pair
+    qualifies in both directions; an unrelated doc in neither."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_doc = base + " lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " \
+        "one two three four five six seven eight nine ten eleven twelve"
+    twin = base + " lambda"
+    docs = spark.createDataFrame(
+        [
+            (1, base),        # contained in 2 (its shingles are a prefix slice)
+            (2, long_doc),    # container
+            (3, twin),        # near-identical to 1 -> both directions with 1
+            (4, "unrelated words only here nothing shared at all whatsoever indeed truly"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in dd.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)] >= 0.99
+    assert (2, 1) not in rows  # the long doc is NOT contained in the short one
+    assert (1, 3) in rows and (3, 1) in rows  # near-identical: both ways
+    assert not any(4 in k for k in rows)
+
+
+def test_debounce_transitive_chain_and_split(spark):
+    """e17 semantics: a chain of sub-gap steps collapses into ONE burst
+    however long it runs (total span >> gap); a super-gap step starts a
+    new burst; distinct keys never interact."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # user 1, click: 5 events 30 min apart (chain spans 2h > 1h gap)
+    rows += [(i, t0 + timedelta(minutes=30 * i), 1, "click") for i in range(5)]
+    # then a 2h silence -> new burst of 2
+    rows += [(10, t0 + timedelta(hours=4), 1, "click"),
+             (11, t0 + timedelta(hours=4, minutes=10), 1, "click")]
+    # same user, different type: independent
+    rows += [(20, t0, 1, "view")]
+    # different user entirely
+    rows += [(30, t0, 2, "click")]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    out = {(r["user_id"], r["event_type"], r["burst_seq"]): r
+           for r in ev.debounce_events(events).collect()}
+    assert len(out) == 4
+    chain = out[(1, "click", 1)]
+    assert chain["kept_event_id"] == 0
+    assert chain["n_suppressed"] == 4
+    assert chain["span_us"] == 120 * 60 * 1_000_000  # 2h total span
+    second = out[(1, "click", 2)]
+    assert second["kept_event_id"] == 10 and second["n_suppressed"] == 1
+    assert out[(1, "view", 1)]["n_suppressed"] == 0
+    assert out[(2, "click", 1)]["n_suppressed"] == 0

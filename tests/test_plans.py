@@ -594,3 +594,22 @@ def test_round9b_operator_plan_shapes(spark, sf_smoke):
     ]
     assert not scored_windows, plan
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), plan
+
+    # dd14: identical shuffle budget to dd2 (shared overlap stage);
+    # the direction fan-out is a map-side Generate, not a join
+    from file_indexer_spark.operators import dedup as dd
+
+    dd2 = dd.ngram_jaccard_pairs(docs)
+    dd14 = dd.containment_pairs(docs)
+    assert pi.count_exchanges(dd14) == pi.count_exchanges(dd2), pi.simple_plan(dd14)
+    assert "Generate" in pi.simple_plan(dd14)
+
+    # e17: e1's one-key-shuffle discipline — no joins, window passes
+    # share the (user, type) partitioning
+    from file_indexer_spark.operators import events as evo
+    from file_indexer_spark.tables import events_df
+
+    deb = evo.debounce_events(events_df(spark, sf_smoke))
+    plan = pi.simple_plan(deb)
+    assert "Join" not in plan, plan
+    assert pi.count_exchanges(deb) <= 3, plan
