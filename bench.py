@@ -459,6 +459,19 @@ SCALE_QUERIES = [
     # lists (verdict r8 #5); this row is the number the serving path
     # actually exhibits.
     "sim10_ivfpq_topk_serving_regime",
+    # round 9 (cont.): map-side repeat generation (linear in output
+    # volume), literal-inlined OOV scoring (two linear passes), e1-
+    # shaped debounce (one key shuffle), and the radius search (sim10's
+    # regime note applies: the fixed gate config probes factor-longer
+    # lists — linear scan growth; the serving rule scales n_centroids).
+    # dd14 is EXCLUDED like dd2: replication multiplies every shingle's
+    # df by the factor, so MAX_DF pruning degenerates on the synthetic
+    # corpus (a fixture artifact, not an engine property — near-dup
+    # scaling is swept under --scale-neardup).
+    "sp8_weighted_repeat",
+    "t13_vocab_coverage",
+    "e17_event_debounce",
+    "sim14_range_search",
 ]
 
 

@@ -539,6 +539,64 @@ class FilesTable:
             .orderBy(*PK, "change_type")
         )
 
+    def clone_to(
+        self, dest_location: str, keep_history: bool | None = None
+    ) -> "FilesTable":
+        """w13: ZERO-COPY snapshot clone (Delta SHALLOW CLONE shape,
+        made vacuum-safe by POSIX hardlinks): the clone gets its own
+        manifest/log and its own directory tree, but every parquet file
+        is a hardlink to the source's — O(files) metadata operations,
+        no data movement, however big the table.
+
+        Divergence is total from the first commit: data dirs are
+        immutable on both sides (writers always create NEW dirs), so a
+        mutation on either table never rewrites a shared file, and a
+        source ``vacuum()`` merely unlinks the source's names — the
+        clone's links keep the inodes alive (this is the one semantic
+        UPGRADE over Delta's shallow clone, which breaks on source
+        vacuum). On object storage the same protocol degrades to a
+        manifest-level shallow clone with Delta's caveat; the fallback
+        copy (cross-device links) trades the metadata-only cost for
+        correctness.
+
+        The clone starts at generation 1 regardless of source history
+        (a snapshot, not a fork of the log) and carries the source's
+        current schema and bucket layout.
+        """
+        m = self._load_manifest()
+        if m is None:
+            raise ValueError(
+                f"clone requires a manifest table, none at {self.location}"
+            )
+        dest = os.path.abspath(dest_location)
+        if os.path.isdir(dest) and os.listdir(dest):
+            raise ValueError(f"clone destination {dest} is not empty")
+        os.makedirs(dest, exist_ok=True)
+        # open the handle while dest is still empty (a fresh table
+        # accepts any bucket config); the dest is invisible to readers
+        # until clone_to returns, so the copy-then-commit order inside
+        # it needs no further protocol
+        hist = self.keep_history if keep_history is None else keep_history
+        out = FilesTable(self.spark, dest, buckets=self.buckets, keep_history=hist)
+
+        def _link_or_copy(src: str, dst: str) -> None:
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+
+        for rel in sorted(set(m["entries"].values())):
+            shutil.copytree(
+                os.path.join(self.location, rel),
+                os.path.join(dest, rel),
+                copy_function=_link_or_copy,
+                dirs_exist_ok=True,
+            )
+        out._commit_manifest(
+            dict(m["entries"]), expected_generation=0, schema=self._schema_of(m)
+        )
+        return out
+
     def _validate_layout(self) -> None:
         """The bucket count is part of the on-disk layout: the manifest
         (or the legacy marker file) records it, and reopening with a

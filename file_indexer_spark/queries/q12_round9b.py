@@ -299,3 +299,38 @@ def e17_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E17: per-(user, type) burst collapse — e1's gaps-and-islands
     program with a first-event reduction; one shuffle, no joins."""
     return ev.debounce_events(_table(spark, sf_dir, "events"))
+
+
+@register(
+    "w13_zero_copy_clone",
+    with_files_cte("SELECT * FROM files ORDER BY path, filename"),
+)
+def w13_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: zero-copy snapshot clone gate — commit the files derivation
+    to a bucketed source table, hardlink-CLONE it, then MUTATE the
+    source (upsert + delete, whose no-history commits inline-GC the
+    replaced dirs — the hostile case for a shallow clone). The gate
+    returns the CLONE's read; the oracle is the unmutated files
+    derivation, so any leakage of source mutations into the clone, any
+    shared-file rewrite, or any GC reclaiming a hardlinked inode
+    hash-mismatches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w13_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    t = FilesTable(spark, os.path.join(base, "src"), buckets=16)
+    orig = files_df(spark, sf_dir)
+    t.overwrite(orig)
+    clone = t.clone_to(os.path.join(base, "clone"))
+    one_key = orig.orderBy("path", "filename").limit(1)
+    t.upsert(one_key.withColumn("checksum", F.lit("MUTATED")))
+    t.delete(one_key.select("path", "filename"))
+    return clone.read().orderBy("path", "filename")

@@ -1088,3 +1088,44 @@ def test_change_feed_guards(spark, tmp_path):
     t.vacuum(retain_generations=1)
     with pytest.raises(ValueError, match="vacuumed|not retained"):
         t.changes(1, 3)
+
+
+def test_clone_isolation_and_zero_copy(spark, tmp_path):
+    """w13: the clone is bit-identical at clone time, fully isolated
+    from BOTH directions of later mutation (including the source's
+    inline GC of replaced dirs), survives a source vacuum, and shares
+    inodes rather than copying bytes."""
+    t = FilesTable(spark, str(tmp_path / "src"), buckets=4, keep_history=True)
+    rows = _mk_rows(
+        spark, [(f"/d{i}", f"f{j}", f"c{i}{j}", 10 * i + j) for i in range(6) for j in range(2)]
+    )
+    t.overwrite(rows)
+    clone = t.clone_to(str(tmp_path / "clone"))
+    assert clone.read().count() == 12
+    # zero-copy: every cloned parquet file shares its inode with source
+    import glob
+
+    src_inodes = {
+        os.stat(p).st_ino
+        for p in glob.glob(str(tmp_path / "src" / "data-*" / "**" / "*.parquet"), recursive=True)
+    }
+    clone_files = glob.glob(
+        str(tmp_path / "clone" / "data-*" / "**" / "*.parquet"), recursive=True
+    )
+    assert clone_files and all(os.stat(p).st_ino in src_inodes for p in clone_files)
+    # source mutation + vacuum must not leak into (or break) the clone
+    t.upsert(_mk_rows(spark, [("/d0", "f0", "MUT", 10)]))
+    t.delete(spark.createDataFrame([("/d1", "f0")], "path string, filename string"))
+    t.vacuum(retain_generations=1)
+    got = {(r["path"], r["filename"]): r["checksum"] for r in clone.read().collect()}
+    assert len(got) == 12 and got[("/d0", "f0")] == "c00"
+    # clone mutation must not leak back
+    clone.delete(spark.createDataFrame([("/d2", "f0")], "path string, filename string"))
+    assert t.read().count() == 11  # 12 - source delete
+    assert clone.read().count() == 11  # 12 - clone delete
+    # refuse to clobber a non-empty destination
+    with pytest.raises(ValueError, match="not empty"):
+        t.clone_to(str(tmp_path / "clone"))
+    # a clone of a clone works (it's a normal manifest table)
+    c2 = clone.clone_to(str(tmp_path / "clone2"))
+    assert c2.read().count() == 11
