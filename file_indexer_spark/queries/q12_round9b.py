@@ -334,3 +334,46 @@ def w13_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.upsert(one_key.withColumn("checksum", F.lit("MUTATED")))
     t.delete(one_key.select("path", "filename"))
     return clone.read().orderBy("path", "filename")
+
+
+from file_indexer_spark.registry_core import _events, _land_arrivals  # noqa: E402
+from file_indexer_spark.tables import events_df  # noqa: E402, F811
+
+
+# st14 shares e17's oracle VERBATIM: after draining a chronological
+# two-arrival stream through the stateful debounce, the changelog's
+# final state must equal the batch operator over the whole corpus —
+# including bursts that SPAN the arrival boundary, which greedy
+# per-batch dedup would split or re-key.
+@register("st14_streaming_debounce", ORACLES["e17_event_debounce"])
+def st14_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14: e17 as a continuous stateful stream (applyInPandasWithState,
+    O(user×type keys) state, update-mode changelog). The gate reduces
+    the changelog to its final state (last emission per burst) and
+    hash-matches e17's own DuckDB oracle."""
+    import os
+
+    from file_indexer_spark.streaming import sessions as ss
+    from file_indexer_spark.streaming import windows as sw
+
+    tune_session(spark)
+    base, _ = _stream_workdir("fis_st14", sf_dir)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "changelog")
+    ev2 = events_df(spark, sf_dir)
+    bounds = ev2.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    _land_arrivals(
+        src,
+        [ev2.filter(F.col("ts") <= F.lit(mid)), ev2.filter(F.col("ts") > F.lit(mid))],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sw.run_update_mode_to_parquet(ss.debounce_stream(stream), out)
+    return (
+        sw.last_emission(spark, out, ["user_id", "event_type", "burst_seq"])
+        .select(
+            "user_id", "event_type", "burst_seq", "kept_event_id",
+            "kept_ts", "n_suppressed", "span_us",
+        )
+        .orderBy("user_id", "event_type", "burst_seq")
+    )

@@ -137,3 +137,94 @@ def session_window_sessions(
         )
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------- st14
+# Streaming rendition of e17 (operators/events.py debounce_events):
+# per-(user, type) burst collapse with O(keys) state. The update-mode
+# changelog re-emits a burst row whenever a micro-batch extends it;
+# the final state (last emission per burst) equals the batch operator,
+# which is what the gate hash-checks against e17's own oracle.
+from file_indexer_spark.operators.events import DEBOUNCE_GAP_S  # noqa: E402
+
+_DEBOUNCE_GAP_US = DEBOUNCE_GAP_S * 1_000_000
+
+DEBOUNCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("burst_seq", T.LongType(), False),
+        T.StructField("kept_event_id", T.LongType(), False),
+        T.StructField("kept_ts", T.TimestampType(), True),
+        T.StructField("n_suppressed", T.LongType(), False),
+        T.StructField("span_us", T.LongType(), False),
+    ]
+)
+
+# (burst_seq, kept_event_id, kept_us, last_us, n_events)
+DEBOUNCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("burst_seq", T.LongType(), False),
+        T.StructField("kept_event_id", T.LongType(), False),
+        T.StructField("kept_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+
+def _debounce_group(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id, event_type = key
+    if state.exists:
+        seq, kept_id, kept_us, last_us, n_events = state.get
+    else:
+        seq, kept_id, kept_us, last_us, n_events = 0, 0, 0, None, 0
+
+    touched: dict[int, Any] = {}
+    for pdf in batches:
+        # (ts, event_id) order = the batch operator's tie-break; ties
+        # never span micro-batches under the chronological-halves
+        # arrival contract (events are in order w.r.t. the split key)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+            us = int(ts.value // 1_000)  # pandas ns -> us
+            if last_us is None or us - last_us > _DEBOUNCE_GAP_US:
+                seq += 1
+                kept_id = int(eid)
+                kept_us = us
+                n_events = 0
+            last_us = us
+            n_events += 1
+            touched[seq] = (kept_id, kept_us, n_events, last_us - kept_us)
+    state.update(
+        (seq, kept_id, kept_us, last_us if last_us is not None else 0, n_events)
+    )
+    if touched:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(touched),
+                "event_type": [event_type] * len(touched),
+                "burst_seq": list(touched),
+                "kept_event_id": [v[0] for v in touched.values()],
+                "kept_ts": [pd.Timestamp(v[1], unit="us") for v in touched.values()],
+                "n_suppressed": [v[2] - 1 for v in touched.values()],
+                "span_us": [v[3] for v in touched.values()],
+            }
+        )
+
+
+def debounce_stream(events: DataFrame) -> DataFrame:
+    """st14: continuous per-(user, type) burst collapse — e17 with
+    O(keys) state instead of whole-history windows. A burst spanning
+    micro-batches keeps its FIRST batch's kept event and extends its
+    span/suppression counts (the case greedy per-batch dedup gets
+    wrong); output mode ``update`` re-emits the amended burst row."""
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce_group,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -767,3 +767,60 @@ def test_crossmodal_state_compaction_preserves_report(spark, sf_smoke, tmp_path)
     sxm.ingest_batch(spark, b2, state, 1)  # replay of a vacuumed-past batch
     again = sorted(map(tuple, sxm.duplicate_assets_report(spark, state).collect()))
     assert again == before
+
+
+def test_streaming_debounce_burst_spans_batches(spark, tmp_path):
+    """st14's defining behavior: a burst whose events SPAN micro-batches
+    keeps the FIRST batch's kept event and re-emits with grown
+    suppression/span (greedy per-batch dedup would re-key it); a
+    super-gap event in the second batch starts a fresh burst; and the
+    changelog's final state equals the batch e17 operator."""
+    import datetime as dt
+
+    from file_indexer_spark.operators import events as ev
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming import sessions as ss
+    from file_indexer_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+
+    # batch 1: burst of two (30 min apart); batch 2 continues the SAME
+    # burst 40 min later, then a 2h silence starts burst 2
+    b1 = mk([
+        (1, t0, 7, "click", 1.0, None),
+        (2, t0 + dt.timedelta(minutes=30), 7, "click", 1.0, None),
+    ])
+    b2 = mk([
+        (3, t0 + dt.timedelta(minutes=70), 7, "click", 1.0, None),
+        (4, t0 + dt.timedelta(minutes=70) + dt.timedelta(hours=2), 7, "click", 1.0, None),
+    ])
+    src, out = str(tmp_path / "st14_src"), str(tmp_path / "st14_log")
+    _land_arrivals(src, [b1, b2])
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sw.run_update_mode_to_parquet(ss.debounce_stream(stream), out)
+
+    log = spark.read.parquet(out)
+    burst1 = log.filter(F.col("burst_seq") == 1).orderBy("batch_id").collect()
+    # burst 1 re-emitted amended: suppression 1 -> 2, kept event stable
+    assert [r["n_suppressed"] for r in burst1] == [1, 2]
+    assert {r["kept_event_id"] for r in burst1} == {1}
+    assert burst1[-1]["span_us"] == 70 * 60 * 1_000_000
+
+    final = sw.last_emission(spark, out, ["user_id", "event_type", "burst_seq"])
+    got = {
+        (r["burst_seq"], r["kept_event_id"], r["n_suppressed"], r["span_us"])
+        for r in final.collect()
+    }
+    batch = ev.debounce_events(
+        mk([]).unionByName(b1).unionByName(b2).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+    )
+    expect = {
+        (r["burst_seq"], r["kept_event_id"], r["n_suppressed"], r["span_us"])
+        for r in batch.collect()
+    }
+    assert got == expect == {(1, 1, 2, 4200 * 1_000_000), (2, 4, 0, 0)}
