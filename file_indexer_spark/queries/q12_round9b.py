@@ -83,7 +83,10 @@ def sim14_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- an empty array.
     WITH tagged AS (
         SELECT doc_id, source,
-               0.25::DOUBLE + (CAST(substring(source, 4, 10) AS BIGINT) % 8)::DOUBLE
+               -- TRY_CAST: Spark's non-ANSI cast nulls a malformed
+               -- suffix (the doc then emits nothing); strict CAST
+               -- would error the oracle instead of matching that
+               0.25::DOUBLE + (TRY_CAST(substring(source, 4, 10) AS BIGINT) % 8)::DOUBLE
                    * 0.45::DOUBLE AS w,
                ('0x' || substring(
                     md5(doc_id::VARCHAR || ':{sp.REPEAT_SALT}'), 1, 4))::BIGINT
