@@ -141,3 +141,43 @@ def phase2_files_to_hash(files: DataFrame, skip_empty_files: bool = True) -> Dat
         .select("path", "filename", "file_size")
         .orderBy("path", "filename")
     )
+
+
+def incremental_histogram_refresh(old_hist: DataFrame, feed: DataFrame) -> DataFrame:
+    """w15: maintain the A9 size histogram as a MATERIALIZED VIEW from
+    a w14 change feed — the lakehouse CDF pattern: refresh cost is
+    O(feed), never O(table).
+
+    Each feed row contributes a signed delta: insert/update_postimage
+    add (+1, +file_size) to its band, delete/update_preimage subtract —
+    an update that moves a row across bands therefore lands as a
+    (-1 old band, +1 new band) pair, and a no-op rewrite contributes
+    nothing because the feed provably omits it. The banded deltas are
+    map-side expressions over the batch-sized feed; the merge with the
+    stored view is one hash agg over O(bands) rows. Bands emptied by
+    deletions drop out (count > 0), matching a from-scratch recompute.
+    """
+    sign = (
+        F.when(F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("change_type").isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    deltas = feed.select(
+        size_band_expr().alias("size_range"),
+        size_band_order_expr().alias("sort_order"),
+        sign.alias("d_count"),
+        (sign * F.col("file_size")).alias("d_size"),
+    ).groupBy("size_range", "sort_order").agg(
+        F.sum("d_count").alias("count"),
+        F.sum("d_size").cast("long").alias("total_size"),
+    )
+    return (
+        old_hist.unionByName(deltas)
+        .groupBy("size_range", "sort_order")
+        .agg(
+            F.sum("count").cast("long").alias("count"),
+            F.sum("total_size").cast("long").alias("total_size"),
+        )
+        .filter(F.col("count") > 0)
+        .orderBy("sort_order")
+    )

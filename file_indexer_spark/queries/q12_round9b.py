@@ -380,3 +380,77 @@ def st14_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "burst_seq")
     )
+
+
+from file_indexer_spark.operators import stats as st_ops  # noqa: E402
+
+
+@register(
+    "w15_cdf_view_maintenance",
+    with_files_cte(
+        """
+    , mutated AS (
+        SELECT file_size FROM files WHERE file_size % 7 NOT IN (3, 5)
+        UNION ALL
+        SELECT file_size + 100000 FROM files WHERE file_size % 7 = 3
+        UNION ALL
+        SELECT file_size + 7777 FROM files WHERE file_size % 7 = 1)
+    SELECT size_range, sort_order, COUNT(*) AS count,
+           CAST(SUM(file_size) AS BIGINT) AS total_size
+    FROM (
+        SELECT file_size,
+               CASE WHEN file_size = 0 THEN '0 bytes'
+                    WHEN file_size < 1024 THEN '< 1KB'
+                    WHEN file_size < 1048576 THEN '1KB - 1MB'
+                    WHEN file_size < 1073741824 THEN '1MB - 1GB'
+                    ELSE '> 1GB' END AS size_range,
+               CASE WHEN file_size = 0 THEN 1
+                    WHEN file_size < 1024 THEN 2
+                    WHEN file_size < 1048576 THEN 3
+                    WHEN file_size < 1073741824 THEN 4
+                    ELSE 5 END AS sort_order
+        FROM mutated
+    ) sub
+    GROUP BY size_range, sort_order
+    ORDER BY sort_order
+    """
+    ),
+)
+def w15_cdf_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: CDF-driven MATERIALIZED-VIEW maintenance — the composition
+    the change feed exists for. The a9 size histogram is computed once
+    at generation 1, the table then takes a mixed MERGE (band-moving
+    size updates + inserts + NO-OP rewrites) and a delete, and the view
+    is refreshed FROM ``changes(1, 3)`` alone — never rescanning the
+    table. The oracle recomputes the histogram over the mutated set
+    from scratch in SQL, so a missed delta, a wrong sign, a no-op row
+    leaking into the feed, or a band that failed to empty all
+    hash-mismatch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w15_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    t = FilesTable(spark, os.path.join(base, "db"), buckets=16, keep_history=True)
+    orig = files_df(spark, sf_dir)
+    t.overwrite(orig)
+    upd = orig.filter(F.col("file_size") % 7 == 3).withColumn(
+        "file_size", F.col("file_size") + 100000
+    )
+    noop = orig.filter(F.col("file_size") % 7 == 6)
+    ins = (
+        orig.filter(F.col("file_size") % 7 == 1)
+        .withColumn("filename", F.concat(F.col("filename"), F.lit(".cdf")))
+        .withColumn("file_size", F.col("file_size") + 7777)
+    )
+    t.upsert(upd.unionByName(noop).unionByName(ins))
+    t.delete(orig.filter(F.col("file_size") % 7 == 5).select("path", "filename"))
+    view_at_1 = st_ops.size_histogram(t.read_at(1))
+    return st_ops.incremental_histogram_refresh(view_at_1, t.changes(1, 3))

@@ -1129,3 +1129,31 @@ def test_clone_isolation_and_zero_copy(spark, tmp_path):
     # a clone of a clone works (it's a normal manifest table)
     c2 = clone.clone_to(str(tmp_path / "clone2"))
     assert c2.read().count() == 11
+
+
+def test_cdf_view_refresh_equals_recompute(spark, tmp_path):
+    """w15 semantics on a crafted history: a band-crossing size update
+    lands as a (-1, +1) pair, a deletion empties its band (the band
+    DROPS, matching recompute), and the refreshed view equals the
+    from-scratch histogram of the final table."""
+    from file_indexer_spark.operators import stats as st
+
+    t = FilesTable(spark, str(tmp_path / "mv_db"), buckets=4, keep_history=True)
+    # one tiny file (<1KB band, alone there), two mid files (1KB-1MB)
+    t.overwrite(_mk_rows(spark, [
+        ("/a", "small", "c1", 500),
+        ("/a", "mid1", "c2", 2048),
+        ("/a", "mid2", "c3", 4096),
+    ]))
+    # small jumps bands (500 -> 2MB... stays 1KB-1MB? 2_000_000 > 1048576 -> 1MB-1GB)
+    t.upsert(_mk_rows(spark, [("/a", "small", "c1", 2_000_000)]))
+    t.delete(spark.createDataFrame([("/a", "mid1")], "path string, filename string"))
+    refreshed = st.incremental_histogram_refresh(
+        st.size_histogram(t.read_at(1)), t.changes(1, 3)
+    )
+    recomputed = st.size_histogram(t.read())
+    got = {(r["size_range"], r["count"], r["total_size"]) for r in refreshed.collect()}
+    want = {(r["size_range"], r["count"], r["total_size"]) for r in recomputed.collect()}
+    assert got == want
+    assert not any(band == "< 1KB" for band, _, _ in got)  # emptied band dropped
+    assert ("1MB - 1GB", 1, 2_000_000) in got
