@@ -898,6 +898,13 @@ def main_stream() -> None:
         "update",
     )
 
+    src14 = os.path.join(base, "st14_src")
+    _land_chunks(spark, events, src14, "ts", _STREAM_CHUNKS)
+    results["st14_streaming_debounce"] = _drain_with_metrics(
+        ss.debounce_stream(sw.read_events_stream(spark, src14, max_files_per_trigger=1)),
+        "update",
+    )
+
     src9 = os.path.join(base, "st9_src")
     _land_chunks(spark, events, src9, "ts", _STREAM_CHUNKS)
     results["st9_interval_join_stream"] = _drain_with_metrics(

@@ -485,10 +485,10 @@ class FilesTable:
         changed = {k for k in set(ea) | set(eb) if ea.get(k) != eb.get(k)}
         for doc, side in ((doc_a, changed & set(ea)), (doc_b, changed & set(eb))):
             for k in side:
+                # full relative path, not just the data-root: vacuum
+                # reclaims dead BUCKET SUBDIRS inside retained roots too
                 rel = doc["entries"][k]
-                if not os.path.isdir(
-                    os.path.join(self.location, rel.split("/", 1)[0])
-                ):
+                if not os.path.isdir(os.path.join(self.location, rel)):
                     raise ValueError(
                         f"a generation in ({g_from}, {g_to}] was vacuumed "
                         f"from {self.location}; change feed unavailable"

@@ -1,6 +1,9 @@
 """Registered queries — round 9 (cont.): IVF radius search (sim14),
 deterministic fractional upsampling (sp8), head-vocabulary coverage
-scoring (t13), and the FilesTable change feed (w14).
+scoring (t13), the FilesTable change feed (w14), directed containment
+dedup (dd14), event debounce (e17) and its streaming rendition (st14),
+the zero-copy snapshot clone (w13), and CDF-driven materialized-view
+maintenance (w15).
 """
 
 from __future__ import annotations
