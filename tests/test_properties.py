@@ -367,3 +367,97 @@ def test_ann_ingest_random_replay_compact_equals_rebuild(spark, tmp_path_factory
         for r in want_index["codes"].collect()
     }
     assert got == want and len(got) == 24
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    # per commit: for each of 8 PKs an action — 0 keep, 1 upsert with a
+    # new value, 2 upsert unchanged (no-op), 3 delete (if present),
+    # 4 insert (if absent; otherwise treated as upsert-new-value)
+    st.lists(
+        st.lists(st.integers(0, 4), min_size=8, max_size=8),
+        min_size=2,
+        max_size=3,
+    )
+)
+def test_change_feed_matches_bruteforce_diff(spark, tmp_path_factory, actions):
+    """w14 under random mutation histories: for consecutive generation
+    pairs AND the full (first, last) window, changes(i, j) must equal
+    the brute-force dict diff of the two snapshots — inserts/deletes
+    classified by key presence, update image pairs exactly for value
+    changes, silence for no-ops."""
+    import pyspark.sql.functions as F
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tmp = tmp_path_factory.mktemp("cdf_prop")
+    t = FilesTable(spark, str(tmp / "db"), buckets=4, keep_history=True)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (p, f, c, "2024-01-01 00:00:00", s, "2024-06-01 00:00:00")
+                for p, f, c, s in rows
+            ],
+            "path string, filename string, checksum string, mtime string,"
+            " file_size long, ia string",
+        ).select(
+            "path", "filename", "checksum",
+            F.col("mtime").cast("timestamp").alias("modification_datetime"),
+            "file_size",
+            F.col("ia").cast("timestamp").alias("indexed_at"),
+        )
+
+    pks = [(f"/p{i % 3}", f"f{i}") for i in range(8)]
+    # snapshot model: pk -> (checksum, size)
+    state = {pks[i]: (f"c{i}", 10 + i) for i in range(5)}  # 5 initial rows
+    t.overwrite(mk([(p, f, c, s) for (p, f), (c, s) in state.items()]))
+    snapshots = {1: dict(state)}
+    gen = 1
+    ver = 0
+    for commit in actions:
+        ver += 1
+        ups, dels = [], []
+        for i, act in enumerate(commit):
+            pk = pks[i]
+            if act == 0 or (act == 3 and pk not in state):
+                continue
+            if act == 3:
+                dels.append(pk)
+                state.pop(pk)
+            elif act == 2 and pk in state:
+                c, s = state[pk]
+                ups.append((*pk, c, s))  # byte-identical rewrite
+            else:  # new value / insert
+                c, s = f"v{ver}", 100 * ver + i
+                ups.append((*pk, c, s))
+                state[pk] = (c, s)
+        if ups:
+            t.upsert(mk(ups))
+            gen += 1
+            snapshots[gen] = dict(state)
+        if dels:
+            t.delete(
+                spark.createDataFrame(list(dels), "path string, filename string")
+            )
+            gen += 1
+            snapshots[gen] = dict(state)
+    gens = sorted(snapshots)
+    pairs = {(gens[k], gens[k + 1]) for k in range(len(gens) - 1)}
+    pairs.add((gens[0], gens[-1]))
+    for i, j in sorted(pairs):
+        a, b = snapshots[i], snapshots[j]
+        expect = set()
+        for pk in set(a) | set(b):
+            if pk not in a:
+                expect.add(("insert", *pk, *b[pk]))
+            elif pk not in b:
+                expect.add(("delete", *pk, *a[pk]))
+            elif a[pk] != b[pk]:
+                expect.add(("update_preimage", *pk, *a[pk]))
+                expect.add(("update_postimage", *pk, *b[pk]))
+        got = {
+            (r["change_type"], r["path"], r["filename"], r["checksum"], r["file_size"])
+            for r in t.changes(i, j).collect()
+        }
+        assert got == expect, (i, j)
