@@ -174,6 +174,7 @@ LLM_EXTENSION = [
     "t13_vocab_coverage",
     "dd14_containment_pairs",
     "e17_event_debounce",
+    "sp9_budget_select",
 ]
 
 
@@ -472,6 +473,9 @@ SCALE_QUERIES = [
     "t13_vocab_coverage",
     "e17_event_debounce",
     "sim14_range_search",
+    # sp9: one rollup shuffle + semi-join; the boundary-group window is
+    # bounded by the score quantization, not the corpus
+    "sp9_budget_select",
 ]
 
 

@@ -449,3 +449,80 @@ def weighted_repeat(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id", "copy")
     )
+
+
+# ------------------------------------------------------------- sp9
+BUDGET_TOKENS = 16000  # global token budget for the selection gate
+
+
+def budget_select(docs: DataFrame, budget: int = BUDGET_TOKENS) -> DataFrame:
+    """sp9: EXACT take-while selection under a global token budget —
+    "the best docs that fit in N training tokens": order by quality
+    (t2's composite, milli-quantized) desc then doc_id, keep each doc
+    whose inclusive running token total stays within the budget.
+
+    The naive formulation is a global-order running sum — one window
+    over the corpus in a single partition, the classic scale killer.
+    The exact distributed decomposition:
+      1. ONE shuffle rolls tokens up per quality value (O(distinct
+         scores) rows);
+      2. the running total over that rollup (a single-partition window
+         over the metadata-sized rollup only — t10's discipline) splits
+         quality groups into fully-kept (cum <= budget), fully-dropped
+         (base >= budget), and the ONE boundary group;
+      3. fully-kept docs pass via a broadcast semi-join — no ordering
+         work at all; only the boundary group's docs run a doc-level
+         cumsum, a window over that single bounded group.
+    Finer score quantization shrinks the boundary group; the result is
+    bit-identical to the naive global cumsum (the oracle computes
+    exactly that).
+    """
+    from file_indexer_spark.operators.text import (
+        quality_composite,
+        quality_signal_columns,
+    )
+
+    sig = quality_signal_columns()
+    per_doc = (
+        docs.select(
+            "doc_id",
+            sig["n_tokens"].alias("n_tokens"),
+            sig["n_distinct_tokens"].alias("n_distinct_tokens"),
+            sig["n_stopwords"].alias("n_stopwords"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(F.round(quality_composite(), 6) * 1000)
+            .cast("long")
+            .alias("q_milli"),
+        )
+    )
+    grp = per_doc.groupBy("q_milli").agg(
+        F.sum("n_tokens").cast("long").alias("grp_tokens")
+    )
+    w = Window.orderBy(F.desc("q_milli")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = grp.withColumn("cum", F.sum("grp_tokens").over(w)).withColumn(
+        "base", F.col("cum") - F.col("grp_tokens")
+    )
+    full_groups = running.filter(F.col("cum") <= budget).select("q_milli")
+    boundary = running.filter(
+        (F.col("base") < budget) & (F.col("cum") > budget)
+    ).select("q_milli", "base")
+    kept_full = per_doc.join(F.broadcast(full_groups), "q_milli", "left_semi")
+    bw = Window.partitionBy("q_milli").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept_boundary = (
+        per_doc.join(F.broadcast(boundary), "q_milli")
+        .withColumn("prefix", F.col("base") + F.sum("n_tokens").over(bw))
+        .filter(F.col("prefix") <= budget)
+        .select("doc_id", "q_milli", "n_tokens")
+    )
+    return (
+        kept_full.select("doc_id", "q_milli", "n_tokens")
+        .unionByName(kept_boundary)
+        .orderBy(F.desc("q_milli"), "doc_id")
+    )

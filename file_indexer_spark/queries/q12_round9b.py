@@ -457,3 +457,48 @@ def w15_cdf_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete(orig.filter(F.col("file_size") % 7 == 5).select("path", "filename"))
     view_at_1 = st_ops.size_histogram(t.read_at(1))
     return st_ops.incremental_histogram_refresh(view_at_1, t.changes(1, 3))
+
+
+from file_indexer_spark.queries.q02_text import _STOP_SQL  # noqa: E402
+
+_SP9_SCORE = """
+    0.5 * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+    + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0)
+"""
+
+
+@register(
+    "sp9_budget_select",
+    f"""
+    -- Exact take-while under a global token budget: the oracle runs
+    -- the NAIVE global cumsum the distributed decomposition must
+    -- reproduce bit-for-bit.
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+                   AS n_distinct_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ({_STOP_SQL}))) AS INTEGER) AS n_stopwords
+        FROM documents),
+    scored AS (
+        SELECT doc_id, n_tokens,
+               CAST(floor(round({_SP9_SCORE}, 6) * 1000) AS BIGINT) AS q_milli
+        FROM m),
+    ranked AS (
+        SELECT *, SUM(n_tokens) OVER (ORDER BY q_milli DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+        FROM scored)
+    SELECT doc_id, q_milli, n_tokens
+    FROM ranked WHERE cum <= {sp.BUDGET_TOKENS}
+    ORDER BY q_milli DESC, doc_id
+    """,
+)
+def sp9_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP9: best-docs-under-a-token-budget selection. Exact take-while
+    by (quality desc, doc_id) without a corpus-order window: per-score
+    rollup + metadata-sized running total + broadcast semi-join for
+    fully-kept groups; only the ONE boundary group runs a doc-level
+    cumsum."""
+    return sp.budget_select(_table(spark, sf_dir, "documents"))

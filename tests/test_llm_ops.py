@@ -1292,3 +1292,47 @@ def test_debounce_transitive_chain_and_split(spark):
     assert second["kept_event_id"] == 10 and second["n_suppressed"] == 1
     assert out[(1, "view", 1)]["n_suppressed"] == 0
     assert out[(2, "click", 1)]["n_suppressed"] == 0
+
+
+def test_budget_select_is_exact_takewhile(docs):
+    """sp9: kept tokens fit the budget; the FIRST doc beyond the kept
+    prefix (in quality-desc, doc_id order) would overflow it; and the
+    kept set is exactly the naive take-while prefix."""
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.operators.text import (
+        quality_composite,
+        quality_signal_columns,
+    )
+    from pyspark.sql import functions as F
+    import math
+
+    kept = sp.budget_select(docs).collect()
+    kept_tokens = sum(r["n_tokens"] for r in kept)
+    assert kept_tokens <= sp.BUDGET_TOKENS
+    sig = quality_signal_columns()
+    all_docs = (
+        docs.select(
+            "doc_id",
+            sig["n_tokens"].alias("n_tokens"),
+            sig["n_distinct_tokens"].alias("n_distinct_tokens"),
+            sig["n_stopwords"].alias("n_stopwords"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(F.round(quality_composite(), 6) * 1000)
+            .cast("long")
+            .alias("q_milli"),
+        )
+        .collect()
+    )
+    order = sorted(all_docs, key=lambda r: (-r["q_milli"], r["doc_id"]))
+    cum, expect = 0, []
+    for r in order:
+        if cum + r["n_tokens"] > sp.BUDGET_TOKENS:
+            break  # take-while, not skip-and-continue
+        cum += r["n_tokens"]
+        expect.append(r["doc_id"])
+    assert [r["doc_id"] for r in kept] == expect
+    nxt = order[len(expect)]
+    assert kept_tokens + nxt["n_tokens"] > sp.BUDGET_TOKENS

@@ -613,3 +613,17 @@ def test_round9b_operator_plan_shapes(spark, sf_smoke):
     plan = pi.simple_plan(deb)
     assert "Join" not in plan, plan
     assert pi.count_exchanges(deb) <= 3, plan
+
+    # sp9: fully-kept quality groups pass via a semi-join (no ordering
+    # work); the only DOC-level window partitions by q_milli (the one
+    # boundary group) — a corpus-order cumsum would show as an
+    # unpartitioned window over n_tokens
+    sel = sp.budget_select(docs)
+    plan = pi.simple_plan(sel)
+    assert "LeftSemi" in plan, plan
+    doc_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "n_tokens" in ln
+    ]
+    assert doc_windows and all("q_milli" in ln for ln in doc_windows), plan
