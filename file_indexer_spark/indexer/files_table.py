@@ -58,7 +58,9 @@ import operator
 import os
 import re
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -177,6 +179,68 @@ class FilesTable:
         m = self._load_manifest()
         return m.get("generation", 0) if m else 0
 
+    @contextmanager
+    def _operation(self, name: str):
+        """Label the commits a public mutation makes (DESCRIBE HISTORY
+        parity). Outermost label wins: upsert's wide-touch fallback
+        calls overwrite(), and the history row should say UPSERT — what
+        the user asked for — not the physical strategy chosen."""
+        prev = getattr(self, "_pending_op", None)
+        self._pending_op = prev or name
+        try:
+            yield
+        finally:
+            self._pending_op = prev
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: one row per retained generation with the
+        labeled operation, entry count and commit wall-clock (driver-
+        side metadata read over the O(generations) log — never touches
+        data). Generations committed before operation labeling carry
+        nulls."""
+        rows = []
+        for gen, name in self._log_generations():
+            with open(os.path.join(self.location, self._MANIFEST_LOG, name)) as fh:
+                doc = json.load(fh)
+            rows.append(
+                (
+                    gen,
+                    doc.get("operation"),
+                    len(doc.get("entries", {})),
+                    doc.get("committed_at"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "generation int, operation string, n_entries int, committed_at double",
+        ).orderBy("generation")
+
+    def restore(self, generation: int) -> None:
+        """w16: Delta RESTORE — re-publish an older retained snapshot
+        as a NEW generation. History is preserved (this is a forward
+        commit whose content equals the old snapshot, not a rollback of
+        the log), so the restore itself is auditable and reversible.
+
+        METADATA-ONLY: data dirs are immutable, so the restore commits
+        the old generation's entry map (and schema) verbatim — zero
+        data movement however big the table, exactly Delta's shape.
+        The re-referenced dirs stay vacuum-safe for as long as the
+        restored generation is retained (vacuum's live set spans every
+        retained generation's entries)."""
+        doc = self._logged_manifest(generation)
+        for rel in doc["entries"].values():
+            if not os.path.isdir(os.path.join(self.location, rel)):
+                raise ValueError(
+                    f"generation {generation}'s data was vacuumed from "
+                    f"{self.location}; restore unavailable"
+                )
+        with self._operation("RESTORE"):
+            self._commit_manifest(
+                dict(doc["entries"]),
+                self._current_generation(),
+                schema=self._schema_of(doc),
+            )
+
     # -- schema (w11) -------------------------------------------------
     # The column set is a PER-GENERATION manifest property (Delta's
     # schema-in-the-log): ``add_column`` commits a metadata-only new
@@ -235,7 +299,8 @@ class FilesTable:
             list(schema.fields) + [T.StructField(name, T.DataType.fromDDL(dtype), True)]
         )
         entries = dict(snapshot_doc["entries"]) if snapshot_doc else {}
-        self._commit_manifest(entries, snapshot, schema=evolved)
+        with self._operation("ADD_COLUMN"):
+            self._commit_manifest(entries, snapshot, schema=evolved)
 
     def _commit_manifest(
         self,
@@ -285,6 +350,11 @@ class FilesTable:
             # schema rides in every manifest: a data commit carries the
             # live schema forward, add_column passes the evolved one
             "schema": json.loads((schema or self._schema_of(prev)).json()),
+            # DESCRIBE HISTORY metadata (additive — older entries
+            # simply lack the keys): the outermost public operation's
+            # label and the commit wall-clock
+            "operation": getattr(self, "_pending_op", None) or "WRITE",
+            "committed_at": time.time(),
         }
         log_dir = os.path.join(self.location, self._MANIFEST_LOG)
         os.makedirs(log_dir, exist_ok=True)
@@ -592,9 +662,10 @@ class FilesTable:
                 copy_function=_link_or_copy,
                 dirs_exist_ok=True,
             )
-        out._commit_manifest(
-            dict(m["entries"]), expected_generation=0, schema=self._schema_of(m)
-        )
+        with out._operation("CLONE"):
+            out._commit_manifest(
+                dict(m["entries"]), expected_generation=0, schema=self._schema_of(m)
+            )
         return out
 
     def _validate_layout(self) -> None:
@@ -744,7 +815,8 @@ class FilesTable:
                 writer.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
             else:
                 writer.write.mode("overwrite").parquet(staging)
-            self._commit_manifest(self._entries_from_staging(staging), expected_generation)
+            with self._operation("OVERWRITE"):
+                self._commit_manifest(self._entries_from_staging(staging), expected_generation)
         except ConcurrentWriteError:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -807,7 +879,8 @@ class FilesTable:
             rewritten.append(rel)
         if not rewritten:
             return []
-        self._commit_manifest(entries, snapshot)
+        with self._operation("OPTIMIZE"):
+            self._commit_manifest(entries, snapshot)
         self._gc(dead)
         return rewritten
 
@@ -898,14 +971,15 @@ class FilesTable:
         snapshot = self._current_generation()
         bucketed = bool(self.buckets) and self.exists() and self._has_manifest()
         touched = self._touched_buckets(updates) if bucketed else []
-        if not bucketed or self._wide(touched):
-            current = self.read()
-            kept = current.join(updates.select(*PK), PK, "left_anti")
-            self.overwrite(kept.unionByName(self._conform(updates)), snapshot)
-            return
-        slice_df = self._read_slice(touched)
-        kept = slice_df.join(updates.select(*PK), PK, "left_anti")
-        self._commit_buckets(kept.unionByName(self._conform(updates)), touched, snapshot)
+        with self._operation("UPSERT"):
+            if not bucketed or self._wide(touched):
+                current = self.read()
+                kept = current.join(updates.select(*PK), PK, "left_anti")
+                self.overwrite(kept.unionByName(self._conform(updates)), snapshot)
+                return
+            slice_df = self._read_slice(touched)
+            kept = slice_df.join(updates.select(*PK), PK, "left_anti")
+            self._commit_buckets(kept.unionByName(self._conform(updates)), touched, snapshot)
 
     def delete(self, keys: DataFrame) -> None:
         """MERGE ... WHEN MATCHED DELETE (S9): anti-join rewrite of the
@@ -916,17 +990,20 @@ class FilesTable:
         snapshot = self._current_generation()
         bucketed = bool(self.buckets) and self._has_manifest()
         touched = self._touched_buckets(keys) if bucketed else []
-        if not bucketed or self._wide(touched):
-            current = self.read()
-            self.overwrite(
-                current.join(keys.select(*PK).distinct(), PK, "left_anti"), snapshot
+        with self._operation("DELETE"):
+            if not bucketed or self._wide(touched):
+                current = self.read()
+                self.overwrite(
+                    current.join(keys.select(*PK).distinct(), PK, "left_anti"), snapshot
+                )
+                return
+            self._commit_buckets(
+                self._read_slice(touched).join(
+                    keys.select(*PK).distinct(), PK, "left_anti"
+                ),
+                touched,
+                snapshot,
             )
-            return
-        self._commit_buckets(
-            self._read_slice(touched).join(keys.select(*PK).distinct(), PK, "left_anti"),
-            touched,
-            snapshot,
-        )
 
     def delete_paths(self, paths: DataFrame) -> None:
         """Directory-level delete (reference indexer.py:1762-1787) —
@@ -937,20 +1014,23 @@ class FilesTable:
         snapshot = self._current_generation()
         bucketed = bool(self.buckets) and self._has_manifest()
         touched = self._touched_buckets(paths) if bucketed else []
-        if not bucketed or self._wide(touched):
-            current = self.read()
-            self.overwrite(
-                current.join(paths.select("path").distinct(), ["path"], "left_anti"),
+        with self._operation("DELETE_PATHS"):
+            if not bucketed or self._wide(touched):
+                current = self.read()
+                self.overwrite(
+                    current.join(
+                        paths.select("path").distinct(), ["path"], "left_anti"
+                    ),
+                    snapshot,
+                )
+                return
+            self._commit_buckets(
+                self._read_slice(touched).join(
+                    paths.select("path").distinct(), ["path"], "left_anti"
+                ),
+                touched,
                 snapshot,
             )
-            return
-        self._commit_buckets(
-            self._read_slice(touched).join(
-                paths.select("path").distinct(), ["path"], "left_anti"
-            ),
-            touched,
-            snapshot,
-        )
 
     # -- JSON interchange (S11, reference indexer.go:294-338) ----------
     # default JSON timestamps are millisecond-precision; stat() mtimes

@@ -502,3 +502,36 @@ def sp9_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully-kept groups; only the ONE boundary group runs a doc-level
     cumsum."""
     return sp.budget_select(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "w16_restore",
+    with_files_cte("SELECT * FROM files ORDER BY path, filename"),
+)
+def w16_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: RESTORE gate — commit the files derivation, mutate the live
+    table (upsert + delete), then ``restore(1)`` and return the LIVE
+    read. The oracle is the unmutated derivation, so a restore that
+    missed the mutations, replayed the wrong generation, or moved any
+    data (the commit is metadata-only: it re-references generation 1's
+    immutable dirs verbatim) hash-mismatches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w16_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    t = FilesTable(spark, os.path.join(base, "db"), buckets=16, keep_history=True)
+    orig = files_df(spark, sf_dir)
+    t.overwrite(orig)
+    one_key = orig.orderBy("path", "filename").limit(1)
+    t.upsert(one_key.withColumn("checksum", F.lit("MUTATED")))
+    t.delete(one_key.select("path", "filename"))
+    t.restore(1)
+    return t.read().orderBy("path", "filename")

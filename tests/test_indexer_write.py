@@ -1157,3 +1157,36 @@ def test_cdf_view_refresh_equals_recompute(spark, tmp_path):
     assert got == want
     assert not any(band == "< 1KB" for band, _, _ in got)  # emptied band dropped
     assert ("1MB - 1GB", 1, 2_000_000) in got
+
+
+def test_restore_is_metadata_only_and_history_labels(spark, tmp_path):
+    """w16: restore re-references the restored generation's entry map
+    VERBATIM (zero data movement), history labels every public
+    operation (outermost label wins through upsert's overwrite
+    fallback), restore survives later vacuum while retained, and a
+    vacuumed target refuses loudly."""
+    import json as _json
+
+    t = FilesTable(spark, str(tmp_path / "rst_db"), buckets=4, keep_history=True)
+    t.overwrite(_mk_rows(spark, [("/a", "f1", "c1", 1), ("/a", "f2", "c2", 2)]))
+    t.upsert(_mk_rows(spark, [("/a", "f1", "MUT", 1)]))
+    t.delete(spark.createDataFrame([("/a", "f2")], "path string, filename string"))
+    t.restore(1)
+
+    def doc(g):
+        return _json.load(
+            open(os.path.join(t.location, t._MANIFEST_LOG, f"{g}.json"))
+        )
+
+    assert doc(4)["entries"] == doc(1)["entries"]  # metadata-only
+    hist = {r["generation"]: r["operation"] for r in t.history().collect()}
+    assert hist == {1: "OVERWRITE", 2: "UPSERT", 3: "DELETE", 4: "RESTORE"}
+    assert all(r["committed_at"] is not None for r in t.history().collect())
+    got = {(r["filename"], r["checksum"]) for r in t.read().collect()}
+    assert got == {("f1", "c1"), ("f2", "c2")}
+    # vacuum keeping only the live (restored) generation: its dirs are
+    # generation 1's — they must survive; the mutated gens' dirs go
+    t.vacuum(retain_generations=1)
+    assert {(r["filename"], r["checksum"]) for r in t.read().collect()} == got
+    with pytest.raises(ValueError, match="vacuumed|not retained"):
+        t.restore(2)
