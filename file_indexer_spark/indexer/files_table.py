@@ -631,7 +631,11 @@ class FilesTable:
 
         The clone starts at generation 1 regardless of source history
         (a snapshot, not a fork of the log) and carries the source's
-        current schema and bucket layout.
+        current schema and bucket layout. Like ``vacuum``, run it in
+        the single-writer maintenance window: a concurrent no-history
+        commit's inline GC could unlink dirs mid-copy (the copy would
+        fail loudly, never produce a torn clone — the clone's manifest
+        commits only after every link lands).
         """
         m = self._load_manifest()
         if m is None:

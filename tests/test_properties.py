@@ -424,19 +424,23 @@ def test_change_feed_matches_bruteforce_diff(spark, tmp_path_factory, actions):
                 continue
             if act == 3:
                 dels.append(pk)
-                state.pop(pk)
             elif act == 2 and pk in state:
                 c, s = state[pk]
-                ups.append((*pk, c, s))  # byte-identical rewrite
+                ups.append((pk, c, s))  # byte-identical rewrite
             else:  # new value / insert
-                c, s = f"v{ver}", 100 * ver + i
-                ups.append((*pk, c, s))
-                state[pk] = (c, s)
+                ups.append((pk, f"v{ver}", 100 * ver + i))
+        # the model state must mutate in COMMIT order: the upsert
+        # commit's snapshot must still contain rows the later delete
+        # commit removes
         if ups:
-            t.upsert(mk(ups))
+            for pk, c, s in ups:
+                state[pk] = (c, s)
+            t.upsert(mk([(*pk, c, s) for pk, c, s in ups]))
             gen += 1
             snapshots[gen] = dict(state)
         if dels:
+            for pk in dels:
+                state.pop(pk)
             t.delete(
                 spark.createDataFrame(list(dels), "path string, filename string")
             )
@@ -444,7 +448,8 @@ def test_change_feed_matches_bruteforce_diff(spark, tmp_path_factory, actions):
             snapshots[gen] = dict(state)
     gens = sorted(snapshots)
     pairs = {(gens[k], gens[k + 1]) for k in range(len(gens) - 1)}
-    pairs.add((gens[0], gens[-1]))
+    if gens[0] < gens[-1]:
+        pairs.add((gens[0], gens[-1]))
     for i, j in sorted(pairs):
         a, b = snapshots[i], snapshots[j]
         expect = set()
