@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "w14_change_feed", "dd14_containment_pairs", "e17_event_debounce",
     "w13_zero_copy_clone", "st14_streaming_debounce",
     "w15_cdf_view_maintenance", "sp9_budget_select", "w16_restore",
+    "w17_orc_roundtrip", "w18_csv_roundtrip",
     "st13_streaming_neardup_ingest", "x3_dup_assets_append",
     "w11_schema_evolution", "sim13_streaming_ann_ingest",
     "x4_streaming_crossmodal_ingest", "w12_pruned_point_lookup",

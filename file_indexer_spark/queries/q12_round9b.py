@@ -535,3 +535,68 @@ def w16_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete(one_key.select("path", "filename"))
     t.restore(1)
     return t.read().orderBy("path", "filename")
+
+
+@register(
+    "w17_orc_roundtrip",
+    with_files_cte("SELECT * FROM files ORDER BY path, filename"),
+)
+def w17_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17: ORC source/sink — the files table roundtrips parquet -> ORC
+    -> DataFrame (Spark's second built-in columnar format; the engine
+    answer for lakes standardized on ORC/Hive). The oracle is the plain
+    files derivation, so any type mapping or timestamp-precision drift
+    through the ORC writer/reader hash-mismatches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w17_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    files = files_df(spark, sf_dir)
+    files.write.mode("overwrite").orc(base)
+    back = spark.read.schema(files.schema).orc(base)
+    return back.orderBy("path", "filename")
+
+
+@register(
+    "w18_csv_roundtrip",
+    with_files_cte("SELECT * FROM files ORDER BY path, filename"),
+)
+def w18_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18: CSV source/sink — the files table roundtrips parquet -> CSV
+    -> DataFrame with the lossless settings CSV needs spelled out:
+    microsecond NTZ timestamp format on BOTH sides, and an explicit
+    nullValue sentinel distinct from emptyValue so NULL checksums
+    survive (CSV's classic silent-corruption trap: by default an empty
+    field reads back as null OR "" depending on writer/reader pairing).
+    The oracle is the plain files derivation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_w18_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    files = files_df(spark, sf_dir)
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    (
+        files.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", fmt)
+        .option("nullValue", "\\N")
+        .csv(base)
+    )
+    back = (
+        spark.read.schema(files.schema)
+        .option("header", "true")
+        .option("timestampNTZFormat", fmt)
+        .option("nullValue", "\\N")
+        .csv(base)
+    )
+    return back.orderBy("path", "filename")
