@@ -493,3 +493,294 @@ def top_revenue_suppliers(
         .select("s_suppkey", "s_name", "revenue_e4")
         .orderBy("s_suppkey")
     )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-09-01 00:00:00",
+    date_to: str = "1996-10-01 00:00:00",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """h12: the TPC-H Q14 shape — the share of a month's revenue that
+    came from promotional part types (conditional-aggregate ratio over
+    a fact ⋈ dim join).
+
+    Scale shape: the shipdate range pushes into the lineitem scan (one
+    month of a 7-year corpus → ~1% of row groups read); part joins
+    DECLARATIVELY on l_partkey — part grows with scale factor, so AQE
+    picks broadcast at small SF and shuffle at large, and only
+    (p_partkey, p_type) is read from the dim. The CASE split is
+    map-side; the final aggregate is ONE row, so the shuffle carries a
+    single partial per mapper. Revenue sums are the module's
+    fixed-point BIGINT convention; the only float op is the final
+    share division — one double division of two exact integers,
+    bit-identical between engines.
+    """
+    lines = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from)) & (F.col("l_shipdate") < F.lit(date_to))
+    ).select("l_partkey", _revenue_e4().alias("rev_e4"))
+    dim = part.select("p_partkey", "p_type")
+    return (
+        lines.join(dim, lines["l_partkey"] == dim["p_partkey"])
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == promo_type, F.col("rev_e4")).otherwise(F.lit(0))
+            ).alias("promo_revenue_e4"),
+            F.sum("rev_e4").alias("total_revenue_e4"),
+        )
+        .select(
+            "promo_revenue_e4",
+            "total_revenue_e4",
+            F.round(
+                F.lit(100.0) * F.col("promo_revenue_e4") / F.col("total_revenue_e4"), 4
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#4",
+    max_size: int = 10,
+) -> DataFrame:
+    """h13: the TPC-H Q17 shape — revenue locked in small-quantity
+    orders: lines of one brand's small parts whose quantity is below
+    20% of that part's average order quantity (the classic correlated
+    scalar subquery).
+
+    The correlated ``l_quantity < 0.2 * avg(l_quantity per part)``
+    decorrelates to a PER-PART WINDOW over the qualifying-part slice:
+    one shuffle onto l_partkey (the brand+size predicates push into the
+    part scan and the join prunes lineitem to ~1% first), then the
+    sum/count window and the threshold test are partition-local — no
+    second scan of lineitem and no join-back, which is strictly less
+    work than the aggregate-then-rejoin form at any scale. The
+    boundary is exact integer cross-multiplication:
+    ``qty_e2 * 5 * n_lines < sum_qty_e2`` avoids the float average
+    whose accumulation order could flip a boundary line between
+    engines.
+    """
+    from pyspark.sql import Window
+
+    qual = part.filter(
+        (F.col("p_brand") == brand) & (F.col("p_size") <= max_size)
+    ).select("p_partkey")
+    qty_e2 = F.round(F.col("l_quantity") * 100).cast("long")
+    price_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    lines = lineitem.select(
+        "l_partkey", qty_e2.alias("qty_e2"), price_e2.alias("price_e2")
+    ).join(qual, F.col("l_partkey") == qual["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    flagged = lines.select(
+        "qty_e2",
+        "price_e2",
+        F.sum("qty_e2").over(w).alias("sum_qty_e2"),
+        F.count("*").over(w).alias("n_lines_part"),
+    )
+    return (
+        flagged.filter(
+            F.col("qty_e2") * F.lit(5) * F.col("n_lines_part") < F.col("sum_qty_e2")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_small_lines"),
+            F.sum("price_e2").cast("long").alias("revenue_e2"),
+        )
+    )
+
+
+def disjunctive_band_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """h14: the TPC-H Q19 shape — revenue from three disjunctive
+    brand/size/quantity bands (the OR-of-ANDs predicate that spans
+    both sides of a join).
+
+    The cross-table disjunction itself cannot push through the join,
+    so the IMPLIED single-table relaxations are stated explicitly as
+    filters below it: the part side narrows to the three brands with
+    size in the union band, the lineitem side to the quantity union
+    band — both reach their parquet scans as PushedFilters, so the
+    join sees only candidate rows (~2% of each input) and the exact
+    OR runs map-side on the joined slice. This is the hand statement
+    of the inference TPC-H engines apply to Q19, and it is what makes
+    the shape viable at 100 TB: without the pushed relaxations the
+    join shuffles the full fact table. Fixed-point BIGINT revenue;
+    one-row output.
+    """
+    bands = [
+        ("Brand#2", 1, 15, 5, 15),
+        ("Brand#4", 1, 25, 10, 25),
+        ("Brand#19", 1, 35, 20, 35),
+    ]
+    brands = [b[0] for b in bands]
+    size_lo = min(b[1] for b in bands)
+    size_hi = max(b[2] for b in bands)
+    qty_lo = min(b[3] for b in bands)
+    qty_hi = max(b[4] for b in bands)
+    dim = part.filter(
+        F.col("p_brand").isin(brands)
+        & (F.col("p_size") >= size_lo)
+        & (F.col("p_size") <= size_hi)
+    ).select("p_partkey", "p_brand", "p_size")
+    lines = lineitem.filter(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    ).select("l_partkey", "l_quantity", _revenue_e4().alias("rev_e4"))
+    exact = None
+    for b, slo, shi, qlo, qhi in bands:
+        clause = (
+            (F.col("p_brand") == b)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        exact = clause if exact is None else (exact | clause)
+    return (
+        lines.join(dim, lines["l_partkey"] == dim["p_partkey"])
+        .filter(exact)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("rev_e4").cast("long").alias("revenue_e4"),
+        )
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    late_days: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """h15: the TPC-H Q21 shape — suppliers who single-handedly held up
+    multi-supplier orders: their line shipped late (> ``late_days``
+    after the order date) while every co-supplier on the order shipped
+    on time. Q21's EXISTS (another supplier on the order) and NOT
+    EXISTS (another LATE supplier) self-joins of the fact table.
+
+    Scale shape: both correlated quantifiers collapse to PER-ORDER
+    COUNTS — lineitem pre-aggregates to one row per (orderkey,
+    suppkey) with a map-side partial max(shipdate) (the h3 move: the
+    shuffle carries O(order-supplier pairs), never raw lines), joins
+    the status-filtered orders once on l_orderkey, and a single window
+    over l_orderkey derives n_suppliers / n_late — three fact-side
+    shuffles total on the SAME key, where the literal EXISTS/NOT
+    EXISTS form self-joins the fact table twice. The nation filter
+    applies at the tiny supplier-dim join AFTER counting (co-supplier
+    evidence must span all nations). Ties break on s_name for a total
+    order.
+    """
+    from pyspark.sql import Window
+
+    per_os = (
+        lineitem.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("max_shipdate"))
+    )
+    ords = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    flagged = per_os.join(ords, per_os["l_orderkey"] == ords["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("max_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .cast("int")
+        .alias("is_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        flagged.select(
+            "l_suppkey",
+            "is_late",
+            F.count("*").over(w).alias("n_suppliers"),
+            F.sum("is_late").over(w).alias("n_late"),
+        )
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    dim = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(dim, waiting["l_suppkey"] == dim["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
+
+
+def national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    market_region: str = "ASIA",
+    supp_nation: str = "NATION_3",
+    part_type: str = "ECONOMY",
+    date_from: str = "1996-01-01 00:00:00",
+    date_to: str = "1998-01-01 00:00:00",
+) -> DataFrame:
+    """h16: the TPC-H Q8 shape — one nation's share of a region's
+    market for a part type, by order year (the widest dimensional
+    reach in the suite: part, orders, customer→nation→region,
+    supplier→nation all constrain one lineitem pass).
+
+    Scale shape: every dimensional predicate narrows its dim BEFORE
+    touching the fact — part to one type, orders to the two-year
+    window (pushed to both scans), customers to the market region via
+    the forever-tiny broadcast nation⋈region dim; supplier carries
+    only its nation name. The fact flows through the join tree ONCE,
+    smallest-dims-declared-first but left to AQE (part/customer/
+    supplier grow with SF). The share is a conditional aggregate per
+    year — O(years) output rows — computed as exact BIGINT sums with
+    one final double division per row (bit-identical between engines).
+    """
+    qual_parts = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    lines = lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", _revenue_e4().alias("rev_e4")
+    ).join(qual_parts, F.col("l_partkey") == qual_parts["p_partkey"])
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from)) & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    cust = customer.join(
+        F.broadcast(region_nations(nation, region, market_region).select("n_nationkey")),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supplier_nation"))
+    return (
+        lines.join(ords, lines["l_orderkey"] == ords["o_orderkey"])
+        .join(cust, ords["o_custkey"] == cust["c_custkey"])
+        .join(supp, lines["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supplier_nation") == supp_nation, F.col("rev_e4")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_revenue_e4"),
+            F.sum("rev_e4").alias("total_revenue_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue_e4",
+            "total_revenue_e4",
+            F.round(
+                F.lit(100.0) * F.col("nation_revenue_e4") / F.col("total_revenue_e4"), 4
+            ).alias("mkt_share_pct"),
+        )
+        .orderBy("o_year")
+    )

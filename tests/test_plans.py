@@ -627,3 +627,72 @@ def test_round9b_operator_plan_shapes(spark, sf_smoke):
         if "windowspecdefinition" in ln and "n_tokens" in ln
     ]
     assert doc_windows and all("q_milli" in ln for ln in doc_windows), plan
+
+
+def test_round9c_tpch_shape_plans(spark, sf_smoke):
+    """The round-9c TPC-H pack's 100 TB properties: predicates reach
+    the scans, growing dims are never force-broadcast, and the
+    decorrelated forms add no self-join of the fact table."""
+    from file_indexer_spark.operators import relational as rel
+    from file_indexer_spark.tables import load_table
+
+    lineitem = load_table(spark, sf_smoke, "lineitem")
+    part = load_table(spark, sf_smoke, "part")
+    orders = load_table(spark, sf_smoke, "orders")
+    supplier = load_table(spark, sf_smoke, "supplier")
+    nation = load_table(spark, sf_smoke, "nation")
+    region = load_table(spark, sf_smoke, "region")
+    customer = load_table(spark, sf_smoke, "customer")
+
+    # h12 (Q14): the month predicate reaches the fact scan; part joins
+    # declaratively (no forced broadcast — it grows with SF); the part
+    # scan reads only the two used columns
+    h12 = rel.promo_revenue_share(lineitem, part)
+    assert any("l_shipdate" in f for f in pi.pushed_filters(h12))
+    assert not pi.has_broadcast_hint(h12)
+    assert "p_retailprice" not in pi.scan_columns(h12)
+
+    # h13 (Q17): brand+size push into the part scan; the correlated
+    # average is ONE window over the qualifying slice — no join-back,
+    # so exactly one Window and no second lineitem scan
+    h13 = rel.small_quantity_revenue(lineitem, part)
+    pushed = pi.pushed_filters(h13)
+    assert any("p_brand" in f for f in pushed), pushed
+    assert any("p_size" in f for f in pushed), pushed
+    plan = pi.simple_plan(h13)
+    assert plan.count("Window") == 1, plan
+    lineitem_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_partkey" in ln
+    ]
+    assert len(lineitem_scans) == 1, plan
+
+    # h14 (Q19): the hand-stated relaxations of the cross-table
+    # disjunction reach BOTH scans
+    h14 = rel.disjunctive_band_revenue(lineitem, part)
+    pushed = pi.pushed_filters(h14)
+    assert any("l_quantity" in f for f in pushed), pushed
+    assert any("p_brand" in f for f in pushed), pushed
+
+    # h15 (Q21): the quantifiers collapse to counts — the fact table
+    # appears in exactly ONE scan (no EXISTS self-joins), the status
+    # predicate reaches the orders scan, and only the bounded nation
+    # dim is broadcast by hint
+    h15 = rel.waiting_suppliers(lineitem, orders, supplier, nation)
+    plan = pi.simple_plan(h15)
+    fact_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_suppkey" in ln
+    ]
+    assert len(fact_scans) == 1, plan
+    assert any("o_orderstatus" in f for f in pi.pushed_filters(h15))
+    assert "CartesianProduct" not in plan
+
+    # h16 (Q8): type + date predicates reach their scans; the bounded
+    # nation⋈region dim is the only hinted broadcast
+    h16 = rel.national_market_share(
+        lineitem, orders, customer, supplier, nation, region, part
+    )
+    pushed = pi.pushed_filters(h16)
+    assert any("p_type" in f for f in pushed), pushed
+    assert any("o_orderdate" in f for f in pushed), pushed
+    assert pi.has_broadcast_hint(h16)
+    assert "CartesianProduct" not in pi.simple_plan(h16)
