@@ -857,3 +857,54 @@ def cluster_consolidation(docs: DataFrame, clusters: DataFrame) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("cluster_id")
     )
+
+
+def quality_keeper(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """dd15: QUALITY-AWARE canonical selection — per multi-document
+    near-dup cluster, keep the highest-t2-quality member instead of
+    dd7's min-doc_id convention (what a production curation pipeline
+    actually does: near-dup groups often pair a clean original with a
+    boilerplate-wrapped scrape, and min-id keeps the wrong one ~half
+    the time). ``upgraded`` marks clusters where the quality choice
+    differs from the min-id canonical.
+
+    Scale shape: the t2 composite is a pure map-side expression (the
+    shared :func:`~file_indexer_spark.operators.text.quality_signal_columns`
+    definition, so a rule change cannot diverge this consumer); the
+    assignment join is O(docs); both windows share the cluster_id
+    partitioning, so the selection costs ONE shuffle beyond dd7's
+    machinery. Determinism: the composite is +,*,/ double arithmetic
+    (exact-rounded IEEE, engine-stable); ties break on doc_id.
+    """
+    from pyspark.sql import Window
+
+    from file_indexer_spark.operators.text import (
+        quality_composite,
+        quality_signal_columns,
+    )
+
+    sig = quality_signal_columns()
+    scored = docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in sig.items()]
+    ).select("doc_id", quality_composite().alias("q"))
+    joined = clusters.select("doc_id", "cluster_id").join(scored, "doc_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(F.desc("q"), "doc_id")
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        joined.select(
+            "cluster_id",
+            "doc_id",
+            "q",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_all).alias("n_docs"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_docs") >= 2))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.round("q", 6).alias("keeper_quality"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("doc_id") != F.col("cluster_id")).alias("upgraded"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1192,3 +1192,41 @@ def kmeans_clusters(
         )
         .orderBy("cluster_id")
     )
+
+
+def recall_eval(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """sim15: the recall@k evaluation harness — per benchmark query,
+    how many of the exact top-k (sim1) the IVF search (sim2) returned.
+    "Measure, don't guess": this is the number that justifies every
+    nprobe/centroid-count decision the ANN family documents, computed
+    as a first-class gated operator instead of a pytest-only assert
+    (sim2's recall floor pins a scalar; this exposes the per-query
+    distribution a tuning loop actually reads).
+
+    Scale shape: both legs are the measured operators themselves; the
+    comparison join runs over two bounded result sets (n_queries × k
+    rows each — metadata-sized at ANY corpus scale), so the harness
+    adds nothing to the search cost. Recall's division is one exact
+    IEEE double op per query row.
+    """
+    exact = cosine_topk(embeddings, k=k).select("query_id", "neighbor_id")
+    approx = (
+        ivf_topk(embeddings, k=k)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_matched"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_exact"), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

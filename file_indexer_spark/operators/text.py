@@ -575,3 +575,80 @@ def vocab_coverage(docs: DataFrame, top_k: int = VOCAB_TOP_K) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SURPRISAL_SHIFT = 20  # probability quantum: p is floored to k / 2^20
+
+
+def bigram_surprisal(docs: DataFrame, shift: int = SURPRISAL_SHIFT) -> DataFrame:
+    """t14: per-document bigram language-model surprisal — the CCNet /
+    KenLM-style "perplexity filter" that flags incoherent or
+    boilerplate text by how poorly the corpus's own bigram statistics
+    predict it (low mean surprisal = repetitive/templated, high =
+    noise or vocabulary the corpus has never seen).
+
+    Determinism (the reason this is NOT a float log-prob sum): each
+    bigram's add-one probability ``(C12 + 1) / (C1 + V)`` is floored
+    to an exact BIGINT quantum ``p_q = (C12+1) * 2^shift // (C1+V)``,
+    and its surprise is the INTEGER bit count ``shift - floor(log2(
+    p_q))`` computed as ``length(bin(p_q)) - 1`` — no transcendental
+    ever runs, so there is no libm last-ulp drift for a float sum to
+    amplify; per-doc totals are associative BIGINT sums, and the one
+    final division (mean bits per bigram) is a single exact-rounded
+    IEEE double op on identical operands in both engines.
+
+    Scale shape for 100 TB:
+      * the model is two hash aggregates over the bigram stream —
+        ``(w1, w2)`` and ``w1`` context counts — each with map-side
+        partial combine, output O(distinct bigrams) / O(vocab);
+      * scoring re-joins the stream against both count tables ON THE
+        AGGREGATION KEYS, so Catalyst reuses the same hash
+        partitioning (no extra exchange for the c12 join), and AQE
+        broadcasts the counts when the vocabulary is bounded;
+      * V (distinct continuations) is a one-row broadcast scalar;
+      * overflow headroom: (C12+1) * 2^20 stays under BIGINT for up to
+        ~8.8e12 occurrences of a single bigram — beyond that, raise
+        the model's count dtype to DECIMAL(38,0), same plan.
+
+    Docs with fewer than two tokens have no bigram evidence and drop
+    out (the oracle mirrors this); emitting them with NULL surprisal
+    is a presentation choice the gate avoids.
+    """
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 2), "
+                "  i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i + 1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    v = bg.select(F.count_distinct("w2").cast("long").alias("v"))
+    surprise = F.expr(
+        f"CAST({shift} - (length(bin(greatest(1L, "
+        f"((c12 + 1) * {1 << shift}L) DIV (c1 + v)))) - 1) AS BIGINT)"
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(F.broadcast(v))
+        .select("doc_id", surprise.alias("surprise_bits"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("surprise_bits").cast("long").alias("nll_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_bits",
+            F.round(F.col("nll_bits") / F.col("n_bigrams"), 6).alias("mean_bits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -216,3 +216,196 @@ def h16_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         _table(spark, sf_dir, "region"),
         _table(spark, sf_dir, "part"),
     )
+
+
+@register(
+    "t14_bigram_surprisal",
+    """
+    -- Bigram-LM surprisal (the CCNet/KenLM perplexity-filter shape),
+    -- rendered EXACT: probabilities floored to k/2^20 quanta, surprise
+    -- measured in whole bits via bin()-length — no transcendental, no
+    -- float accumulation, so the hash gate is bit-for-bit.
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(20 - (length(bin(GREATEST(1, CAST(
+                    ((c12.c12 + 1) * 1048576) // (c1.c1 + v.v)
+                    AS BIGINT)))) - 1) AS BIGINT) AS surprise_bits
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(surprise_bits) AS BIGINT) AS nll_bits,
+           ROUND(CAST(SUM(surprise_bits) AS DOUBLE) / COUNT(*), 6) AS mean_bits
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def t14_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: per-doc bigram surprisal over the corpus's own LM — two
+    count aggregates (map-side combine, O(distinct bigrams) / O(vocab)
+    outputs), scoring joins that reuse the aggregation keys'
+    partitioning, one broadcast scalar; integer bits until one final
+    exact division."""
+    from file_indexer_spark.operators import text as tx
+
+    tune_session(spark)
+    return tx.bigram_surprisal(_table(spark, sf_dir, "documents"))
+
+
+from file_indexer_spark.queries.q02_text import _STOP_SQL  # noqa: E402
+from file_indexer_spark.queries.q06_ddmat_sampling import _DD7_PAIRS_CTES  # noqa: E402
+
+# t2's UNROUNDED composite over the per-doc token signals (the shared
+# quality definition every curation consumer replicates verbatim).
+_QUALITY_CTE = f"""
+    qsig AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+                   AS n_distinct_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN ({_STOP_SQL}))) AS INTEGER)
+                   AS n_stopwords
+        FROM documents),
+    q AS (
+        SELECT doc_id,
+               0.5 * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.2 * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0) AS q
+        FROM qsig)
+"""
+
+
+@register(
+    "dd15_quality_keeper",
+    f"""
+    -- dd15: quality-aware canonical selection — per multi-doc near-dup
+    -- cluster keep the highest-t2-quality member (tie-break doc_id);
+    -- 'upgraded' marks where that differs from dd7's min-id keeper.
+    -- Clusters recomputed exactly via dd7's recursive closure; the
+    -- composite is t2's verbatim (exact-rounded IEEE arithmetic).
+    WITH RECURSIVE
+    {_DD7_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE e.dst <> r.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    assign AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    {_QUALITY_CTE},
+    ranked AS (
+        SELECT a.cluster_id, a.doc_id, q.q,
+               row_number() OVER (PARTITION BY a.cluster_id
+                                  ORDER BY q.q DESC, a.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY a.cluster_id) AS n_docs
+        FROM assign a JOIN q ON q.doc_id = a.doc_id)
+    SELECT cluster_id, doc_id AS keeper_doc_id, round(q, 6) AS keeper_quality,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           doc_id <> cluster_id AS upgraded
+    FROM ranked WHERE rn = 1 AND n_docs >= 2
+    ORDER BY cluster_id
+    """,
+)
+def dd15_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD15: dd7's components re-kept by t2 quality — one extra
+    cluster_id shuffle beyond the dd3→dd7 machinery; map-side
+    composite via the shared signal definition."""
+    from file_indexer_spark.operators import dedup as dd
+
+    docs = _table(spark, sf_dir, "documents")
+    return dd.quality_keeper(docs, dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs)))
+
+
+from file_indexer_spark.operators import similarity as sim  # noqa: E402
+from file_indexer_spark.queries.q04_dedup_sim import _DUCK_DOT, _DUCK_NORMS  # noqa: E402
+
+
+@register(
+    "sim15_recall_eval",
+    f"""
+    -- sim15: per-query recall@k of the IVF search against the exact
+    -- top-k — sim1's and sim2's oracle bodies composed verbatim, so
+    -- the harness is gated by the same replicas as its two legs.
+    WITH c AS ({_DUCK_NORMS}),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+          FROM c WHERE vec_id < {sim.N_QUERIES}),
+    ex_scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")} / (q.q_norm * c.norm)
+                   AS cosine
+        FROM q, c WHERE c.vec_id != q.query_id),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM ex_scored) t
+        WHERE rank <= {sim.TOP_K}),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
+                ON c.vec_id = reps.vec_id),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                        / (v.norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM c v, cents) t
+        WHERE rn = 1),
+    probes AS (
+        SELECT query_id, q_emb, q_norm, centroid_id FROM (
+            SELECT q.query_id, q.q_emb, q.q_norm, cents.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                        {_DUCK_DOT.format(a="q.q_emb", b="cents.c_emb")}
+                        / (q.q_norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM q, cents) t
+        WHERE rn <= {sim.NPROBE}),
+    iv_scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a="p.q_emb", b="c.embedding")} / (p.q_norm * c.norm)
+                   AS cosine
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN c ON c.vec_id = a.vec_id
+        WHERE c.vec_id != p.query_id),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM iv_scored) t
+        WHERE rank <= {sim.TOP_K})
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def sim15_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM15: recall@k of sim2 vs sim1 per benchmark query — the
+    metadata-sized comparison join over the two bounded result sets."""
+    tune_session(spark)
+    return sim.recall_eval(_table(spark, sf_dir, "embeddings"))

@@ -1336,3 +1336,72 @@ def test_budget_select_is_exact_takewhile(docs):
     assert [r["doc_id"] for r in kept] == expect
     nxt = order[len(expect)]
     assert kept_tokens + nxt["n_tokens"] > sp.BUDGET_TOKENS
+
+
+def test_bigram_surprisal_semantics(spark, sf_smoke):
+    """t14: a doc made of one repeated bigram scores near-minimal mean
+    bits; a doc of corpus-unseen continuations scores near the 20-bit
+    clamp. Planted fixture, exact integer contract."""
+    from file_indexer_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            # 50x "a b": C12 huge relative to context count
+            (1, " ".join(["a b"] * 50)),
+            # unique continuations: every bigram unseen elsewhere
+            (2, "a " + " ".join(f"z{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.bigram_surprisal(docs).collect()}
+    assert out[1]["mean_bits"] < out[2]["mean_bits"]
+    assert 0 <= out[1]["mean_bits"] <= 20 and out[2]["mean_bits"] <= 20
+    # n_bigrams: doc1 has 99 tokens -> 98 bigrams; doc2 21 -> 20
+    assert out[1]["n_bigrams"] == 99 and out[2]["n_bigrams"] == 20
+    # single-token docs drop out entirely
+    single = spark.createDataFrame([(3, "only")], "doc_id long, text string")
+    assert tx.bigram_surprisal(single).count() == 0
+
+
+def test_quality_keeper_prefers_high_quality_member(spark):
+    """dd15: in a planted 2-doc cluster the low-diversity boilerplate
+    member loses to the clean one even when it has the smaller doc_id
+    (the case min-id canonical gets wrong)."""
+    from file_indexer_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    docs = spark.createDataFrame(
+        [
+            # doc 1: the boilerplate twin — same shingles + heavy repetition
+            (1, base + ("spam spam spam spam " * 10)),
+            (2, base + "iota kappa lambda mu nu xi omicron pi rho sigma"),
+            (7, "unrelated totally different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7)], "doc_id long, cluster_id long"
+    )
+    rows = dd.quality_keeper(docs, clusters).collect()
+    assert len(rows) == 1  # singleton cluster excluded
+    keeper = rows[0]
+    assert keeper["cluster_id"] == 1
+    assert keeper["keeper_doc_id"] == 2
+    assert keeper["n_docs"] == 2
+    assert bool(keeper["upgraded"]) is True
+
+
+def test_recall_eval_matches_pinned_floor(spark, sf_smoke):
+    """sim15: per-query recall distribution is consistent with the
+    scalar floor sim2's pytest pins (macro mean >= 0.5 at smoke SF) and
+    every row is a valid fraction of k."""
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    rows = sim.recall_eval(emb).collect()
+    assert len(rows) == sim.N_QUERIES
+    assert all(r["n_exact"] == sim.TOP_K for r in rows)
+    assert all(0 <= r["n_matched"] <= sim.TOP_K for r in rows)
+    macro = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert macro >= 0.5, macro

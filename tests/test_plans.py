@@ -696,3 +696,37 @@ def test_round9c_tpch_shape_plans(spark, sf_smoke):
     assert any("o_orderdate" in f for f in pushed), pushed
     assert pi.has_broadcast_hint(h16)
     assert "CartesianProduct" not in pi.simple_plan(h16)
+
+
+def test_round9c_pipeline_op_plan_shapes(spark, sf_smoke):
+    """t14/dd15/sim15 scale properties: no cartesian anywhere; t14's
+    LM joins stay on the aggregation keys (broadcast under AQE at
+    smoke scale — shuffle joins on the same keys at 100 TB); dd15's
+    selection adds only the cluster_id window shuffle."""
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.operators import text as tx
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    t14 = tx.bigram_surprisal(docs)
+    plan = pi.simple_plan(t14)
+    assert "CartesianProduct" not in plan, plan
+    # two count aggs + doc agg + output sort + the V scalar: bounded
+    assert pi.count_exchanges(t14) <= 8, plan
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    small_docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h i")], "doc_id long, text string"
+    )
+    dd15 = dd.quality_keeper(small_docs, clusters)
+    plan = pi.simple_plan(dd15)
+    # both windows share the cluster_id partitioning: ONE window
+    # exchange beyond the join machinery
+    assert plan.count("Window") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+    sim15 = sim.recall_eval(load_table(spark, sf_smoke, "embeddings"))
+    assert "CartesianProduct" not in pi.simple_plan(sim15)
