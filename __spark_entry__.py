@@ -46,6 +46,12 @@ _DRIVER_PRIORITY = [
     # re-checked r6–r8 windows sit BEHIND the window boundary — their
     # green rows are at most two rounds old and the local
     # test_oracle_diff gate covers all queries every run.
+    # round 9 session 3 (never driver-checked — lead the window):
+    "h12_promo_revenue_share", "h13_small_qty_revenue",
+    "h14_disjunctive_revenue", "h15_waiting_suppliers",
+    "h16_market_share", "t14_bigram_surprisal",
+    "dd15_quality_keeper", "sim15_recall_eval",
+    "dd16_split_contamination", "sp10_leakage_safe_split",
     "sim14_range_search", "sp8_weighted_repeat", "t13_vocab_coverage",
     "w14_change_feed", "dd14_containment_pairs", "e17_event_debounce",
     "w13_zero_copy_clone", "st14_streaming_debounce",

@@ -476,6 +476,25 @@ SCALE_QUERIES = [
     # sp9: one rollup shuffle + semi-join; the boundary-group window is
     # bounded by the score quantization, not the corpus
     "sp9_budget_select",
+    # round 9 (cont. 2): the TPC-H closure pack — facts grow 10x,
+    # dims fixed, so these isolate the fact-side shuffle/scan growth
+    "h12_promo_revenue_share",
+    "h13_small_qty_revenue",
+    "h14_disjunctive_revenue",
+    "h15_waiting_suppliers",
+    "h16_market_share",
+    # t14: LM counts grow linearly, distinct-bigram model is
+    # vocab-bounded (AQE broadcasts it); output O(docs)
+    "t14_bigram_surprisal",
+    # dd15 rides dd3->dd7's machinery: swept at 10x beside them, and
+    # EXCLUDED from the 100x sweep for dd3/dd7's documented reason
+    # (exact-copy replication makes pair output quadratic on the
+    # 31-word corpus — a fixture artifact)
+    "dd15_quality_keeper",
+    # sim15 runs sim1 (linear brute force, broadcast queries) + sim2
+    # (fixed label-count centroids -> factor-longer lists, the sim10
+    # gate-regime note applies); comparison join is metadata-sized
+    "sim15_recall_eval",
 ]
 
 

@@ -908,3 +908,40 @@ def quality_keeper(docs: DataFrame, clusters: DataFrame) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def split_contamination(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """dd16: the train/test LEAKAGE AUDIT — near-dup pairs whose
+    members land on different sides of the content-hash split (sp1's
+    md5 rule). Every such pair is an eval-set contamination: the model
+    trains on a near-copy of a test document. This is the measurement
+    that motivates sp10's cluster-level split.
+
+    Scale shape: the split tag is a map-side md5 projection on each
+    pair side (two narrow joins against the O(docs) tag table — at
+    100 TB these are shuffle joins on doc_id, the pair table's natural
+    key); the rollup is O(split-pair classes) = at most 3 rows.
+    Pair direction is normalized with least/greatest so (train, test)
+    and (test, train) count as one class.
+    """
+    from file_indexer_spark.operators.sampling import split_expr
+
+    tags = docs.select("doc_id", split_expr(F.col("doc_id")).alias("split"))
+    a = tags.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = tags.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count("*").cast("long").alias("n_leaked_pairs"))
+        .orderBy("split_lo", "split_hi")
+    )

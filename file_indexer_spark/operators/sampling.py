@@ -526,3 +526,37 @@ def budget_select(docs: DataFrame, budget: int = BUDGET_TOKENS) -> DataFrame:
         .unionByName(kept_boundary)
         .orderBy(F.desc("q_milli"), "doc_id")
     )
+
+
+def leakage_safe_split(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """sp10: the LEAKAGE-SAFE train/val/test split — sp1's content-hash
+    rule applied to the near-dup CLUSTER label instead of the doc_id,
+    so every member of a near-dup cluster lands on the same side and
+    no test document has a training-set near-copy by construction
+    (dd16 measures the leakage the naive per-doc split admits).
+
+    Same accounting schema as sp1 (drop-in replacement). Split shares
+    stay ~6.25/6.25/87.5 in expectation: singleton docs keep their own
+    id as the cluster label, and multi-doc clusters move as indivisible
+    units (the test fraction's variance grows with the largest cluster,
+    which is the unavoidable price of leak-freedom).
+
+    Scale shape: one O(docs) equi-join against the assignment table
+    (everything upstream is dd7's bucketed machinery); the tag is a
+    map-side md5 of the label; the rollup shuffle carries 3 partials
+    per task.
+    """
+    tagged = docs.join(clusters.select("doc_id", "cluster_id"), "doc_id").select(
+        split_expr(F.col("cluster_id")).alias("split"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "source",
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("split")
+    )

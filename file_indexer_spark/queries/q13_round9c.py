@@ -409,3 +409,88 @@ def sim15_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized comparison join over the two bounded result sets."""
     tune_session(spark)
     return sim.recall_eval(_table(spark, sf_dir, "embeddings"))
+
+
+from file_indexer_spark.operators import sampling as sp  # noqa: E402
+
+
+@register(
+    "dd16_split_contamination",
+    f"""
+    -- dd16: near-dup pairs straddling sp1's per-doc hash split — the
+    -- eval-contamination count a leakage audit reports. Pairs are
+    -- dd3's (recomputed exactly); the split is sp1's md5 rule.
+    WITH
+    {_DD7_PAIRS_CTES},
+    tags AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < '{sp.TEST_UPPER}' THEN 'test'
+                    WHEN substring(md5(doc_id::VARCHAR), 1, 2) < '{sp.VAL_UPPER}' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents)
+    SELECT least(ta.split, tb.split) AS split_lo,
+           greatest(ta.split, tb.split) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
+    FROM pairs p
+    JOIN tags ta ON ta.doc_id = p.doc_a
+    JOIN tags tb ON tb.doc_id = p.doc_b
+    WHERE ta.split <> tb.split
+    GROUP BY split_lo, split_hi
+    ORDER BY split_lo, split_hi
+    """,
+)
+def dd16_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD16: the leakage audit — dd3 pairs tagged with sp1's split on
+    both sides, cross-split pairs rolled up to <=3 classes."""
+    from file_indexer_spark.operators import dedup as dd
+
+    docs = _table(spark, sf_dir, "documents")
+    return dd.split_contamination(docs, dd.minhash_lsh_pairs(docs))
+
+
+@register(
+    "sp10_leakage_safe_split",
+    f"""
+    -- sp10: sp1's accounting under the CLUSTER-level hash split —
+    -- near-dup groups move as units, so no cross-split near-copy can
+    -- exist. Clusters recomputed exactly via dd7's recursive closure.
+    WITH RECURSIVE
+    {_DD7_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE e.dst <> r.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    assign AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    tagged AS (
+        SELECT CASE WHEN substring(md5(a.cluster_id::VARCHAR), 1, 2) < '{sp.TEST_UPPER}' THEN 'test'
+                    WHEN substring(md5(a.cluster_id::VARCHAR), 1, 2) < '{sp.VAL_UPPER}' THEN 'val'
+                    ELSE 'train' END AS split,
+               len(string_split(d.text, ' ')) AS n_tokens,
+               d.source
+        FROM documents d JOIN assign a ON a.doc_id = d.doc_id)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def sp10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP10: sp1's drop-in replacement with the split keyed on dd7's
+    cluster label — leak-free by construction (dd16 == 0 over it,
+    pytest-pinned)."""
+    from file_indexer_spark.operators import dedup as dd
+
+    docs = _table(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
+    return sp.leakage_safe_split(docs, clusters)

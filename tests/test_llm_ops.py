@@ -1405,3 +1405,48 @@ def test_recall_eval_matches_pinned_floor(spark, sf_smoke):
     assert all(0 <= r["n_matched"] <= sim.TOP_K for r in rows)
     macro = sum(r["recall_at_k"] for r in rows) / len(rows)
     assert macro >= 0.5, macro
+
+
+def test_cluster_split_is_leak_free(spark, sf_smoke):
+    """sp10/dd16: the per-doc hash split leaks near-dup pairs across
+    train/test (the audit is non-empty on the synthetic corpus); the
+    cluster-keyed split provably cannot — every dd3 pair shares a
+    cluster, hence a split."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.operators.sampling import split_expr
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+
+    naive = dd.split_contamination(docs, pairs)
+    n_leaked = naive.agg(F.sum("n_leaked_pairs")).collect()[0][0] or 0
+    assert n_leaked > 0, "fixture no longer exercises the audit"
+
+    clusters = dd.dedup_clusters(docs, pairs)
+    tags = clusters.select(
+        "doc_id", split_expr(F.col("cluster_id")).alias("split")
+    )
+    straddling = (
+        pairs.join(
+            tags.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            tags.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddling == 0
+
+    # sp10 keeps sp1's accounting schema (drop-in replacement) and
+    # covers the whole corpus
+    from file_indexer_spark.operators import sampling as sp
+
+    out = sp.leakage_safe_split(docs, clusters)
+    assert out.columns == ["split", "n_docs", "total_tokens", "n_sources"]
+    assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
