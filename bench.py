@@ -175,6 +175,21 @@ LLM_EXTENSION = [
     "dd14_containment_pairs",
     "e17_event_debounce",
     "sp9_budget_select",
+    # round 9 (cont. 2): TPC-H closure pack, exact bigram surprisal,
+    # quality keeper, recall harness, leakage audit/fix, prototype
+    # sample (dd15/dd16/sp10 re-run the dd3 machinery inline — the
+    # same accepted gate shape as dd13/x1)
+    "h12_promo_revenue_share",
+    "h13_small_qty_revenue",
+    "h14_disjunctive_revenue",
+    "h15_waiting_suppliers",
+    "h16_market_share",
+    "t14_bigram_surprisal",
+    "dd15_quality_keeper",
+    "sim15_recall_eval",
+    "dd16_split_contamination",
+    "sp10_leakage_safe_split",
+    "sp11_prototype_sample",
 ]
 
 
@@ -495,6 +510,13 @@ SCALE_QUERIES = [
     # (fixed label-count centroids -> factor-longer lists, the sim10
     # gate-regime note applies); comparison join is metadata-sized
     "sim15_recall_eval",
+    # dd16/sp10 ride the same dd3(->dd7) machinery as dd15: swept at
+    # 10x beside it, excluded at 100x for the same fixture reason
+    "dd16_split_contamination",
+    "sp10_leakage_safe_split",
+    # sp11: broadcast-centroid scoring (linear), two narrow windows,
+    # O(clusters x quota) output
+    "sp11_prototype_sample",
 ]
 
 

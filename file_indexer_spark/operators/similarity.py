@@ -1230,3 +1230,53 @@ def recall_eval(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+PROTO_QUOTA = 8  # kept members per IVF cluster in the prototype sample
+
+
+def prototype_sample(embeddings: DataFrame, quota: int = PROTO_QUOTA) -> DataFrame:
+    """sp11: COVERAGE-PRESERVING subsampling in embedding space — keep
+    the ``quota`` most PROTOTYPICAL members of every IVF cluster (the
+    members nearest their centroid). Where sp2 caps by source and sp5
+    stratifies by a label column, this stratifies by the geometry of
+    the data itself: rare modes keep representation (every cluster
+    keeps members) while dense modes shed their bulk — the
+    cluster-balanced selection step embedding-curation pipelines run
+    after SemDeDup-style pruning.
+
+    Scale shape: centroids broadcast (sim2's deterministic label-rep
+    set — swap in kmeans_centroid_frame on real data); assignment is
+    the map-side scored pass + per-vector argmax; the prototype rank
+    is ONE window per centroid partition over the narrow assignment
+    stream. Both windows carry (id, cosine) rows only — the embedding
+    arrays never shuffle. Determinism: the cosine is the strict
+    left-to-right fold both engines replicate; ties break on vec_id.
+    """
+    cents = _centroid_frame(embeddings, None, None)
+    vecs = _with_norm(_spread(embeddings)).select(
+        "vec_id", F.col("embedding").alias("v_emb"), F.col("norm").alias("v_norm")
+    )
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        _cosine("v_emb", "v_norm", "c_emb", "c_norm").alias("cosine"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cosine")
+    )
+    w_proto = Window.partitionBy("centroid_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(w_proto))
+        .filter(F.col("proto_rank") <= quota)
+        .select(
+            "centroid_id",
+            "vec_id",
+            F.col("proto_rank").cast("integer").alias("proto_rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("centroid_id", "proto_rank")
+    )

@@ -494,3 +494,41 @@ def sp10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     clusters = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
     return sp.leakage_safe_split(docs, clusters)
+
+
+@register(
+    "sp11_prototype_sample",
+    f"""
+    -- sp11: cluster-balanced prototype selection — per IVF cluster
+    -- keep the {sim.PROTO_QUOTA} members nearest the centroid. The
+    -- assignment replicates sim2's exactly; the prototype rank is a
+    -- second window over the assigned stream.
+    WITH c AS ({_DUCK_NORMS}),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
+                ON c.vec_id = reps.vec_id),
+    assigned AS (
+        SELECT vec_id, centroid_id, cosine FROM (
+            SELECT v.vec_id, cents.centroid_id,
+                   {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                       / (v.norm * cents.c_norm) AS cosine,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                        / (v.norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM c v, cents) t
+        WHERE rn = 1)
+    SELECT centroid_id, vec_id,
+           CAST(row_number() OVER (PARTITION BY centroid_id
+                ORDER BY cosine DESC, vec_id) AS INTEGER) AS proto_rank,
+           round(cosine, 6) AS cosine
+    FROM assigned
+    QUALIFY proto_rank <= {sim.PROTO_QUOTA}
+    ORDER BY centroid_id, proto_rank
+    """,
+)
+def sp11_prototype_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP11: geometry-stratified subsample — broadcast centroids,
+    map-side scoring, two narrow windows; embeddings never shuffle."""
+    tune_session(spark)
+    return sim.prototype_sample(_table(spark, sf_dir, "embeddings"))

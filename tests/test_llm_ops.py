@@ -1450,3 +1450,41 @@ def test_cluster_split_is_leak_free(spark, sf_smoke):
     out = sp.leakage_safe_split(docs, clusters)
     assert out.columns == ["split", "n_docs", "total_tokens", "n_sources"]
     assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+
+
+def test_prototype_sample_covers_every_cluster(spark, sf_smoke):
+    """sp11: every populated IVF cluster keeps members (coverage), at
+    most quota each; ranks are contiguous from 1 with non-increasing
+    prototypicality; the centroid's own vector ranks first (self-cosine
+    is exactly 1)."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    out = sim.prototype_sample(emb)
+    per_cluster = (
+        out.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("proto_rank").alias("lo"),
+            F.max("proto_rank").alias("hi"),
+            F.max(F.when(F.col("proto_rank") == 1, F.col("cosine"))).alias("top_cos"),
+        )
+        .collect()
+    )
+    n_clusters = emb.select("label").distinct().count()
+    assert len(per_cluster) == n_clusters  # coverage: no cluster dropped
+    for r in per_cluster:
+        assert 1 <= r["n"] <= sim.PROTO_QUOTA
+        assert r["lo"] == 1 and r["hi"] == r["n"]  # contiguous ranks
+        assert r["top_cos"] == 1.0  # the centroid member leads its list
+    # monotone prototypicality within a cluster
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("centroid_id").orderBy("proto_rank")
+    bad = out.withColumn("prev", F.lag("cosine").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("cosine") > F.col("prev"))
+    )
+    assert bad.count() == 0
