@@ -661,33 +661,35 @@ def waiting_suppliers(
     EXISTS (another LATE supplier) self-joins of the fact table.
 
     Scale shape: both correlated quantifiers collapse to PER-ORDER
-    COUNTS — lineitem pre-aggregates to one row per (orderkey,
-    suppkey) with a map-side partial max(shipdate) (the h3 move: the
-    shuffle carries O(order-supplier pairs), never raw lines), joins
-    the status-filtered orders once on l_orderkey, and a single window
-    over l_orderkey derives n_suppliers / n_late — three fact-side
-    shuffles total on the SAME key, where the literal EXISTS/NOT
-    EXISTS form self-joins the fact table twice. The nation filter
-    applies at the tiny supplier-dim join AFTER counting (co-supplier
-    evidence must span all nations). Ties break on s_name for a total
-    order.
+    COUNTS over ONE exchange of the fact table. Join order matters:
+    orders (status-filtered, so ~1/3 of lines survive) joins FIRST on
+    l_orderkey; the per-(orderkey, suppkey) aggregate and the
+    per-order window then both REUSE the join's hash(l_orderkey)
+    partitioning (a hash distribution on a subset of the grouping
+    keys satisfies the aggregate's clustering), so the fact side
+    exchanges once, not three times — measured at 100x facts:
+    17.55 s -> 8.26 s, ratio 13.1 -> 6.0 (the agg-first form
+    exchanged on (orderkey, suppkey), which the orderkey join could
+    not reuse). The literal EXISTS/NOT EXISTS form self-joins the
+    fact table twice on top. The nation filter applies at the tiny
+    supplier-dim join AFTER counting (co-supplier evidence must span
+    all nations). Ties break on s_name for a total order.
     """
     from pyspark.sql import Window
 
-    per_os = (
-        lineitem.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("l_shipdate").alias("max_shipdate"))
-    )
     ords = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
-    flagged = per_os.join(ords, per_os["l_orderkey"] == ords["o_orderkey"]).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("max_shipdate")
-            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    lines = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    flagged = (
+        lines.join(ords, lines["l_orderkey"] == ords["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            (
+                F.max("l_shipdate")
+                > F.first("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+            )
+            .cast("int")
+            .alias("is_late")
         )
-        .cast("int")
-        .alias("is_late"),
     )
     w = Window.partitionBy("l_orderkey")
     waiting = (
