@@ -119,6 +119,17 @@ _NESTED_LOOP_OK = {
     # the only nested loop is the bounded broadcast centroid/probe
     # scoring cross; the threshold cut adds no join at all.
     "sim14_range_search",
+    # t14 crosses the bigram stream with the BROADCAST 1-row V scalar
+    # (distinct-continuation count) — h9's scalar-subquery shape; the
+    # LM count joins are real hash/broadcast-hash equi-joins.
+    "t14_bigram_surprisal",
+    # sim15 composes sim1 + sim2 — both legs' bounded broadcast
+    # scoring crosses (N_QUERIES rows x corpus / centroids) are
+    # allow-listed above; the recall comparison itself is an equi-join.
+    "sim15_recall_eval",
+    # sp11 is sim2's broadcast-centroid assignment cross (corpus x
+    # bounded centroid frame); the prototype rank adds windows only.
+    "sp11_prototype_sample",
 }
 
 
