@@ -190,6 +190,8 @@ LLM_EXTENSION = [
     "dd16_split_contamination",
     "sp10_leakage_safe_split",
     "sp11_prototype_sample",
+    "dd17_minhash_calibration",
+    "e18_deadline_funnel",
 ]
 
 
@@ -510,13 +512,16 @@ SCALE_QUERIES = [
     # (fixed label-count centroids -> factor-longer lists, the sim10
     # gate-regime note applies); comparison join is metadata-sized
     "sim15_recall_eval",
-    # dd16/sp10 ride the same dd3(->dd7) machinery as dd15: swept at
+    # dd16/sp10/dd17 ride the same dd3 machinery as dd15: swept at
     # 10x beside it, excluded at 100x for the same fixture reason
     "dd16_split_contamination",
     "sp10_leakage_safe_split",
+    "dd17_minhash_calibration",
     # sp11: broadcast-centroid scoring (linear), two narrow windows,
     # O(clusters x quota) output
     "sp11_prototype_sample",
+    # e18: one user-key shuffle + map-side greedy match (e1's class)
+    "e18_deadline_funnel",
 ]
 
 

@@ -714,3 +714,68 @@ def debounce_events(events: DataFrame, gap_s: int = DEBOUNCE_GAP_S) -> DataFrame
         )
         .orderBy("user_id", "event_type", "burst_seq")
     )
+
+
+CLICK_WITHIN_MIN = 2880  # e18: click within 48 h of the first view
+PURCHASE_WITHIN_MIN = 10080  # ...purchase within 7 d of the matched click
+
+
+def deadline_funnel(
+    events: DataFrame,
+    click_within_min: int = CLICK_WITHIN_MIN,
+    purchase_within_min: int = PURCHASE_WITHIN_MIN,
+) -> DataFrame:
+    """e18: the DEADLINE funnel — view → click within 48 h of the
+    first view → purchase within 7 d of the matched click (windows
+    sized to the fixture's hours-scale event density; the semantics
+    is the attribution-window funnel at any setting). e3 counts
+    stage order only; real conversion analytics binds each stage to a
+    time budget from the PREVIOUS MATCHED stage (the sequential
+    pattern-match shape funnel engines compile).
+
+    Matching is greedy-first and deterministic: the anchor is the
+    user's earliest view; the click is the earliest click inside that
+    view's window; the purchase the earliest inside that click's
+    window. Greedy-first is the standard funnel semantics and makes
+    the result a pure function of the event set.
+
+    Scale shape: ONE shuffle (groupBy user) collecting each user's
+    per-stage timestamp lists; the greedy match is a map-side
+    array_min/filter cascade over those bounded lists (per-user event
+    counts — e1's state contract; e1b's salting applies if one user is
+    the whole stream). No joins, no second pass, single-row output.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.collect_list(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "clicks"
+        ),
+        F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchases"
+        ),
+    )
+    staged = per_user.withColumn(
+        "t_click",
+        F.expr(
+            f"array_min(filter(clicks, c -> c > t_view AND "
+            f"c <= t_view + INTERVAL {click_within_min} MINUTES))"
+        ),
+    ).withColumn(
+        "t_purchase",
+        F.expr(
+            f"array_min(filter(purchases, p -> p > t_click AND "
+            f"p <= t_click + INTERVAL {purchase_within_min} MINUTES))"
+        ),
+    )
+    return staged.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_viewed"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicked_within"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchased_within"),
+    )

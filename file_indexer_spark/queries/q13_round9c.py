@@ -532,3 +532,90 @@ def sp11_prototype_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side scoring, two narrow windows; embeddings never shuffle."""
     tune_session(spark)
     return sim.prototype_sample(_table(spark, sf_dir, "embeddings"))
+
+
+from file_indexer_spark.functions import hashing as H  # noqa: E402
+
+
+@register(
+    "dd17_minhash_calibration",
+    f"""
+    -- dd17: sketch calibration — per LSH candidate pair, the
+    -- signature-estimated Jaccard vs the exact one, ALL-INTEGER
+    -- (matches x {1_000_000 // H.NUM_PERM} and (inter*1e6) // union),
+    -- so the gate is bit-for-bit. Candidates are NOT threshold-
+    -- filtered: calibration needs the sub-threshold population.
+    WITH
+    {{pairs_ctes}},
+    calib AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_filter(range(1, {H.NUM_PERM} + 1),
+                    i -> sa.sig[i] = sb.sig[i])) AS INTEGER) AS sig_matches,
+               CAST(len(list_intersect(ssa.shingles, ssb.shingles)) AS BIGINT)
+                   AS inter,
+               CAST(len(ssa.shingles) AS BIGINT) + CAST(len(ssb.shingles) AS BIGINT)
+                   - CAST(len(list_intersect(ssa.shingles, ssb.shingles)) AS BIGINT)
+                   AS uni
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+        JOIN sets ssa ON ssa.doc_id = c.doc_a
+        JOIN sets ssb ON ssb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, sig_matches,
+           CAST(sig_matches AS BIGINT) * {1_000_000 // H.NUM_PERM} AS est_e6,
+           (inter * 1000000) // uni AS exact_e6,
+           abs(CAST(sig_matches AS BIGINT) * {1_000_000 // H.NUM_PERM}
+               - (inter * 1000000) // uni) AS abs_err_e6
+    FROM calib ORDER BY doc_a, doc_b
+    """.format(pairs_ctes=_DD7_PAIRS_CTES),
+)
+def dd17_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD17: the sketch-calibration harness — dd3's machinery plus a
+    map-side 32-element signature comparison per candidate pair."""
+    from file_indexer_spark.operators import dedup as dd
+
+    return dd.minhash_calibration(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "e18_deadline_funnel",
+    """
+    -- e18: the attribution-window funnel — view, then click within
+    -- 48 h of the FIRST view, then purchase within 7 d of the MATCHED
+    -- click. Greedy-first matching: a pure function of the event set.
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+               list(ts) FILTER (WHERE event_type = 'click') AS clicks,
+               list(ts) FILTER (WHERE event_type = 'purchase') AS purchases
+        FROM events GROUP BY user_id),
+    staged AS (
+        SELECT user_id, t_view, purchases,
+               list_min(list_filter(clicks,
+                    c -> c > t_view AND c <= t_view + INTERVAL 2880 MINUTE))
+                   AS t_click
+        FROM per_user),
+    staged2 AS (
+        SELECT user_id, t_view, t_click,
+               list_min(list_filter(purchases,
+                    p -> p > t_click AND p <= t_click + INTERVAL 10080 MINUTE))
+                   AS t_purchase
+        FROM staged)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_viewed,
+           CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clicked_within,
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchased_within
+    FROM staged2
+    """,
+)
+def e18_deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18: one user-key shuffle collecting per-stage timestamp lists;
+    the greedy deadline match is a map-side array_min/filter cascade."""
+    from file_indexer_spark.operators import events as evo
+    from file_indexer_spark.registry_core import _events
+
+    tune_session(spark)
+    return evo.deadline_funnel(_events(spark, sf_dir))

@@ -1488,3 +1488,56 @@ def test_prototype_sample_covers_every_cluster(spark, sf_smoke):
         F.col("prev").isNotNull() & (F.col("cosine") > F.col("prev"))
     )
     assert bad.count() == 0
+
+
+def test_minhash_calibration_exact_on_identical_docs(spark):
+    """dd17: byte-identical docs calibrate perfectly (est = exact =
+    1e6, error 0); near-identical docs keep bounded error."""
+    from file_indexer_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + "extra tail words here now")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in dd.minhash_calibration(docs).collect()}
+    assert (1, 2) in rows
+    perfect = rows[(1, 2)]
+    assert perfect["sig_matches"] == 32
+    assert perfect["est_e6"] == 1_000_000
+    assert perfect["exact_e6"] == 1_000_000
+    assert perfect["abs_err_e6"] == 0
+    # every pair's error is a valid e6 fraction difference
+    for r in rows.values():
+        assert 0 <= r["abs_err_e6"] <= 1_000_000
+        assert r["est_e6"] == r["sig_matches"] * 31250
+
+
+def test_deadline_funnel_enforces_windows(spark):
+    """e18: a click inside the 48 h window converts; one outside does
+    not — and the purchase window anchors on the MATCHED click, not
+    the view."""
+    from file_indexer_spark.operators import events as evo
+
+    rows = [
+        # user 1: view -> click +1h -> purchase +1h after click = converts
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 11:00:00", 1, "click"),
+        (3, "2024-01-01 12:00:00", 1, "purchase"),
+        # user 2: click 49h after view = misses the click window
+        (4, "2024-01-01 10:00:00", 2, "view"),
+        (5, "2024-01-03 11:00:01", 2, "click"),
+        # user 3: click converts; purchase 8 days after click = misses
+        (6, "2024-01-01 10:00:00", 3, "view"),
+        (7, "2024-01-01 12:00:00", 3, "click"),
+        (8, "2024-01-09 13:00:00", 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t) for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).col("ts").cast("timestamp"))
+    out = evo.deadline_funnel(ev).collect()[0]
+    assert out["n_users"] == 3
+    assert out["n_viewed"] == 3
+    assert out["n_clicked_within"] == 2  # users 1 and 3
+    assert out["n_purchased_within"] == 1  # user 1 only

@@ -741,3 +741,23 @@ def test_round9c_pipeline_op_plan_shapes(spark, sf_smoke):
 
     sim15 = sim.recall_eval(load_table(spark, sf_smoke, "embeddings"))
     assert "CartesianProduct" not in pi.simple_plan(sim15)
+
+
+def test_dd17_e18_plan_shapes(spark, sf_smoke):
+    """dd17 adds only equi-joins over dd3's machinery; e18 is
+    join-free — one user-key shuffle, map-side greedy match."""
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.operators import events as evo
+    from file_indexer_spark.tables import events_df, load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cal = dd.minhash_calibration(docs)
+    plan = pi.simple_plan(cal)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    fun = evo.deadline_funnel(events_df(spark, sf_smoke))
+    plan = pi.simple_plan(fun)
+    assert "Join" not in plan, plan
+    # groupBy(user) + the 1-row global agg: two aggregation exchanges
+    assert pi.count_exchanges(fun) <= 2, plan
