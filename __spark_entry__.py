@@ -53,7 +53,7 @@ _DRIVER_PRIORITY = [
     "dd15_quality_keeper", "sim15_recall_eval",
     "dd16_split_contamination", "sp10_leakage_safe_split",
     "sp11_prototype_sample", "dd17_minhash_calibration",
-    "e18_deadline_funnel",
+    "e18_deadline_funnel", "st15_streaming_funnel",
     "sim14_range_search", "sp8_weighted_repeat", "t13_vocab_coverage",
     "w14_change_feed", "dd14_containment_pairs", "e17_event_debounce",
     "w13_zero_copy_clone", "st14_streaming_debounce",

@@ -619,3 +619,53 @@ def e18_deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     return evo.deadline_funnel(_events(spark, sf_dir))
+
+
+from file_indexer_spark.registry_core import _land_arrivals  # noqa: E402
+from file_indexer_spark.registry_core import _stream_workdir  # noqa: E402
+from file_indexer_spark.tables import events_df  # noqa: E402
+
+
+# st15 shares e18's oracle VERBATIM: after draining a chronological
+# two-arrival stream through the stateful funnel, the changelog's
+# final per-user stage rows must aggregate to the batch operator's
+# funnel counts — including stages whose qualifying event arrives in
+# a LATER micro-batch than its anchor, which per-batch computation
+# would miss.
+@register("st15_streaming_funnel", ORACLES["e18_deadline_funnel"])
+def st15_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST15: e18 as a continuous stateful stream (applyInPandasWithState,
+    O(users) state, update-mode changelog). The gate reduces the
+    changelog to its final state per user and aggregates to e18's
+    single-row funnel, hash-matched against e18's own DuckDB oracle."""
+    import os
+
+    from file_indexer_spark.streaming import sessions as ss
+    from file_indexer_spark.streaming import windows as sw
+
+    tune_session(spark)
+    base, _ = _stream_workdir("fis_st15", sf_dir)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "changelog")
+    ev2 = events_df(spark, sf_dir)
+    bounds = ev2.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    _land_arrivals(
+        src,
+        [ev2.filter(F.col("ts") <= F.lit(mid)), ev2.filter(F.col("ts") > F.lit(mid))],
+    )
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sw.run_update_mode_to_parquet(ss.funnel_stream(stream), out)
+    final = sw.last_emission(spark, out, ["user_id"])
+    return final.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_viewed"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicked_within"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchased_within"),
+    )

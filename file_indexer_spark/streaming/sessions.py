@@ -228,3 +228,108 @@ def debounce_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- st15
+# Streaming rendition of e18 (operators/events.py deadline_funnel):
+# per-user greedy funnel matching with O(users) state. Events are
+# processed in event-time order (the chronological arrival contract +
+# an in-batch sort), so the greedy first-qualifying match is identical
+# to the batch operator's array_min-over-window form; the update-mode
+# changelog re-emits a user's stage row whenever a micro-batch
+# advances it, and the final state equals batch e18 — which is what
+# the gate hash-checks against e18's own DuckDB oracle.
+from file_indexer_spark.operators.events import (  # noqa: E402
+    CLICK_WITHIN_MIN,
+    PURCHASE_WITHIN_MIN,
+)
+
+_CLICK_WITHIN_US = CLICK_WITHIN_MIN * 60 * 1_000_000
+_PURCHASE_WITHIN_US = PURCHASE_WITHIN_MIN * 60 * 1_000_000
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("t_view", T.TimestampType(), True),
+        T.StructField("t_click", T.TimestampType(), True),
+        T.StructField("t_purchase", T.TimestampType(), True),
+    ]
+)
+
+# (t_view_us, t_click_us, t_purchase_us) — all nullable
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t_view_us", T.LongType(), True),
+        T.StructField("t_click_us", T.LongType(), True),
+        T.StructField("t_purchase_us", T.LongType(), True),
+    ]
+)
+
+
+def _funnel_group(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        tv, tc, tp = state.get
+    else:
+        tv = tc = tp = None
+
+    saw_rows = False
+    for pdf in batches:
+        # event-time order with the batch operator's (ts, event_id)
+        # tie-break: an equal-ts purchase with a smaller event_id than
+        # the click lands BEFORE t_click is set and is skipped — the
+        # batch form excludes it too (strict p > t_click).
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, et in zip(pdf["ts"], pdf["event_type"]):
+            saw_rows = True
+            us = int(ts.value // 1_000)
+            if et == "view":
+                if tv is None:
+                    tv = us
+            elif et == "click":
+                if (
+                    tc is None
+                    and tv is not None
+                    and us > tv
+                    and us <= tv + _CLICK_WITHIN_US
+                ):
+                    tc = us
+            elif et == "purchase":
+                if (
+                    tp is None
+                    and tc is not None
+                    and us > tc
+                    and us <= tc + _PURCHASE_WITHIN_US
+                ):
+                    tp = us
+    state.update((tv, tc, tp))
+    if saw_rows:
+        def _ts(us):
+            return pd.Timestamp(us, unit="us") if us is not None else pd.NaT
+
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "t_view": [_ts(tv)],
+                "t_click": [_ts(tc)],
+                "t_purchase": [_ts(tp)],
+            }
+        )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """st15: continuous per-user deadline-funnel matching — e18 with
+    O(users) state instead of whole-history collect_list aggregates.
+    A stage whose deadline-qualifying event arrives in a LATER
+    micro-batch than its anchor still matches (the case per-batch
+    funnel computation gets wrong); output mode ``update`` re-emits
+    the user's amended stage row."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_group,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

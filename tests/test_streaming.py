@@ -824,3 +824,51 @@ def test_streaming_debounce_burst_spans_batches(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == expect == {(1, 1, 2, 4200 * 1_000_000), (2, 4, 0, 0)}
+
+
+def test_streaming_funnel_stage_spans_batches(spark, tmp_path):
+    """st15's defining behavior: a click that qualifies against batch
+    1's view but ARRIVES in batch 2 still converts (per-batch funnel
+    computation would miss it); a click outside the 48 h window never
+    converts; and the changelog's final state equals batch e18."""
+    import datetime as dt
+
+    from file_indexer_spark.operators import events as ev
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming import sessions as ss
+    from file_indexer_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+
+    # user 7: view in batch 1, click +1h in batch 2 (in-window),
+    #         purchase +1h after the click in batch 2 -> full convert
+    # user 8: view in batch 1, click +50h in batch 2 (out of window)
+    b1 = mk([
+        (1, t0, 7, "view", 1.0, None),
+        (2, t0, 8, "view", 1.0, None),
+    ])
+    b2 = mk([
+        (3, t0 + dt.timedelta(hours=1), 7, "click", 1.0, None),
+        (4, t0 + dt.timedelta(hours=2), 7, "purchase", 1.0, None),
+        (5, t0 + dt.timedelta(hours=50), 8, "click", 1.0, None),
+    ])
+    src, out = str(tmp_path / "st15_src"), str(tmp_path / "st15_log")
+    _land_arrivals(src, [b1, b2])
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sw.run_update_mode_to_parquet(ss.funnel_stream(stream), out)
+
+    final = {r["user_id"]: r for r in sw.last_emission(spark, out, ["user_id"]).collect()}
+    assert final[7]["t_click"] is not None and final[7]["t_purchase"] is not None
+    assert final[8]["t_click"] is None
+
+    batch = ev.deadline_funnel(
+        mk([]).unionByName(b1).unionByName(b2).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+    ).collect()[0]
+    assert batch["n_users"] == 2
+    assert batch["n_clicked_within"] == 1
+    assert batch["n_purchased_within"] == 1
