@@ -955,6 +955,13 @@ def main_stream() -> None:
         "update",
     )
 
+    src15 = os.path.join(base, "st15_src")
+    _land_chunks(spark, events, src15, "ts", _STREAM_CHUNKS)
+    results["st15_streaming_funnel"] = _drain_with_metrics(
+        ss.funnel_stream(sw.read_events_stream(spark, src15, max_files_per_trigger=1)),
+        "update",
+    )
+
     src9 = os.path.join(base, "st9_src")
     _land_chunks(spark, events, src9, "ts", _STREAM_CHUNKS)
     results["st9_interval_join_stream"] = _drain_with_metrics(
