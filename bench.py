@@ -192,6 +192,7 @@ LLM_EXTENSION = [
     "sp11_prototype_sample",
     "dd17_minhash_calibration",
     "e18_deadline_funnel",
+    "pp2_neardup_split_pipeline",
 ]
 
 
@@ -522,6 +523,8 @@ SCALE_QUERIES = [
     "sp11_prototype_sample",
     # e18: one user-key shuffle + map-side greedy match (e1's class)
     "e18_deadline_funnel",
+    # pp2 rides dd3->dd7 like dd15/dd16/sp10: 10x only
+    "pp2_neardup_split_pipeline",
 ]
 
 

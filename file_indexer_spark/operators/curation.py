@@ -524,3 +524,63 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def neardup_split_pipeline(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """pp2: the NEAR-DUP-aware training-prep pass as one composed
+    query — per-split accounting of the modern pipeline:
+
+      raw → near-dup clusters (dd3→dd7's components)
+          → quality-keeper selection (dd15's rule: keep the highest-
+            t2-quality member per cluster; singletons keep themselves)
+          → leakage-safe split (sp10's rule: md5 of the CLUSTER label,
+            so near-dup groups never straddle train/test)
+
+    with per-split doc/token totals before and after keeper selection
+    and the retention ratio. pp1 is the classic exact-dedup funnel;
+    pp2 is the near-dup upgrade a modern curation run performs — each
+    stage reuses the exact deterministic rule its standalone operator
+    (dd7/dd15/sp10) is gated on, so the pipeline is fully
+    oracle-checkable end to end.
+
+    Scale shape: everything upstream is dd3/dd7's bucketed machinery;
+    the pipeline itself adds ONE cluster_id window (keeper rank — the
+    split tag shares the same shuffled key) and a 3-row rollup. No
+    stage materializes an intermediate corpus.
+    """
+    from pyspark.sql.window import Window
+
+    from file_indexer_spark.operators.sampling import split_expr
+    from file_indexer_spark.operators.text import (
+        quality_composite,
+        quality_signal_columns,
+    )
+
+    sig = quality_signal_columns()
+    scored = docs.select(
+        "doc_id",
+        sig["n_tokens"].alias("n_tokens"),
+        sig["n_distinct_tokens"].alias("n_distinct_tokens"),
+        sig["n_stopwords"].alias("n_stopwords"),
+    ).select("doc_id", "n_tokens", quality_composite().alias("q"))
+    joined = clusters.select("doc_id", "cluster_id").join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), "doc_id")
+    flagged = joined.select(
+        "cluster_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).cast("long").alias("is_kept"),
+    ).withColumn("split", split_expr(F.col("cluster_id")))
+    return (
+        flagged.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_raw"),
+            F.sum("is_kept").cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_raw"),
+            F.sum(F.col("is_kept") * F.col("n_tokens")).cast("long").alias("tokens_kept"),
+        )
+        .withColumn(
+            "doc_retention",
+            F.round(F.col("n_kept") / F.col("n_docs_raw"), 6),
+        )
+        .orderBy("split")
+    )

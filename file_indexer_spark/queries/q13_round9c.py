@@ -669,3 +669,61 @@ def st15_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purchased_within"),
     )
+
+
+@register(
+    "pp2_neardup_split_pipeline",
+    f"""
+    -- pp2: the near-dup-aware training-prep pass — dd7 components,
+    -- dd15's quality-keeper rule, sp10's cluster-level hash split —
+    -- per-split doc/token accounting. Every stage replicates the rule
+    -- its standalone gate pins.
+    WITH RECURSIVE
+    {_DD7_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE e.dst <> r.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    assign AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    {_QUALITY_CTE},
+    toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                 AS n_tokens FROM documents),
+    ranked AS (
+        SELECT a.cluster_id, a.doc_id, t.n_tokens,
+               CASE WHEN row_number() OVER (PARTITION BY a.cluster_id
+                        ORDER BY q.q DESC, a.doc_id) = 1
+                    THEN 1 ELSE 0 END AS is_kept,
+               CASE WHEN substring(md5(a.cluster_id::VARCHAR), 1, 2) < '{sp.TEST_UPPER}' THEN 'test'
+                    WHEN substring(md5(a.cluster_id::VARCHAR), 1, 2) < '{sp.VAL_UPPER}' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM assign a
+        JOIN q ON q.doc_id = a.doc_id
+        JOIN toks t ON t.doc_id = a.doc_id)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+           CAST(SUM(is_kept) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
+           CAST(SUM(is_kept * n_tokens) AS BIGINT) AS tokens_kept,
+           ROUND(CAST(SUM(is_kept) AS DOUBLE) / COUNT(*), 6) AS doc_retention
+    FROM ranked GROUP BY split ORDER BY split
+    """,
+)
+def pp2_neardup_split_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PP2: dd7 machinery + ONE cluster_id window (keeper rank; the
+    split tag shares the key) + a 3-row rollup."""
+    from file_indexer_spark.operators import curation as ct
+    from file_indexer_spark.operators import dedup as dd
+
+    docs = _table(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
+    return ct.neardup_split_pipeline(docs, clusters)
