@@ -54,7 +54,7 @@ _DRIVER_PRIORITY = [
     "dd16_split_contamination", "sp10_leakage_safe_split",
     "sp11_prototype_sample", "dd17_minhash_calibration",
     "e18_deadline_funnel", "st15_streaming_funnel",
-    "pp2_neardup_split_pipeline",
+    "pp2_neardup_split_pipeline", "sp12_bin_packing",
     "sim14_range_search", "sp8_weighted_repeat", "t13_vocab_coverage",
     "w14_change_feed", "dd14_containment_pairs", "e17_event_debounce",
     "w13_zero_copy_clone", "st14_streaming_debounce",

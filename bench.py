@@ -193,6 +193,7 @@ LLM_EXTENSION = [
     "dd17_minhash_calibration",
     "e18_deadline_funnel",
     "pp2_neardup_split_pipeline",
+    "sp12_bin_packing",
 ]
 
 
@@ -525,6 +526,10 @@ SCALE_QUERIES = [
     "e18_deadline_funnel",
     # pp2 rides dd3->dd7 like dd15/dd16/sp10: 10x only
     "pp2_neardup_split_pipeline",
+    # sp12: one shard shuffle + per-packer sequential pass (state = 2
+    # ints; per-row Python inside Arrow batches — N_PACKERS is the
+    # parallelism knob)
+    "sp12_bin_packing",
 ]
 
 

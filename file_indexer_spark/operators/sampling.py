@@ -560,3 +560,56 @@ def leakage_safe_split(docs: DataFrame, clusters: DataFrame) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def bin_packing(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """sp12: NO-STRADDLE sequence packing — next-fit bin packing of
+    whole documents into fixed-``budget`` training sequences. sp3's
+    concat-and-chunk lets documents straddle sequence cuts (maximum
+    density, but cross-document attention contamination unless the
+    trainer masks); sp12 is the other production layout: a document
+    never spans two sequences, the residual tail of each bin is
+    padding, and the doc→bin map is what the writer stage materializes.
+
+    Why this is the Pandas tier and not a window: next-fit's bin
+    boundary depends on a running fill that RESETS data-dependently —
+    a sequential recurrence no fixed window frame expresses. Each
+    packer's stream is scanned once inside an Arrow-batched
+    applyInPandas; the oracle replicates the recurrence with a
+    recursive CTE, so the gate stays bit-for-bit.
+
+    Scale shape: one shuffle onto ``N_PACKERS`` content-stable hash
+    shards (sp3's discipline — streams never interact; raise
+    N_PACKERS to O(cores) at 100 TB), then a single partition-local
+    sequential pass per packer; per-packer state is two integers.
+    Docs order by doc_id within a packer (sp3's order), so the plan
+    is retry-deterministic. A document longer than the budget gets a
+    bin of its own (documented overflow, same rule both engines).
+    """
+    import pandas as pd
+
+    d = docs.select(
+        "doc_id",
+        F.substring(_digest(F.col("doc_id")), 1, 1).alias("packer"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                bin_id += 1
+                fill = 0
+            fill += n
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "packer", "n_tokens", "bin_id"]]
+
+    return (
+        d.groupBy("packer")
+        .applyInPandas(pack, "doc_id long, packer string, n_tokens long, bin_id long")
+        .orderBy("packer", "doc_id")
+    )

@@ -727,3 +727,37 @@ def pp2_neardup_split_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     clusters = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs))
     return ct.neardup_split_pipeline(docs, clusters)
+
+
+@register(
+    "sp12_bin_packing",
+    f"""
+    -- sp12: next-fit no-straddle packing. The sequential fill/reset
+    -- recurrence is replicated EXACTLY by a recursive CTE advancing
+    -- each packer's frontier one document per step.
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               substring(md5(doc_id::VARCHAR), 1, 1) AS packer,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY substring(md5(doc_id::VARCHAR), 1, 1)
+                                  ORDER BY doc_id) AS rn
+        FROM documents),
+    packed(packer, rn, doc_id, n_tokens, bin_id, fill) AS (
+        SELECT packer, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.packer, d.rn, d.doc_id, d.n_tokens,
+               CASE WHEN p.fill + d.n_tokens <= {sp.PACK_BUDGET}
+                    THEN p.bin_id ELSE p.bin_id + 1 END,
+               CASE WHEN p.fill + d.n_tokens <= {sp.PACK_BUDGET}
+                    THEN p.fill + d.n_tokens ELSE d.n_tokens END
+        FROM packed p JOIN d ON d.packer = p.packer AND d.rn = p.rn + 1)
+    SELECT doc_id, packer, n_tokens, bin_id
+    FROM packed ORDER BY packer, doc_id
+    """,
+)
+def sp12_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP12: one hash-shard shuffle + a partition-local sequential
+    pass per packer (Arrow applyInPandas; two-integer state)."""
+    tune_session(spark)
+    return sp.bin_packing(_table(spark, sf_dir, "documents"))

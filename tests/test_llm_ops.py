@@ -1541,3 +1541,34 @@ def test_deadline_funnel_enforces_windows(spark):
     assert out["n_viewed"] == 3
     assert out["n_clicked_within"] == 2  # users 1 and 3
     assert out["n_purchased_within"] == 1  # user 1 only
+
+
+def test_bin_packing_no_straddle_invariants(spark, sf_smoke):
+    """sp12: every bin respects the budget unless it holds a single
+    oversized doc; bin ids are contiguous from 0 per packer; every doc
+    is assigned exactly once."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = sp.bin_packing(docs)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    per_bin = out.groupBy("packer", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n")
+    )
+    overfull = per_bin.filter(
+        (F.col("fill") > sp.PACK_BUDGET) & (F.col("n") > 1)
+    ).count()
+    assert overfull == 0
+    ranges = per_bin.groupBy("packer").agg(
+        F.min("bin_id").alias("lo"),
+        F.max("bin_id").alias("hi"),
+        F.count("*").alias("n_bins"),
+    )
+    bad = ranges.filter(
+        (F.col("lo") != 0) | (F.col("hi") != F.col("n_bins") - 1)
+    ).count()
+    assert bad == 0
