@@ -1,0 +1,120 @@
+"""Graph analytics over operator-derived pair lists (round 10).
+
+The dedup family materializes document GRAPHS (dd3's near-dup pairs,
+sim5's kNN edges); this module computes vertex-centrality measures over
+them — the curation signal a training pipeline uses to pick CANONICAL
+documents (keep the most central member of a duplicate neighborhood,
+not an arbitrary min-id) and to weight sampling toward well-connected,
+non-orphaned content.
+
+Reference parity: the reference has no graph operator — this extends
+the engine the way a 100 TB curation pipeline needs. The iterative
+shape mirrors dd7's connected components (``dedup.py``
+``_connected_components``): per-round lineage cuts, work proportional
+to the PAIR SUBGRAPH, never the corpus.
+
+Determinism contract (the repo-wide fixed-point discipline, cf.
+``text.py bigram_surprisal`` and ``relational.py _revenue_e4``): ranks
+are BIGINT micro-units and every update is integer arithmetic
+(``DIV``), so Spark and the DuckDB oracle agree bit-for-bit — no float
+accumulation order to diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# PageRank fixed-point parameters. R0_E6 is the per-vertex initial rank
+# in micro-units; DAMPING_E2 the classic 0.85 as an integer percentage;
+# BASE_E6 the teleport term (1 - d) * R0. ITERATIONS is fixed (and
+# unrolled verbatim in the oracle SQL) — rank ORDER stabilizes long
+# before rank VALUES at d=0.85, and 5 rounds is the conventional
+# "centrality, not stationary distribution" budget.
+R0_E6 = 1_000_000
+DAMPING_E2 = 85
+BASE_E6 = R0_E6 * (100 - DAMPING_E2) // 100
+ITERATIONS = 5
+
+
+def pagerank(
+    docs: DataFrame,
+    pairs: DataFrame,
+    iterations: int = ITERATIONS,
+) -> DataFrame:
+    """dd18: fixed-point PageRank centrality over an undirected pair
+    graph (dd3's near-dup pairs), returning every document's rank.
+
+    Update rule (all BIGINT, both engines):
+        rank'(v) = BASE_E6 + (DAMPING_E2 * sum_{u~v} (rank(u) DIV deg(u))) DIV 100
+
+    Integer division drops remainder mass (a deterministic variant of
+    the dangling-mass simplification); what matters for the curation
+    use-case is the induced ORDER, which integer quanta of 1e-6
+    preserve.
+
+    Scale shape for 100 TB:
+      * iteration state is O(pair-subgraph vertices), never O(corpus):
+        a document in no pair provably holds rank BASE_E6 from round 1
+        on (no inflow), so those rows are emitted by one final
+        left-join coalesce instead of being dragged through 5 rounds;
+      * edges are degree-annotated once and hash-partitioned by src;
+        each round is one join ranks⋈edges on src (reusing that
+        partitioning) plus one groupBy(dst) exchange — the canonical
+        2-exchange PageRank round, with map-side partial sums;
+      * per-round ``localCheckpoint`` cuts lineage exactly like dd7's
+        component iteration, so round N's plan does not replay rounds
+        1..N-1 under executor loss at gate scale (durable
+        ``checkpoint()`` is the cluster-grade variant).
+    """
+    if iterations < 1:
+        raise ValueError("pagerank needs >= 1 iteration")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    degs = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    edges_d = (
+        edges.join(degs, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    sub = edges_d.select(F.col("src").alias("doc_id")).distinct()
+    ranks = sub.withColumn("rank_e6", F.lit(R0_E6).cast("long"))
+    for _ in range(iterations):
+        inflow = (
+            edges_d.join(ranks, edges_d["src"] == ranks["doc_id"])
+            .select("dst", F.expr("rank_e6 DIV deg").alias("quota"))
+            .groupBy("dst")
+            .agg(F.sum("quota").cast("long").alias("inflow"))
+        )
+        ranks = (
+            sub.join(inflow, sub["doc_id"] == inflow["dst"], "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(BASE_E6)
+                    + F.expr(
+                        f"{DAMPING_E2} * coalesce(inflow, 0L) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_e6"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out_deg = degs.select(F.col("src").alias("doc_id"), "deg")
+    return (
+        docs.select("doc_id")
+        .join(ranks.withColumnRenamed("rank_e6", "sub_rank"), "doc_id", "left")
+        .join(out_deg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.coalesce("sub_rank", F.lit(BASE_E6)).cast("long").alias("rank_e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -684,8 +684,11 @@ def waiting_suppliers(
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             (
+                # o_orderdate is functionally dependent on l_orderkey, so any
+                # per-group pick is the same value; max() makes the determinism
+                # self-evident instead of leaning on first()'s arrival order.
                 F.max("l_shipdate")
-                > F.first("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+                > F.max("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
             )
             .cast("int")
             .alias("is_late")

@@ -608,7 +608,11 @@ def bigram_surprisal(docs: DataFrame, shift: int = SURPRISAL_SHIFT) -> DataFrame
       * V (distinct continuations) is a one-row broadcast scalar;
       * overflow headroom: (C12+1) * 2^20 stays under BIGINT for up to
         ~8.8e12 occurrences of a single bigram — beyond that, raise
-        the model's count dtype to DECIMAL(38,0), same plan.
+        the model's count dtype to DECIMAL(38,0), same plan. The
+        product is computed via ``try_multiply`` with an explicit
+        ``raise_error`` on NULL, so exceeding the headroom is a loud
+        job failure on Spark exactly as it is on DuckDB (which
+        promotes/errors), never a silent non-ANSI wraparound.
 
     Docs with fewer than two tokens have no bigram evidence and drop
     out (the oracle mirrors this); emitting them with NULL surprisal
@@ -630,7 +634,10 @@ def bigram_surprisal(docs: DataFrame, shift: int = SURPRISAL_SHIFT) -> DataFrame
     v = bg.select(F.count_distinct("w2").cast("long").alias("v"))
     surprise = F.expr(
         f"CAST({shift} - (length(bin(greatest(1L, "
-        f"((c12 + 1) * {1 << shift}L) DIV (c1 + v)))) - 1) AS BIGINT)"
+        f"ifnull(try_multiply(c12 + 1, {1 << shift}L), "
+        f"CAST(raise_error('t14: bigram count overflow past BIGINT headroom; "
+        f"raise count dtype to DECIMAL(38,0)') AS BIGINT)) "
+        f"DIV (c1 + v)))) - 1) AS BIGINT)"
     )
     scored = (
         bg.join(c12, ["w1", "w2"])

@@ -256,12 +256,19 @@ FUNNEL_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# (t_view_us, t_click_us, t_purchase_us) — all nullable
+# (t_view_us, t_click_us, t_purchase_us, t_hwm_us) — all nullable.
+# t_hwm_us is the per-user high-water mark of consumed event time: the
+# funnel transitions are only equal to batch e18 under the
+# chronological-arrival contract (each micro-batch's events for a user
+# are no older than everything already consumed), so the operator
+# ENFORCES that contract — a batch whose earliest event precedes the
+# stored high-water mark raises instead of silently diverging.
 FUNNEL_STATE_SCHEMA = T.StructType(
     [
         T.StructField("t_view_us", T.LongType(), True),
         T.StructField("t_click_us", T.LongType(), True),
         T.StructField("t_purchase_us", T.LongType(), True),
+        T.StructField("t_hwm_us", T.LongType(), True),
     ]
 )
 
@@ -271,9 +278,9 @@ def _funnel_group(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        tv, tc, tp = state.get
+        tv, tc, tp, hwm = state.get
     else:
-        tv = tc = tp = None
+        tv = tc = tp = hwm = None
 
     saw_rows = False
     for pdf in batches:
@@ -285,6 +292,14 @@ def _funnel_group(
         for ts, et in zip(pdf["ts"], pdf["event_type"]):
             saw_rows = True
             us = int(ts.value // 1_000)
+            if hwm is not None and us < hwm:
+                raise ValueError(
+                    "st15: chronological-arrival contract violated for "
+                    f"user {user_id}: event at {us}us arrived after the "
+                    f"consumed high-water mark {hwm}us; feed this operator "
+                    "a per-user time-ordered source or use batch e18"
+                )
+            hwm = us if hwm is None else max(hwm, us)
             if et == "view":
                 if tv is None:
                     tv = us
@@ -304,7 +319,7 @@ def _funnel_group(
                     and us <= tc + _PURCHASE_WITHIN_US
                 ):
                     tp = us
-    state.update((tv, tc, tp))
+    state.update((tv, tc, tp, hwm))
     if saw_rows:
         def _ts(us):
             return pd.Timestamp(us, unit="us") if us is not None else pd.NaT
@@ -325,7 +340,13 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     A stage whose deadline-qualifying event arrives in a LATER
     micro-batch than its anchor still matches (the case per-batch
     funnel computation gets wrong); output mode ``update`` re-emits
-    the user's amended stage row."""
+    the user's amended stage row.
+
+    Equality with batch e18 holds under the chronological-arrival
+    contract, which the state handler now ENFORCES via a per-user
+    consumed-time high-water mark (``t_hwm_us``): an event arriving in
+    a later micro-batch with an earlier timestamp than anything
+    already consumed raises, rather than being silently ignored."""
     return events.groupBy("user_id").applyInPandasWithState(
         _funnel_group,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,

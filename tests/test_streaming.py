@@ -872,3 +872,28 @@ def test_streaming_funnel_stage_spans_batches(spark, tmp_path):
     assert batch["n_users"] == 2
     assert batch["n_clicked_within"] == 1
     assert batch["n_purchased_within"] == 1
+
+
+def test_streaming_funnel_rejects_out_of_order_batches(spark, tmp_path):
+    """st15 enforces its chronological-arrival contract: an event
+    landing in a later micro-batch with a timestamp BEFORE the user's
+    consumed high-water mark fails the query loudly instead of being
+    silently ignored (where batch e18 would have counted it)."""
+    import datetime as dt
+
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming import sessions as ss
+    from file_indexer_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+
+    b1 = mk([(1, t0 + dt.timedelta(hours=2), 7, "click", 1.0, None)])
+    b2 = mk([(2, t0, 7, "view", 1.0, None)])  # older than the hwm
+    src, out = str(tmp_path / "st15_ooo_src"), str(tmp_path / "st15_ooo_log")
+    _land_arrivals(src, [b1, b2])
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    with pytest.raises(Exception, match="chronological-arrival contract"):
+        sw.run_update_mode_to_parquet(ss.funnel_stream(stream), out)
