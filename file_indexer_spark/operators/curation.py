@@ -37,7 +37,7 @@ driver's ``documents`` table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from file_indexer_spark.functions import hashing as H
@@ -584,3 +584,88 @@ def neardup_split_pipeline(docs: DataFrame, clusters: DataFrame) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ct6: distribution-drift monitor. Bin width / cap chosen for the
+# fixture's 44..577 n_chars range; the shape is range-free (the cap
+# bin absorbs the tail).
+DRIFT_BIN_CHARS = 50
+DRIFT_MAX_BIN = 11
+DRIFT_BATCH_MOD = 10
+DRIFT_BATCH_REM = 7  # the dd12 "new batch" slice convention
+
+
+def distribution_drift(docs: DataFrame) -> DataFrame:
+    """ct6: two-sample distribution drift between an incoming batch
+    (the dd12 ``doc_id % 10 = 7`` slice) and the base corpus, over the
+    doc-length histogram — the monitor a 100 TB ingestion pipeline
+    runs per crawl snapshot BEFORE letting a batch into training
+    (sudden length-profile shifts flag scraper regressions and
+    boilerplate floods).
+
+    Two drift measures per bin, one exact and one conventional:
+      * ``l1_num_total`` — the L1 histogram distance as an EXACT
+        integer: sum |a*B - b*A| over bins (the common denominator
+        A*B cleared), so the headline gate is integer-deterministic;
+      * ``psi_bin`` / ``psi_total`` — the Population Stability Index
+        with +0.5 per-bin smoothing, doubles computed by the identical
+        expression text on both engines and rounded.
+
+    Scale shape: one map-side bin expression, one (is_batch, bin) hash
+    aggregate with map-side combine (output = 2 x #bins rows), then
+    arithmetic over the tiny histogram — the corpus is touched exactly
+    once, no joins against it.
+    """
+    nbins = DRIFT_MAX_BIN + 1
+    binned = docs.select(
+        F.expr(
+            f"CAST(LEAST(n_chars DIV {DRIFT_BIN_CHARS}, {DRIFT_MAX_BIN}) AS INT)"
+        ).alias("bin"),
+        F.expr(
+            f"doc_id % {DRIFT_BATCH_MOD} = {DRIFT_BATCH_REM}"
+        ).alias("is_batch"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum(F.when(~F.col("is_batch"), 1).otherwise(0))
+        .cast("long")
+        .alias("base_n"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0))
+        .cast("long")
+        .alias("batch_n"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    totals = hist.select(
+        "bin",
+        "base_n",
+        "batch_n",
+        F.sum("base_n").over(w).cast("long").alias("base_total"),
+        F.sum("batch_n").over(w).cast("long").alias("batch_total"),
+    )
+    psi_bin = (
+        f"((CAST(base_n AS DOUBLE) + 0.5) / (CAST(base_total AS DOUBLE)"
+        f" + {0.5 * nbins})"
+        f" - (CAST(batch_n AS DOUBLE) + 0.5) / (CAST(batch_total AS DOUBLE)"
+        f" + {0.5 * nbins}))"
+        f" * ln(((CAST(base_n AS DOUBLE) + 0.5) / (CAST(base_total AS DOUBLE)"
+        f" + {0.5 * nbins}))"
+        f" / ((CAST(batch_n AS DOUBLE) + 0.5) / (CAST(batch_total AS DOUBLE)"
+        f" + {0.5 * nbins})))"
+    )
+    enriched = totals.select(
+        "bin",
+        "base_n",
+        "batch_n",
+        F.expr("ABS(base_n * batch_total - batch_n * base_total)")
+        .cast("long")
+        .alias("l1_num"),
+        F.expr(psi_bin).alias("psi_raw"),
+    )
+    return enriched.select(
+        "bin",
+        "base_n",
+        "batch_n",
+        "l1_num",
+        F.round("psi_raw", 6).alias("psi_bin"),
+        F.sum("l1_num").over(w).cast("long").alias("l1_num_total"),
+        F.round(F.sum("psi_raw").over(w), 6).alias("psi_total"),
+    ).orderBy("bin")

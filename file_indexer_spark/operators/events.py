@@ -779,3 +779,55 @@ def deadline_funnel(
         .cast("long")
         .alias("n_purchased_within"),
     )
+
+
+def linear_attribution(events: DataFrame) -> DataFrame:
+    """e19: linear multi-touch attribution — each purchase's value is
+    split EQUALLY across the user's views inside the attribution
+    window before it (e15's pair set), then rolled up per view. e7
+    answers "which single view gets the credit" (last-touch); e19 is
+    the allocation model a marketing/curation pipeline actually sums:
+    every touch gets value/n, so per-view credit is comparable across
+    campaigns.
+
+    Exactness: purchase value enters as e6 fixed-point
+    (``ROUND(value * 1e6)``) and each share is ``value_e6 DIV
+    n_touches`` — integer division on NONNEGATIVE values, identical in
+    Spark and DuckDB (negative values would floor vs truncate
+    differently; purchase values are amounts, and the operator
+    documents that contract rather than paying a guard on the hot
+    path). Remainder micro-units are deliberately dropped, the same
+    deterministic-truncation choice as dd18's rank quanta.
+
+    Scale shape for 100 TB: the pair join shuffles both filtered event
+    slices once on user_id (e15's plan); the per-purchase touch count
+    is a WINDOW over purchase_id (one exchange, no join-back); the
+    final per-view rollup is a hash aggregate with map-side combine.
+    Skewed users salt exactly as e1b does.
+    """
+    from file_indexer_spark.streaming.joins import view_purchase_pairs
+
+    purchase_value = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("value_e6"),
+    )
+    pairs = view_purchase_pairs(events).join(purchase_value, "purchase_id")
+    w = Window.partitionBy("purchase_id")
+    shares = pairs.select(
+        "view_id",
+        "user_id",
+        F.expr("value_e6").alias("value_e6"),
+        F.count("*").over(w).alias("n_touches"),
+    ).select(
+        "view_id",
+        "user_id",
+        F.expr("value_e6 DIV n_touches").alias("share_e6"),
+    )
+    return (
+        shares.groupBy("view_id", "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("share_e6").cast("long").alias("attributed_e6"),
+        )
+        .orderBy("view_id")
+    )

@@ -659,3 +659,76 @@ def bigram_surprisal(docs: DataFrame, shift: int = SURPRISAL_SHIFT) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# BM25 parameters (Robertson/Sparck Jones defaults) and the fixed
+# benchmark query. The idf is the Lucene-style ln(1 + (N-df+0.5)/(df+0.5))
+# form, which stays positive when a term appears in more than half the
+# corpus — true for EVERY term of this synthetic vocabulary, and common
+# for real stopword-adjacent query terms.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "join", "window")
+BM25_TOP_K = 10
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """t15: BM25 ranked retrieval — the lexical scorer every
+    retrieval-augmented pipeline runs beside dense ANN (sim1), and the
+    missing rank-quality counterpart to t12's raw TF-IDF weights.
+
+    Scale shape for 100 TB:
+      * the token stream is consumed by TWO hash aggregates with
+        map-side combine: per-doc length (O(docs) output) and per
+        (doc, term) tf FILTERED TO THE QUERY TERMS before the shuffle
+        (O(docs x |q|) worst case, usually far sparser);
+      * df and the corpus scalars (N, total tokens) are broadcast
+        one-row/|q|-row sides — no full-corpus join anywhere;
+      * scoring is a map-side double expression; the final top-k is
+        TakeOrderedAndProject (per-partition heads, no global sort).
+
+    Determinism: the score expression is the IDENTICAL SQL text on
+    both engines (same operation order), inputs are exact integers,
+    and the output rounds to 6 decimals with a (score, doc_id)
+    tie-break — the sim1 float-contract.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_tokens"),
+    )
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    score_term = (
+        f"ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+        f" * (CAST(tf AS DOUBLE) * {BM25_K1 + 1}) / (CAST(tf AS DOUBLE)"
+        f" + {BM25_K1} * ({1 - BM25_B} + ({BM25_B} * CAST(dl AS DOUBLE)"
+        f" * CAST(n_docs AS DOUBLE)) / CAST(tot_tokens AS DOUBLE)))"
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(scalars))
+        .select("doc_id", F.expr(score_term).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("rank")

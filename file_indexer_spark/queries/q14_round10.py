@@ -91,3 +91,164 @@ def dd18_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = _table(spark, sf_dir, "documents")
     return gr.pagerank(docs, dd.minhash_lsh_pairs(docs))
+
+
+# -------------------------------------------------------------- e19
+
+from file_indexer_spark.operators import events as ev  # noqa: E402
+from file_indexer_spark.registry_core import _events  # noqa: E402
+from file_indexer_spark.streaming.joins import (  # noqa: E402
+    ATTRIBUTION_GAP_MINUTES as _E19_GAP_MIN,
+)
+
+
+@register(
+    "e19_linear_attribution",
+    f"""
+    -- Linear multi-touch attribution: each purchase's value (e6
+    -- fixed-point) split equally across the user's views inside the
+    -- {_E19_GAP_MIN}-minute window before it, rolled up per view.
+    -- Integer DIV on nonnegative amounts — exact on both engines;
+    -- remainder micro-units deliberately dropped.
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+               p.user_id,
+               CAST(ROUND(p.value * 1000000) AS BIGINT) AS value_e6
+        FROM events p
+        JOIN events v
+          ON v.user_id = p.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL {_E19_GAP_MIN} MINUTE
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'),
+    shares AS (
+        SELECT view_id, user_id,
+               value_e6 // COUNT(*) OVER (PARTITION BY purchase_id)
+                   AS share_e6
+        FROM pairs)
+    SELECT view_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(share_e6) AS BIGINT) AS attributed_e6
+    FROM shares GROUP BY view_id, user_id ORDER BY view_id
+    """,
+)
+def e19_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: value ALLOCATION over the e15 pair set — pair join (one
+    user_id shuffle per side), per-purchase touch count as a window,
+    per-view hash-aggregate rollup."""
+    tune_session(spark)
+    return ev.linear_attribution(_events(spark, sf_dir))
+
+
+# -------------------------------------------------------------- t15
+
+from file_indexer_spark.operators import text as tx  # noqa: E402
+
+_T15_TERMS = ", ".join(f"'{t}'" for t in tx.BM25_QUERY_TERMS)
+
+
+@register(
+    "t15_bm25_topk",
+    f"""
+    -- BM25 top-{tx.BM25_TOP_K} for the fixed query ({_T15_TERMS}):
+    -- Lucene-form idf ln(1 + (N-df+0.5)/(df+0.5)), k1={tx.BM25_K1},
+    -- b={tx.BM25_B}. The score expression is the IDENTICAL text the
+    -- Spark side evaluates — same operation order, exact integer
+    -- inputs, 6-decimal output rounding (the sim1 float contract).
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    scalars AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(dl) AS BIGINT) AS tot_tokens FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks WHERE term IN ({_T15_TERMS})
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * {tx.BM25_K1 + 1})
+                   / (CAST(tf AS DOUBLE) + {tx.BM25_K1}
+                      * ({1 - tx.BM25_B} + ({tx.BM25_B} * CAST(dl AS DOUBLE)
+                         * CAST(n_docs AS DOUBLE))
+                         / CAST(tot_tokens AS DOUBLE)))) AS score
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN scalars
+        GROUP BY tf.doc_id)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rank,
+           ROUND(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT {tx.BM25_TOP_K}
+    """,
+)
+def t15_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: BM25 ranked retrieval — two map-side-combined aggregates
+    over the token stream (tf filtered to the query terms BEFORE the
+    shuffle), broadcast df/scalars, TakeOrderedAndProject top-k."""
+    tune_session(spark)
+    return tx.bm25_topk(_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- ct6
+
+from file_indexer_spark.operators import curation as cu  # noqa: E402
+
+_CT6_NBINS = cu.DRIFT_MAX_BIN + 1
+_CT6_PA = (
+    f"((CAST(base_n AS DOUBLE) + 0.5) / (CAST(base_total AS DOUBLE)"
+    f" + {0.5 * _CT6_NBINS}))"
+)
+_CT6_PB = (
+    f"((CAST(batch_n AS DOUBLE) + 0.5) / (CAST(batch_total AS DOUBLE)"
+    f" + {0.5 * _CT6_NBINS}))"
+)
+
+
+@register(
+    "ct6_distribution_drift",
+    f"""
+    -- Two-sample drift between the dd12 batch slice (doc_id % 10 = 7)
+    -- and the base corpus over the doc-length histogram. L1 distance
+    -- as an exact integer (common denominator cleared); PSI with +0.5
+    -- smoothing as the rounded-double companion.
+    WITH binned AS (
+        SELECT CAST(LEAST(n_chars // {cu.DRIFT_BIN_CHARS},
+                          {cu.DRIFT_MAX_BIN}) AS INTEGER) AS bin,
+               doc_id % {cu.DRIFT_BATCH_MOD} = {cu.DRIFT_BATCH_REM} AS is_batch
+        FROM documents),
+    hist AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT)
+                   AS base_n,
+               CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+                   AS batch_n
+        FROM binned GROUP BY bin),
+    totals AS (
+        SELECT bin, base_n, batch_n,
+               CAST(SUM(base_n) OVER () AS BIGINT) AS base_total,
+               CAST(SUM(batch_n) OVER () AS BIGINT) AS batch_total
+        FROM hist),
+    enriched AS (
+        SELECT bin, base_n, batch_n,
+               CAST(ABS(base_n * batch_total - batch_n * base_total)
+                    AS BIGINT) AS l1_num,
+               ({_CT6_PA} - {_CT6_PB}) * ln({_CT6_PA} / {_CT6_PB}) AS psi_raw
+        FROM totals)
+    SELECT bin, base_n, batch_n, l1_num,
+           ROUND(psi_raw, 6) AS psi_bin,
+           CAST(SUM(l1_num) OVER () AS BIGINT) AS l1_num_total,
+           ROUND(SUM(psi_raw) OVER (), 6) AS psi_total
+    FROM enriched ORDER BY bin
+    """,
+)
+def ct6_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CT6: corpus-vs-batch length-profile drift — one map-side bin
+    expression, one hash aggregate (2 x #bins output), arithmetic over
+    the tiny histogram. The corpus is scanned exactly once."""
+    tune_session(spark)
+    return cu.distribution_drift(_table(spark, sf_dir, "documents"))

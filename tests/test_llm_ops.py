@@ -1572,3 +1572,82 @@ def test_bin_packing_no_straddle_invariants(spark, sf_smoke):
         (F.col("lo") != 0) | (F.col("hi") != F.col("n_bins") - 1)
     ).count()
     assert bad == 0
+
+
+def test_pagerank_star_center_outranks_leaves(spark):
+    """dd18: on a star graph the hub accumulates rank from every leaf;
+    isolated docs hold exactly the teleport base."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import graph as gr
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # star: 0-1, 0-2, 0-3, 0-4; isolated: 5, 6
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "doc_a long, doc_b long"
+    ).withColumn("jaccard", F.lit(1.0))
+    out = {r["doc_id"]: r for r in gr.pagerank(docs, pairs).collect()}
+    assert out[0]["deg"] == 4
+    hub, leaf = out[0]["rank_e6"], out[1]["rank_e6"]
+    assert hub > leaf > 0
+    # leaves are symmetric — identical ranks
+    assert len({out[i]["rank_e6"] for i in (1, 2, 3, 4)}) == 1
+    for i in (5, 6):
+        assert out[i]["deg"] == 0 and out[i]["rank_e6"] == gr.BASE_E6
+
+
+def test_linear_attribution_splits_value_equally(spark):
+    """e19: a purchase's value splits across in-window views via
+    integer DIV; out-of-window views get nothing."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import events as evo
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:30:00", 1, "view", 0.0),
+        (3, "2024-01-01 08:00:00", 1, "view", 0.0),  # outside 60 min
+        (4, "2024-01-01 11:00:00", 1, "purchase", 10.01),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["view_id"]: r for r in evo.linear_attribution(ev).collect()}
+    assert set(out) == {1, 2}
+    # 10.01e6 DIV 2 = 5_005_000 each, remainder dropped deterministically
+    assert out[1]["attributed_e6"] == out[2]["attributed_e6"] == 5_005_000
+    assert out[1]["n_conversions"] == 1
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    """t15: a document dense in the query terms outranks a long
+    digression containing them once; a doc without them never scores."""
+    from file_indexer_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark join window"),
+            (2, "spark " + "filler " * 50),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tx.bm25_topk(docs, k=3).collect()
+    assert [r["doc_id"] for r in rows][0] == 1
+    assert all(r["doc_id"] != 3 for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_distribution_drift_zero_when_identical(spark):
+    """ct6: a batch slice with the same length profile as the base
+    yields zero exact-L1 distance (PSI stays at its smoothing floor)."""
+    from file_indexer_spark.operators import curation as cu
+
+    # ids 0..39 give each length decade exactly one batch doc
+    # ({7,17,27,37}) and nine base docs, so per-bin proportions are
+    # identical (1/4 of each side per bin)
+    docs = [(i, (60, 110, 160, 210)[i // 10]) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    out = cu.distribution_drift(df).collect()
+    assert all(r["l1_num"] == 0 for r in out)
+    assert out[0]["l1_num_total"] == 0
