@@ -613,3 +613,40 @@ def bin_packing(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         .applyInPandas(pack, "doc_id long, packer string, n_tokens long, bin_id long")
         .orderBy("packer", "doc_id")
     )
+
+
+def source_interleave(docs: DataFrame, seed: int = 13) -> DataFrame:
+    """sp13: fair round-robin interleaving across sources — the epoch
+    composition rule that prevents SOURCE CLUMPING in training order
+    (a run of consecutive same-source batches skews gradient mixture;
+    sp6 randomizes globally but guarantees nothing per window).
+
+    Each source's docs get a content-stable pseudo-random order
+    (``md5(seed:doc_id)`` — sp6's key), and round r of the epoch reads
+    the r-th doc OF EVERY SOURCE that still has one, in source order:
+    every window of n_sources consecutive docs contains each live
+    source exactly once. Exhausted sources drop out; the tail
+    degrades gracefully to the surviving sources.
+
+    Scale shape: one shuffle on source for the per-source ranks
+    (parallel across sources; a single giant source shards exactly as
+    sp6's ranks do), one O(sources)-wide window per round for the
+    slot numbers — never a global row_number over the corpus. The
+    (round, slot) pair IS the global read order, so no global rank
+    column is needed.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    w_src = Window.partitionBy("source").orderBy("order_key", "doc_id")
+    ranked = docs.select("doc_id", "source", key.alias("order_key")).withColumn(
+        "round", F.row_number().over(w_src).cast("long")
+    )
+    w_round = Window.partitionBy("round").orderBy("source")
+    return (
+        ranked.withColumn("slot", F.row_number().over(w_round).cast("long"))
+        .select("doc_id", "source", "round", "slot")
+        .orderBy("round", "slot")
+    )

@@ -1280,3 +1280,122 @@ def prototype_sample(embeddings: DataFrame, quota: int = PROTO_QUOTA) -> DataFra
         )
         .orderBy("centroid_id", "proto_rank")
     )
+
+
+# sim16: MMR re-ranking parameters. LAMBDA trades relevance against
+# diversity; CANDIDATES bounds the per-query working set the greedy
+# pass touches (the serving contract: re-rank NEVER sees the corpus).
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 20
+MMR_SELECT = 5
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    lam: float = MMR_LAMBDA,
+    n_candidates: int = MMR_CANDIDATES,
+    n_select: int = MMR_SELECT,
+) -> DataFrame:
+    """sim16: Maximal Marginal Relevance — greedy diversified top-k
+    over a BOUNDED candidate set: pick argmax of
+    ``lam * rel(c) - (1 - lam) * max_sim(c, selected)``, ``n_select``
+    times. The de-duplicating re-rank every retrieval pipeline runs
+    between ANN and the consumer (near-identical neighbors waste
+    context slots).
+
+    Scale shape: candidates come from the sim1/sim2 path (broadcast
+    queries, corpus scanned once); candidate PAIRWISE sims are
+    O(queries x k^2) — corpus-independent; the greedy recurrence runs
+    per query in one Arrow batch (``applyInPandas`` grouped on
+    query_id, bounded k^2 rows per group), parallel ACROSS queries.
+    The corpus is never joined against itself and the greedy never
+    leaves the executor.
+
+    Determinism: rel and pairwise sims are the strict left-to-right
+    ``_dot`` folds (bit-identical across engines); the greedy compares
+    doubles with a (mmr DESC, candidate ASC) tie-break, exactly as the
+    oracle's unrolled per-step ``row_number`` does.
+    """
+    import pandas as pd
+
+    corpus = _with_norm(_spread(embeddings)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rel", _cosine("q_emb", "q_norm", "n_emb", "n_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_candidates)
+        .select("query_id", "neighbor_id", "rel", "n_emb", "n_norm")
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_a"),
+        F.col("rel").alias("rel_a"),
+        F.col("n_emb").alias("emb_a"),
+        F.col("n_norm").alias("norm_a"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_b"),
+        F.col("n_emb").alias("emb_b"),
+        F.col("n_norm").alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("cand_a") != F.col("cand_b"))
+        .select(
+            "query_id",
+            "cand_a",
+            "rel_a",
+            "cand_b",
+            _cosine("emb_a", "norm_a", "emb_b", "norm_b").alias("sim"),
+        )
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {}
+        sim = {}
+        for ca, ra, cb, s in zip(
+            pdf["cand_a"], pdf["rel_a"], pdf["cand_b"], pdf["sim"]
+        ):
+            rel[int(ca)] = float(ra)
+            sim[(int(ca), int(cb))] = float(s)
+        selected: list[int] = []
+        out_rows = []
+        cands = sorted(rel)
+        for step in range(1, min(n_select, len(cands)) + 1):
+            best_c, best_mmr = None, None
+            for c in cands:
+                if c in selected:
+                    continue
+                ms = max((sim[(c, s)] for s in selected), default=0.0)
+                mmr = lam * rel[c] - (1.0 - lam) * ms
+                if best_c is None or mmr > best_mmr or (
+                    mmr == best_mmr and c < best_c
+                ):
+                    best_c, best_mmr = c, mmr
+            selected.append(best_c)
+            out_rows.append((qid, best_c, step, best_mmr))
+        return pd.DataFrame(
+            out_rows, columns=["query_id", "neighbor_id", "rank", "mmr"]
+        )
+
+    picked = pairs.groupBy("query_id").applyInPandas(
+        _greedy, "query_id long, neighbor_id long, rank int, mmr double"
+    )
+    return picked.select(
+        "query_id", "neighbor_id", "rank", F.round("mmr", 6).alias("mmr")
+    ).orderBy("query_id", "rank")

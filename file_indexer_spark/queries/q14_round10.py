@@ -252,3 +252,126 @@ def ct6_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny histogram. The corpus is scanned exactly once."""
     tune_session(spark)
     return cu.distribution_drift(_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- sim16
+
+from file_indexer_spark.operators import similarity as sim  # noqa: E402
+from file_indexer_spark.queries.q04_dedup_sim import (  # noqa: E402
+    _DUCK_DOT,
+    _DUCK_NORMS,
+)
+
+# The greedy recurrence unrolled: one CTE pair (stepK, selK) per pick.
+# Constants are rendered from the operator module so Spark and SQL
+# compute the SAME float literals (1.0 - 0.7 is 0.30000000000000004 in
+# both engines when written identically).
+_MMR_EXPR = f"{sim.MMR_LAMBDA} * t.rel - (1.0 - {sim.MMR_LAMBDA}) * t.maxsim"
+
+
+def _mmr_step(prev: str, k: int) -> str:
+    return f"""
+    step{k} AS (
+        SELECT query_id, cand, {k} AS rank, mmr FROM (
+            SELECT t.query_id, t.cand, {_MMR_EXPR} AS mmr,
+                   row_number() OVER (PARTITION BY t.query_id
+                       ORDER BY ({_MMR_EXPR}) DESC, t.cand) AS rn
+            FROM (
+                SELECT p.query_id, p.cand_a AS cand, p.rel_a AS rel,
+                       MAX(p.sim) AS maxsim
+                FROM pairsim p
+                JOIN {prev} s ON s.query_id = p.query_id AND s.cand = p.cand_b
+                WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                                  WHERE s2.query_id = p.query_id
+                                    AND s2.cand = p.cand_a)
+                GROUP BY p.query_id, p.cand_a, p.rel_a) t)
+        WHERE rn = 1),
+    sel{k} AS (SELECT query_id, cand, rank, mmr FROM {prev}
+               UNION ALL
+               SELECT query_id, cand, rank, mmr FROM step{k})"""
+
+
+_MMR_STEPS = ",".join(
+    _mmr_step(f"sel{k - 1}", k) for k in range(2, sim.MMR_SELECT + 1)
+)
+
+_SIM16_SQL = f"""
+    -- MMR diversified top-{sim.MMR_SELECT} over the top-{sim.MMR_CANDIDATES}
+    -- cosine candidates: greedy argmax of lam*rel - (1-lam)*max_sim_to_
+    -- selected, unrolled one CTE per pick; (mmr DESC, cand) tie-break.
+    WITH c AS ({_DUCK_NORMS}),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+          FROM c WHERE vec_id < {sim.N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS cand,
+               {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")}
+                   / (q.q_norm * c.norm) AS rel,
+               c.embedding AS emb, c.norm AS nrm
+        FROM q, c WHERE c.vec_id != q.query_id),
+    cand AS (
+        SELECT query_id, cand, rel, emb, nrm FROM (
+            SELECT query_id, cand, rel, emb, nrm,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, cand) AS rn
+            FROM scored) WHERE rn <= {sim.MMR_CANDIDATES}),
+    pairsim AS (
+        SELECT a.query_id, a.cand AS cand_a, a.rel AS rel_a, b.cand AS cand_b,
+               {_DUCK_DOT.format(a="a.emb", b="b.emb")} / (a.nrm * b.nrm) AS sim
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.cand != b.cand),
+    sel1 AS (
+        SELECT query_id, cand, 1 AS rank,
+               {sim.MMR_LAMBDA} * rel - (1.0 - {sim.MMR_LAMBDA}) * 0.0 AS mmr
+        FROM (SELECT query_id, cand, rel,
+                     row_number() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, cand) AS rn
+              FROM cand) WHERE rn = 1),
+    {_MMR_STEPS}
+    SELECT query_id, cand AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(mmr, 6) AS mmr
+    FROM sel{sim.MMR_SELECT}
+    ORDER BY query_id, rank
+    """
+
+
+@register("sim16_mmr_rerank", _SIM16_SQL)
+def sim16_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM16: MMR diversified re-rank — sim1 candidates (broadcast
+    queries, one corpus scan), O(queries x k^2) pairwise sims, greedy
+    pick per query inside one Arrow batch, parallel across queries."""
+    tune_session(spark)
+    return sim.mmr_rerank(_table(spark, sf_dir, "embeddings"))
+
+
+# -------------------------------------------------------------- sp13
+
+from file_indexer_spark.operators import sampling as sp  # noqa: E402
+
+
+@register(
+    "sp13_source_interleave",
+    """
+    -- Fair round-robin source interleaving: round r reads the r-th
+    -- doc (by the content-stable md5 order) of every source that
+    -- still has one, in source order — every n_sources-wide window
+    -- of the read order contains each live source exactly once.
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5('13:' || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS BIGINT) AS round
+        FROM documents)
+    SELECT doc_id, source, round,
+           CAST(row_number() OVER (PARTITION BY round ORDER BY source)
+                AS BIGINT) AS slot
+    FROM ranked
+    ORDER BY round, slot
+    """,
+)
+def sp13_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP13: source-clump-free epoch order — per-source ranks (one
+    shuffle on source), O(sources)-wide round windows; (round, slot)
+    is the global read order with no corpus-wide row_number."""
+    tune_session(spark)
+    return sp.source_interleave(_table(spark, sf_dir, "documents"))

@@ -1651,3 +1651,50 @@ def test_distribution_drift_zero_when_identical(spark):
     out = cu.distribution_drift(df).collect()
     assert all(r["l1_num"] == 0 for r in out)
     assert out[0]["l1_num_total"] == 0
+
+
+def test_mmr_diversifies_against_redundant_top(spark):
+    """sim16: two near-identical top candidates can't both make the
+    MMR list ahead of a distinct third; ranks are 1..n_select."""
+    import math
+
+    from file_indexer_spark.operators import similarity as sim
+
+    # query 0 at e0; candidates: 100/101 identical (dup pair), 102
+    # orthogonal-ish but relevant, 103.. filler
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 62
+
+    rows = [
+        (0, vec(0.0), 0),
+        (100, vec(0.12), 1),
+        (101, vec(0.12), 1),   # exact duplicate of 100
+        (102, vec(1.5), 1),    # near-orthogonal, weakly relevant
+        (103, vec(1.1), 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # diversity-heavy lambda: the exact duplicate's sim=1.0 penalty
+    # (-0.7) must outweigh its relevance edge
+    out = sim.mmr_rerank(emb, lam=0.3, n_select=3).collect()
+    got = [r["neighbor_id"] for r in out if r["query_id"] == 0]
+    assert got[0] == 100            # most relevant, smaller id on the tie
+    assert got[1] == 102            # the duplicate 101 is pushed below a diverse pick
+    assert [r["rank"] for r in out if r["query_id"] == 0] == [1, 2, 3]
+
+
+def test_source_interleave_rounds_are_fair(spark):
+    """sp13: every full round contains each live source exactly once;
+    exhausted sources drop out of later rounds."""
+    from file_indexer_spark.operators import sampling as sp
+
+    rows = [(i, "srcA") for i in range(3)] + [(i + 10, "srcB") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sp.source_interleave(docs).collect()
+    by_round = {}
+    for r in out:
+        by_round.setdefault(r["round"], []).append(r["source"])
+    assert sorted(by_round[1]) == ["srcA", "srcB"]
+    assert sorted(by_round[2]) == ["srcA", "srcB"]
+    assert by_round[3] == ["srcA"]  # srcB exhausted
+    slots = [(r["round"], r["slot"]) for r in out]
+    assert len(set(slots)) == len(slots)

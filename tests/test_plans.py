@@ -130,6 +130,14 @@ _NESTED_LOOP_OK = {
     # sp11 is sim2's broadcast-centroid assignment cross (corpus x
     # bounded centroid frame); the prototype rank adds windows only.
     "sp11_prototype_sample",
+    # sim16's candidate stage IS sim1's bounded broadcast scoring
+    # cross (N_QUERIES rows x corpus); the pairwise-sim and greedy
+    # stages join on query_id (real hash joins over k^2-bounded rows).
+    "sim16_mmr_rerank",
+    # t15 crosses the (doc, term) tf rows with the broadcast 1-row
+    # corpus scalars (N, total tokens) — t10/t12/t14's scalar-subquery
+    # shape; df and dl attach via real equi-joins.
+    "t15_bm25_topk",
 }
 
 
