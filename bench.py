@@ -194,6 +194,19 @@ LLM_EXTENSION = [
     "e18_deadline_funnel",
     "pp2_neardup_split_pipeline",
     "sp12_bin_packing",
+    # round 10: PageRank centrality (dd3-machinery-bound + 5 bounded
+    # iterations), value attribution, BM25 retrieval, drift monitor,
+    # MMR re-rank (sim1-candidate-bound), source interleave
+    "dd18_pagerank_centrality",
+    "e19_linear_attribution",
+    "t15_bm25_topk",
+    "ct6_distribution_drift",
+    "sim16_mmr_rerank",
+    "sp13_source_interleave",
+    # dd19 rides dd12/dd13's materialize-probe-refresh loop plus the
+    # affected-component vertex rerun (st16 is streaming -> excluded
+    # like st1-st15)
+    "dd19_incremental_pagerank",
 ]
 
 
@@ -530,6 +543,23 @@ SCALE_QUERIES = [
     # ints; per-row Python inside Arrow batches — N_PACKERS is the
     # parallelism knob)
     "sp12_bin_packing",
+    # round 10. dd18 rides dd3's machinery (10x only, like dd15/pp2);
+    # its own iterations are pair-subgraph-bounded. e19 is e15's
+    # interval join + two narrow aggregates. t15: token stream grows
+    # linearly, tf pre-filtered to 3 terms, df/scalars broadcast.
+    # ct6: one corpus scan into a 12-bin histogram. sim16: sim1's
+    # candidate pass (broadcast queries x linear corpus) + corpus-
+    # independent k^2 re-rank. sp13: one source shuffle + O(sources)
+    # round windows.
+    "dd18_pagerank_centrality",
+    "e19_linear_attribution",
+    "t15_bm25_topk",
+    "ct6_distribution_drift",
+    "sim16_mmr_rerank",
+    "sp13_source_interleave",
+    # dd19: dd13's loop + affected-component rerun — 10x only, same
+    # dd3-machinery reason as dd13/dd15/pp2
+    "dd19_incremental_pagerank",
 ]
 
 

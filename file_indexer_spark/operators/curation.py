@@ -616,16 +616,27 @@ def distribution_drift(docs: DataFrame) -> DataFrame:
     arithmetic over the tiny histogram — the corpus is touched exactly
     once, no joins against it.
     """
-    nbins = DRIFT_MAX_BIN + 1
-    binned = docs.select(
-        F.expr(
+    return drift_from_histogram(drift_histogram(docs))
+
+
+def drift_bin_columns() -> dict:
+    """The (bin, is_batch) projection ct6 and its streaming rendition
+    (st16) share — THE single binning definition, the _QUALITY_CTE
+    pattern."""
+    return {
+        "bin": F.expr(
             f"CAST(LEAST(n_chars DIV {DRIFT_BIN_CHARS}, {DRIFT_MAX_BIN}) AS INT)"
-        ).alias("bin"),
-        F.expr(
-            f"doc_id % {DRIFT_BATCH_MOD} = {DRIFT_BATCH_REM}"
-        ).alias("is_batch"),
-    )
-    hist = binned.groupBy("bin").agg(
+        ),
+        "is_batch": F.expr(f"doc_id % {DRIFT_BATCH_MOD} = {DRIFT_BATCH_REM}"),
+    }
+
+
+def drift_histogram(docs: DataFrame) -> DataFrame:
+    """ct6's aggregation front: one (bin) hash aggregate with map-side
+    combine over the binned projection — output 2 x #bins counters."""
+    cols = drift_bin_columns()
+    binned = docs.select(cols["bin"].alias("bin"), cols["is_batch"].alias("is_batch"))
+    return binned.groupBy("bin").agg(
         F.sum(F.when(~F.col("is_batch"), 1).otherwise(0))
         .cast("long")
         .alias("base_n"),
@@ -633,6 +644,14 @@ def distribution_drift(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("batch_n"),
     )
+
+
+def drift_from_histogram(hist: DataFrame) -> DataFrame:
+    """ct6's arithmetic back half over a (bin, base_n, batch_n)
+    histogram — shared verbatim by the streaming rendition, whose
+    histogram comes from stateful update-mode counts instead of one
+    batch aggregate."""
+    nbins = DRIFT_MAX_BIN + 1
     w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     totals = hist.select(
         "bin",

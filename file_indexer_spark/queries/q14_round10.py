@@ -375,3 +375,79 @@ def sp13_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the global read order with no corpus-wide row_number."""
     tune_session(spark)
     return sp.source_interleave(_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- st16
+
+from file_indexer_spark.registry_core import (  # noqa: E402
+    _land_arrivals,
+    _stream_workdir,
+)
+
+
+@register("st16_streaming_drift", ORACLES["ct6_distribution_drift"])
+def st16_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16: ct6's drift monitor AT INGESTION — the length histogram
+    is O(bins) streaming state folded incrementally across document
+    arrivals (update mode re-emits touched bins only); the drift
+    arithmetic runs over the drained final state. Shares ct6's oracle
+    VERBATIM, so the hash gate proves the stream-maintained histogram
+    equals the batch recompute."""
+    import os
+
+    from file_indexer_spark.streaming import curation as scu
+    from file_indexer_spark.streaming.windows import (
+        last_emission,
+        run_update_mode_to_parquet,
+    )
+
+    tune_session(spark)
+    base, tag = _stream_workdir("fis_st16", sf_dir)
+    src, out = os.path.join(base, "src"), os.path.join(base, "log")
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    _land_arrivals(
+        src,
+        [docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)],
+    )
+    stream = scu.read_drift_docs_stream(spark, src, max_files_per_trigger=1)
+    run_update_mode_to_parquet(scu.drift_histogram_stream(stream), out)
+    hist = last_emission(spark, out, ["bin"])
+    return cu.drift_from_histogram(hist)
+
+
+# -------------------------------------------------------------- dd19
+
+
+@register("dd19_incremental_pagerank", _DD18_SQL)
+def dd19_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD19: the full incremental CENTRALITY maintenance loop —
+    materialize the base corpus's LSH index, dd7 assignment, dd3 pair
+    list, and dd18 rank table once; then for the ingest batch: probe
+    the index (dd12), refresh the touched clusters (dd13), and re-run
+    the vertex program over the AFFECTED COMPONENTS only. Output is
+    the whole corpus's rank table, provably identical to dd18
+    recomputed from scratch — gated by dd18's oracle VERBATIM."""
+    import os
+
+    docs = _table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+    workdir, _ = _stream_workdir("fis_dd19", sf_dir)
+    base_pairs = dd.minhash_lsh_pairs(base)
+    stored = dict(dd.lsh_index_tables(base))
+    stored["assignments"] = dd.dedup_clusters(base, base_pairs)
+    stored["pairs"] = base_pairs
+    stored["ranks"] = gr.pagerank(base, base_pairs)
+    mats: dict[str, DataFrame] = {}
+    for name, df in stored.items():
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
+        mats[name] = spark.read.parquet(path)
+    new_pairs = dd.incremental_lsh_pairs(mats, new)
+    union_assign = dd.incremental_cluster_refresh(
+        mats["assignments"], new_pairs, new
+    )
+    return gr.pagerank_refresh(
+        mats["ranks"], mats["pairs"], union_assign, new_pairs, new
+    )

@@ -158,3 +158,51 @@ def curation_accounting(raw_docs: DataFrame, decisions: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- st16: the drift monitor AT INGESTION ------------------------------
+
+DRIFT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def read_drift_docs_stream(
+    spark: SparkSession, src: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(DRIFT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(src)
+    )
+
+
+def drift_histogram_stream(stream: DataFrame) -> DataFrame:
+    """st16: ct6's length histogram maintained as STREAMING STATE —
+    the per-(bin) base/batch counters grow incrementally as document
+    batches land, so the drift monitor reads O(bins) state instead of
+    rescanning the corpus per snapshot. State is O(bins) forever (the
+    bin domain is fixed); update mode re-emits only the bins a
+    micro-batch touched. The binning projection is
+    ``curation.drift_bin_columns`` — THE shared definition, so stream
+    and batch cannot diverge; the drift arithmetic runs over the
+    drained final state via ``curation.drift_from_histogram``.
+    """
+    from file_indexer_spark.operators import curation as cu
+
+    cols = cu.drift_bin_columns()
+    binned = stream.select(
+        cols["bin"].alias("bin"), cols["is_batch"].alias("is_batch")
+    )
+    return binned.groupBy("bin").agg(
+        F.sum(F.when(~F.col("is_batch"), 1).otherwise(0))
+        .cast("long")
+        .alias("base_n"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0))
+        .cast("long")
+        .alias("batch_n"),
+    )

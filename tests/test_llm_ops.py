@@ -1698,3 +1698,38 @@ def test_source_interleave_rounds_are_fair(spark):
     assert by_round[3] == ["srcA"]  # srcB exhausted
     slots = [(r["round"], r["slot"]) for r in out]
     assert len(set(slots)) == len(slots)
+
+
+def test_pagerank_refresh_equals_scratch_on_planted_graph(spark):
+    """dd19's refresh math: recompute only the affected component,
+    pass untouched components and isolated docs through — equal to
+    from-scratch PageRank over the union graph."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import dedup as dd
+    from file_indexer_spark.operators import graph as gr
+
+    base = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    new = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    union_docs = base.unionByName(new)
+    base_pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    # batch connects 10 into the {0,1,2} component; 11 stays isolated;
+    # {3,4} and 5 are untouched
+    new_pairs = spark.createDataFrame([(2, 10)], "doc_a long, doc_b long")
+    union_pairs = base_pairs.unionByName(new_pairs)
+
+    stored_ranks = gr.pagerank(base, base_pairs)
+    union_assign = dd.incremental_cluster_refresh(
+        dd.dedup_clusters(base, base_pairs), new_pairs, new
+    )
+    refreshed = gr.pagerank_refresh(
+        stored_ranks, base_pairs, union_assign, new_pairs, new
+    )
+    scratch = gr.pagerank(union_docs, union_pairs)
+    got = {r["doc_id"]: (r["deg"], r["rank_e6"]) for r in refreshed.collect()}
+    want = {r["doc_id"]: (r["deg"], r["rank_e6"]) for r in scratch.collect()}
+    assert got == want
+    assert got[11] == (0, gr.BASE_E6)          # isolated new doc
+    assert got[3] == want[3] and got[10][0] == 1

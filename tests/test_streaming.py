@@ -897,3 +897,35 @@ def test_streaming_funnel_rejects_out_of_order_batches(spark, tmp_path):
     stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
     with pytest.raises(Exception, match="chronological-arrival contract"):
         sw.run_update_mode_to_parquet(ss.funnel_stream(stream), out)
+
+
+def test_streaming_drift_folds_across_batches(spark, tmp_path):
+    """st16: per-bin counters accumulate across micro-batches — a bin
+    fed from both arrivals ends at the batch-computed total, and the
+    drift arithmetic over the drained state equals ct6 on the union."""
+    from file_indexer_spark.operators import curation as cu
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming import curation as scu
+
+    b1 = spark.createDataFrame(
+        [(0, 60), (1, 60), (7, 110)], "doc_id long, n_chars long"
+    )
+    b2 = spark.createDataFrame(
+        [(2, 60), (17, 110), (3, 110)], "doc_id long, n_chars long"
+    )
+    src, out = str(tmp_path / "st16_src"), str(tmp_path / "st16_log")
+    _land_arrivals(src, [b1, b2])
+    stream = scu.read_drift_docs_stream(spark, src, max_files_per_trigger=1)
+    sw.run_update_mode_to_parquet(scu.drift_histogram_stream(stream), out)
+    hist = sw.last_emission(spark, out, ["bin"])
+    got = {
+        (r["bin"], r["base_n"], r["batch_n"], r["l1_num"])
+        for r in cu.drift_from_histogram(hist).collect()
+    }
+    want = {
+        (r["bin"], r["base_n"], r["batch_n"], r["l1_num"])
+        for r in cu.distribution_drift(b1.unionByName(b2)).collect()
+    }
+    assert got == want
+    # bin 1 (chars 60): 3 base docs, 0 batch; bin 2 (110): 1 base, 2 batch
+    assert (1, 3, 0, 6) in got
