@@ -37,16 +37,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # window verifies them; the already-verified ones keep local regression
 # coverage.
 _DRIVER_PRIORITY = [
-    # round 9: this round's additions lead (never driver-checked),
+    # round 10: this round's additions lead (never driver-checked),
     # then the ROTATION set — the oldest-driver-checked queries
     # (standing rule, verdict r8 #3: oldest-check-first for spare
-    # slots). The ten headline rotations verified r02/r03 come first,
-    # then the r2–r4-era block that fills the remaining window slots
-    # (their last driver rows predate every later era's). The recently
-    # re-checked r6–r8 windows sit BEHIND the window boundary — their
-    # green rows are at most two rounds old and the local
-    # test_oracle_diff gate covers all queries every run.
-    # round 9 session 3 (never driver-checked — lead the window):
+    # slots). The r9 window re-verified the r9 additions plus the ten
+    # headline rotations and dd7/w2/ct1-ct3; the oldest rows now are
+    # the r2–r4-era block below it (last checked r02-r04) and the
+    # r1-era search surfaces (p2/p3/p5/p6/p7, last checked r01-r03).
+    # The local test_oracle_diff gate covers all queries every run.
+    # round 10 additions (never driver-checked — lead the window):
+    "dd18_pagerank_centrality", "dd19_incremental_pagerank",
+    "e19_linear_attribution", "e20_heavy_hitters",
+    "t15_bm25_topk", "ct6_distribution_drift",
+    "sim16_mmr_rerank", "sp13_source_interleave",
+    "st16_streaming_drift",
+    # oldest-driver-checked rotation block (r2–r4-era rows):
+    "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",
+    "h2_returned_top_customers", "e7_asof_last_view",
+    "e8_rolling_daily_value", "t6_length_percentiles",
+    "e9_preceding_window_counts", "w3_cleanup_roundtrip",
+    "e10_sliding_counts", "st5_streaming_sliding", "w4_json_roundtrip",
+    "t7_rollup_token_totals", "t8_lang_pivot", "e11_event_transitions",
+    "inf1_classifier_scores", "sp4_shard_assignment",
+    "w5_incremental_update", "e12_gap_percentiles",
+    "ct4_boilerplate_ngrams", "t9_cube_token_totals",
+    "e1b_sessionization_skew", "m2b_ppm_decode", "h4_pricing_summary",
+    "h5_shipping_priority", "sp5_stratified_sample",
+    "dd8_duplicate_spans", "ct5_quality_rank_filter",
+    "mx2_temperature_mixture", "t10_distinctive_terms",
+    "h6_revenue_forecast", "sim5_knn_join", "e13_daily_uniques",
+    "w6_sharded_export", "dd9_duplicate_span_extents",
+    "pp1_curation_pipeline",
+    # r1-era search surfaces (window slots 46-50):
+    "p2_search_recency_page", "p3_search_ilike", "p5_point_lookup",
+    "p6_batch_probe", "p7_keyset_page",
+    # ---- behind the 50-slot window boundary: recently checked ----
+    # round 9 window (checked r9):
     "h12_promo_revenue_share", "h13_small_qty_revenue",
     "h14_disjunctive_revenue", "h15_waiting_suppliers",
     "h16_market_share", "t14_bigram_surprisal",
@@ -67,26 +93,8 @@ _DRIVER_PRIORITY = [
     "a1_database_stats", "p1_search_multidim", "d5_duplicates_report",
     "h1_regional_revenue", "h3_late_order_priorities",
     "dd3_minhash_lsh", "e1_sessionization", "sp1_hash_split",
-    # r2–r4-era rotation block (slots 16-50):
     "dd7_dedup_clusters", "w2_two_phase_roundtrip",
     "ct1_contamination", "ct2_pii_scrub", "ct3_repetition_stats",
-    "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",
-    "h2_returned_top_customers", "e7_asof_last_view",
-    "e8_rolling_daily_value", "t6_length_percentiles",
-    "e9_preceding_window_counts", "w3_cleanup_roundtrip",
-    "e10_sliding_counts", "st5_streaming_sliding", "w4_json_roundtrip",
-    "t7_rollup_token_totals", "t8_lang_pivot", "e11_event_transitions",
-    "inf1_classifier_scores", "sp4_shard_assignment",
-    "w5_incremental_update", "e12_gap_percentiles",
-    "ct4_boilerplate_ngrams", "t9_cube_token_totals",
-    "e1b_sessionization_skew", "m2b_ppm_decode", "h4_pricing_summary",
-    "h5_shipping_priority", "sp5_stratified_sample",
-    "dd8_duplicate_spans", "ct5_quality_rank_filter",
-    "mx2_temperature_mixture", "t10_distinctive_terms",
-    # r2–r4 era continued (next round's rotation head):
-    "h6_revenue_forecast", "sim5_knn_join", "e13_daily_uniques",
-    "w6_sharded_export", "dd9_duplicate_span_extents",
-    "pp1_curation_pipeline",
     # round 8 window (checked r8):
     "sim9_pq_encode", "w10_compaction_roundtrip",
     "sim10_ivfpq_topk", "x1_cross_modal_dup_assets",

@@ -207,6 +207,9 @@ LLM_EXTENSION = [
     # affected-component vertex rerun (st16 is streaming -> excluded
     # like st1-st15)
     "dd19_incremental_pagerank",
+    # e20: map-side Misra-Gries candidates + exact verify — the
+    # shuffle-free heavy-hitter plan
+    "e20_heavy_hitters",
 ]
 
 
@@ -560,6 +563,9 @@ SCALE_QUERIES = [
     # dd19: dd13's loop + affected-component rerun — 10x only, same
     # dd3-machinery reason as dd13/dd15/pp2
     "dd19_incremental_pagerank",
+    # e20: candidate pass is map-side (linear scan), verify aggregate
+    # is O(candidates) — the ratio reads the scan growth
+    "e20_heavy_hitters",
 ]
 
 
@@ -1236,6 +1242,39 @@ def main_incremental() -> None:
             lambda: dd.incremental_lsh_pairs(dmats, new_docs).count(), reps=2
         ),
         "steady_state_dd13_probe_plus_refresh": timed(refresh, reps=2),
+    }
+
+    # dd18 vs dd19: centrality over the dedup graph (reuses the dd13
+    # base index; adds the materialized rank/pair tables)
+    from file_indexer_spark.operators import graph as gr
+
+    def build_centrality():
+        base_pairs = dd.minhash_lsh_pairs(base_docs)
+        dmats.update(
+            mat(
+                {
+                    "pairs": base_pairs,
+                    "ranks": gr.pagerank(base_docs, base_pairs),
+                },
+                "dd19",
+            )
+        )
+
+    def refresh_centrality():
+        pairs = dd.incremental_lsh_pairs(dmats, new_docs)
+        union_assign = dd.incremental_cluster_refresh(
+            dmats["assignments"], pairs, new_docs
+        )
+        gr.pagerank_refresh(
+            dmats["ranks"], dmats["pairs"], union_assign, pairs, new_docs
+        ).count()
+
+    results["centrality_index"] = {
+        "from_scratch_dd18": timed(
+            lambda: gr.pagerank(docs, dd.minhash_lsh_pairs(docs)).count()
+        ),
+        "build_once_on_top_of_dd13": timed(build_centrality),
+        "steady_state_dd19_probe_refresh_rerank": timed(refresh_centrality, reps=2),
     }
 
     # dedup family on the REALISTIC-DENSITY corpus (the 50k-vocab

@@ -831,3 +831,89 @@ def linear_attribution(events: DataFrame) -> DataFrame:
         )
         .orderBy("view_id")
     )
+
+
+# e20: heavy-hitter threshold (report users with > 1/HH_T of all
+# events) and the sketch capacity headroom factor. Capacity 2*HH_T
+# satisfies the Misra-Gries guarantee (a key with local count
+# > n_p/(C+1) always survives its partition summary; a global
+# > n/HH_T hitter exceeds that in at least one partition by
+# pigeonhole) with margin. 1500 makes the threshold bite on the
+# uniform fixture at sf0.1 (~67 events/user vs threshold 66) while
+# remaining deterministic at every factor; on real power-law traffic
+# any t works — the guarantee is distribution-free.
+HH_T = 1500
+HH_CAPACITY = 2 * HH_T
+
+
+def heavy_hitters(
+    events: DataFrame, t: int = HH_T, capacity: int | None = None
+) -> DataFrame:
+    """e20: EXACT frequency heavy hitters (users with more than n/t of
+    all events) via the two-pass sketch-then-verify pattern — the way
+    a 100 TB stream answers this WITHOUT a full-cardinality shuffle:
+
+      * pass 1 (map-side only, no shuffle of raw events): a
+        Misra-Gries summary of capacity C = 2t per partition inside
+        one Arrow batch stream. MG guarantees a key with local count
+        > n_p/C survives its partition's summary, so every GLOBAL
+        heavy hitter (> n/t >= sum_p n_p/C) appears in at least one
+        partition's candidate set — the union is a SUPERSET of the
+        answer, at most C keys per partition;
+      * pass 2: exact counts for the candidate set only — the
+        aggregate's shuffle carries <= C x partitions partial rows
+        instead of O(distinct users).
+
+    The candidate superset property makes the two-pass result EXACTLY
+    equal to the naive global groupBy (which is what the oracle runs),
+    so this is a full hash gate, not a bounds companion — the sketch
+    buys the plan shape, not an approximation.
+
+    A plain ``groupBy(user_id)`` shuffles O(distinct users) rows; at
+    100 TB with billions of users that is the dominant exchange. Here
+    the exchange is O(candidates): bounded by construction.
+    """
+    import pandas as pd
+
+    cap = capacity if capacity is not None else max(HH_CAPACITY, 2 * t)
+    if cap < t:  # the superset guarantee needs cap + 1 > t
+        raise ValueError(f"capacity {cap} too small for threshold 1/{t}")
+    n_total = events.count()
+    threshold = n_total // t  # report count > threshold
+
+    def _mg_partition(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for u in pdf["user_id"]:
+                u = int(u)
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < cap:
+                    counters[u] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"user_id": list(counters.keys())})
+
+    candidates = (
+        events.select("user_id")
+        .mapInPandas(_mg_partition, "user_id long")
+        .distinct()
+    )
+    exact = (
+        events.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .filter(F.col("n_events") > threshold)
+    )
+    return exact.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / n_total, 6).alias("frequency"),
+    ).orderBy(F.desc("n_events"), "user_id")

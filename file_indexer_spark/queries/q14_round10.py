@@ -451,3 +451,35 @@ def dd19_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank_refresh(
         mats["ranks"], mats["pairs"], union_assign, new_pairs, new
     )
+
+
+# -------------------------------------------------------------- e20
+
+
+@register(
+    "e20_heavy_hitters",
+    f"""
+    -- Exact frequency heavy hitters (> 1/{ev.HH_T} of all events).
+    -- The oracle is the naive global groupBy; the Spark side reaches
+    -- the identical answer through a map-side Misra-Gries candidate
+    -- pass + exact verify of the bounded candidate set (the sketch
+    -- buys the plan shape, not an approximation).
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           ROUND(CAST(n_events AS DOUBLE) / n, 6) AS frequency
+    FROM counts, tot
+    WHERE n_events > n // {ev.HH_T}
+    ORDER BY n_events DESC, user_id
+    """,
+)
+def e20_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: two-pass heavy hitters — pass 1 is a shuffle-free
+    Misra-Gries summary per partition (Arrow batch stream, <= C keys
+    out per partition), pass 2 an exact count of the broadcast
+    candidate set. The aggregate's exchange is O(candidates), never
+    O(distinct users) — the 100 TB plan shape for frequency queries
+    over unbounded key domains."""
+    tune_session(spark)
+    return ev.heavy_hitters(_events(spark, sf_dir))

@@ -1733,3 +1733,25 @@ def test_pagerank_refresh_equals_scratch_on_planted_graph(spark):
     assert got == want
     assert got[11] == (0, gr.BASE_E6)          # isolated new doc
     assert got[3] == want[3] and got[10][0] == 1
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """e20: with a sketch capacity small enough to force Misra-Gries
+    decrements, the two-pass result still equals the naive global
+    groupBy — the candidate pass is a guaranteed superset."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import events as evo
+
+    # 1 partition, 30 distinct light users (1 event each) + 2 heavy
+    # (40 and 25 events of 95 total); capacity 8 forces evictions
+    rows = [(i, 1000 + i) for i in range(30)]
+    rows += [(100 + j, 1) for j in range(40)]
+    rows += [(200 + j, 2) for j in range(25)]
+    ev = (
+        spark.createDataFrame(rows, "event_id long, user_id long")
+        .coalesce(1)
+    )
+    out = evo.heavy_hitters(ev, t=8, capacity=8).collect()
+    # threshold = 95 // 8 = 11 -> exactly users 1 (40) and 2 (25)
+    assert [(r["user_id"], r["n_events"]) for r in out] == [(1, 40), (2, 25)]
