@@ -106,7 +106,9 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    out_deg = degs.select(F.col("src").alias("doc_id"), "deg")
+    # read the degree off the CHECKPOINTED edge table — deriving it
+    # from `degs` would replay the pair computation a second time
+    out_deg = edges_d.select(F.col("src").alias("doc_id"), "deg").distinct()
     return (
         docs.select("doc_id")
         .join(ranks.withColumnRenamed("rank_e6", "sub_rank"), "doc_id", "left")

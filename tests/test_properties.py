@@ -466,3 +466,61 @@ def test_change_feed_matches_bruteforce_diff(spark, tmp_path_factory, actions):
             for r in t.changes(i, j).collect()
         }
         assert got == expect, (i, j)
+
+
+def _pagerank_reference(n_nodes: int, edges: list[tuple[int, int]]):
+    """Independent pure-Python rendition of dd18's fixed-point
+    recurrence (adjacency dicts + integer division, no DataFrames)."""
+    from file_indexer_spark.operators import graph as gr
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ranks = {v: gr.R0_E6 for v in adj}
+    for _ in range(gr.ITERATIONS):
+        ranks = {
+            v: gr.BASE_E6
+            + (gr.DAMPING_E2 * sum(ranks[u] // len(adj[u]) for u in adj[v])) // 100
+            for v in adj
+        }
+    return {
+        i: (len(adj.get(i, ())), ranks.get(i, gr.BASE_E6))
+        for i in range(n_nodes)
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=12).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(0, n - 1), st.integers(0, n - 1)
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=18,
+            ),
+        )
+    )
+)
+def test_pagerank_matches_adjacency_reference(spark, case):
+    """Random graphs (stars, cycles, forests, multi-edges): the
+    DataFrame vertex program must agree with an independent
+    adjacency-dict rendition of the same integer recurrence — degs,
+    dedup of parallel edges, isolated-node base rank and all."""
+    from file_indexer_spark.operators import graph as gr
+
+    n, edges = case
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: (r["deg"], r["rank_e6"])
+        for r in gr.pagerank(docs, pairs).collect()
+    }
+    assert got == _pagerank_reference(n, edges)
