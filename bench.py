@@ -1249,15 +1249,11 @@ def main_incremental() -> None:
     from file_indexer_spark.operators import graph as gr
 
     def build_centrality():
-        base_pairs = dd.minhash_lsh_pairs(base_docs)
+        # pairs materialize first; ranks derive from the RE-READ pairs
+        # (one dd3 pass, the dd19 gate's compute-once discipline)
+        dmats.update(mat({"pairs": dd.minhash_lsh_pairs(base_docs)}, "dd19"))
         dmats.update(
-            mat(
-                {
-                    "pairs": base_pairs,
-                    "ranks": gr.pagerank(base_docs, base_pairs),
-                },
-                "dd19",
-            )
+            mat({"ranks": gr.pagerank(base_docs, dmats["pairs"])}, "dd19")
         )
 
     def refresh_centrality():
@@ -1313,6 +1309,47 @@ def main_incremental() -> None:
         realistic[f"steady_state_dd13_refresh_{tag}_batch"] = timed(rrefresh, reps=2)
     results["dedup_index_realistic"] = realistic
 
+    # centrality family on the same realistic-density corpus — the
+    # dense-corpus centrality_index row has the dd13 caveat squared
+    # (the affected-component rerun covers MOST of the graph when a
+    # 10% batch touches most clusters); here affected tracks the batch
+    from file_indexer_spark.operators import graph as gr  # noqa: F811
+
+    rc: dict[str, float | int] = {
+        "n_docs": nd_n,
+        "vocab": _ND_VOCAB,
+        "from_scratch_dd18": timed(
+            lambda: gr.pagerank(rdocs, dd.minhash_lsh_pairs(rdocs)).count()
+        ),
+    }
+    for tag, pred in [("10pct", F.col("doc_id") % 10 == 7),
+                      ("1pct", F.col("doc_id") % 100 == 37)]:
+        rnew = rdocs.filter(pred)
+        rbase = rdocs.filter(~pred)
+        rmats = dict(mat(dict(dd.lsh_index_tables(rbase)), f"dd19_nd_{tag}"))
+        rmats.update(mat({"pairs": dd.minhash_lsh_pairs(rbase)}, f"dd19_nd_{tag}"))
+        rmats.update(
+            mat(
+                {
+                    "assignments": dd.dedup_clusters(rbase, rmats["pairs"]),
+                    "ranks": gr.pagerank(rbase, rmats["pairs"]),
+                },
+                f"dd19_nd_{tag}",
+            )
+        )
+
+        def rrerank(rm=rmats, rn=rnew):
+            pairs = dd.incremental_lsh_pairs(rm, rn)
+            union_assign = dd.incremental_cluster_refresh(
+                rm["assignments"], pairs, rn
+            )
+            gr.pagerank_refresh(
+                rm["ranks"], rm["pairs"], union_assign, pairs, rn
+            ).count()
+
+        rc[f"steady_state_dd19_rerank_{tag}_batch"] = timed(rrerank, reps=2)
+    results["centrality_index_realistic"] = rc
+
     doc = {
         "metric": "incremental_split_sec",
         "unit": "sec",
@@ -1329,7 +1366,11 @@ def main_incremental() -> None:
             "dedup_index_realistic re-measures the family on the "
             "50k-vocab planted-duplicate corpus, where the refresh "
             "cost tracks the BATCH over a fixed multi-stage floor "
-            "while from_scratch tracks the corpus"
+            "while from_scratch tracks the corpus; "
+            "centrality_index_realistic applies the same split to the "
+            "dd18/dd19 family (the dense-corpus centrality row "
+            "inherits dd13's caveat squared: the affected-component "
+            "rerun covers most of the graph there)"
         ),
         "families": results,
     }

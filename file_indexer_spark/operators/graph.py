@@ -151,6 +151,12 @@ def pagerank_refresh(
     stored rank table. A 100 TB corpus with a 1 GB ingest re-ranks in
     batch-sized time.
     """
+    # both probe output and affected set feed MULTIPLE consumers below
+    # (edge filter, vertex rerun, two anti-joins) — cut their lineage
+    # once, or each consumer replays the dd12 probe / dd13 component
+    # iteration from scratch (measured 2x slowdown on the realistic
+    # incremental bench before the cut)
+    new_pairs = new_pairs.localCheckpoint(eager=False)
     pair_ids = (
         new_pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
@@ -161,8 +167,10 @@ def pagerank_refresh(
         .select("cluster_id")
         .distinct()
     )
-    affected = union_assign.join(affected_labels, "cluster_id", "left_semi").select(
-        "doc_id"
+    affected = (
+        union_assign.join(affected_labels, "cluster_id", "left_semi")
+        .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     # components are closed: doc_a affected => doc_b affected
     aff_pairs = stored_pairs.select("doc_a", "doc_b").join(

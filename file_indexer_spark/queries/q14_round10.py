@@ -1,15 +1,20 @@
 """Registered queries — round 10: graph centrality over the dedup
-graph (dd18), ranked retrieval (t15), diversified ANN serving (sim16),
-multi-touch attribution (e19), distribution-drift monitoring (ct6),
+graph (dd18) with incremental component-local maintenance (dd19),
+ranked retrieval (t15), diversified ANN serving (sim16), multi-touch
+attribution (e19), exact sketch-then-verify heavy hitters (e20),
+distribution-drift monitoring (ct6) with a streaming rendition (st16),
 and source-interleaved curriculum ordering (sp13).
 
 Each fills a pattern gap the earlier 192 queries don't cover: an
-ITERATIVE vertex program with an unrolled exact oracle (dd18), BM25 —
-the lexical ranking every retrieval-augmented pipeline runs beside the
-sim-family's dense ANN (t15), greedy submodular re-ranking (sim16),
-value ALLOCATION across a time-window join rather than selection from
-it (e19), two-sample distribution comparison for corpus monitoring
-(ct6), and fair round-robin interleaving for training order (sp13).
+ITERATIVE vertex program with an unrolled exact oracle (dd18) and its
+affected-components-only refresh sharing that oracle verbatim (dd19),
+BM25 — the lexical ranking every retrieval-augmented pipeline runs
+beside the sim-family's dense ANN (t15), greedy submodular re-ranking
+(sim16), value ALLOCATION across a time-window join rather than
+selection from it (e19), frequency queries over unbounded key domains
+without an O(distinct keys) shuffle (e20), two-sample distribution
+comparison for corpus monitoring (ct6/st16), and fair round-robin
+interleaving for training order (sp13).
 
 Reference parity: the raw-SQL passthrough surface
 (file_indexer_go/db/database.go:269-317) accepts arbitrary analytic
@@ -434,16 +439,24 @@ def dd19_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 10 == 7)
     base = docs.filter(F.col("doc_id") % 10 != 7)
     workdir, _ = _stream_workdir("fis_dd19", sf_dir)
-    base_pairs = dd.minhash_lsh_pairs(base)
-    stored = dict(dd.lsh_index_tables(base))
-    stored["assignments"] = dd.dedup_clusters(base, base_pairs)
-    stored["pairs"] = base_pairs
-    stored["ranks"] = gr.pagerank(base, base_pairs)
+
+    # compute-once discipline INSIDE the build too: materialize the
+    # pair list first, then derive assignment and ranks from the
+    # RE-READ pairs — the dd3 signing machinery runs twice (index
+    # tables + pairs), not four times
     mats: dict[str, DataFrame] = {}
-    for name, df in stored.items():
+
+    def mat(name: str, df: DataFrame) -> DataFrame:
         path = os.path.join(workdir, name)
         df.write.mode("overwrite").parquet(path)
         mats[name] = spark.read.parquet(path)
+        return mats[name]
+
+    for name, df in dd.lsh_index_tables(base).items():
+        mat(name, df)
+    mat("pairs", dd.minhash_lsh_pairs(base))
+    mat("assignments", dd.dedup_clusters(base, mats["pairs"]))
+    mat("ranks", gr.pagerank(base, mats["pairs"]))
     new_pairs = dd.incremental_lsh_pairs(mats, new)
     union_assign = dd.incremental_cluster_refresh(
         mats["assignments"], new_pairs, new
