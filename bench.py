@@ -210,6 +210,10 @@ LLM_EXTENSION = [
     # e20: map-side Misra-Gries candidates + exact verify — the
     # shuffle-free heavy-hitter plan
     "e20_heavy_hitters",
+    # inf2: inf1's scan-bound scoring into <= 10 bins; mx3: one
+    # per-source agg + O(sources x epochs) windows
+    "inf2_calibration_bins",
+    "mx3_annealed_mixture",
 ]
 
 
@@ -566,6 +570,9 @@ SCALE_QUERIES = [
     # e20: candidate pass is map-side (linear scan), verify aggregate
     # is O(candidates) — the ratio reads the scan growth
     "e20_heavy_hitters",
+    # inf2/mx3: scan-bound scoring / per-source agg — linear
+    "inf2_calibration_bins",
+    "mx3_annealed_mixture",
 ]
 
 

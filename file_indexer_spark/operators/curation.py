@@ -688,3 +688,70 @@ def drift_from_histogram(hist: DataFrame) -> DataFrame:
         F.sum("l1_num").over(w).cast("long").alias("l1_num_total"),
         F.round(F.sum("psi_raw").over(w), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+# mx3: annealing schedule — alpha per epoch, restricted to quarter
+# powers so every weight is a composition of IEEE-correctly-rounded
+# sqrt calls (n, sqrt(n)*sqrt(sqrt(n)), sqrt(n), sqrt(sqrt(n))) and the
+# schedule stays bit-deterministic across engines (pow() would not be).
+ANNEAL_ALPHAS = ((0, 1.0), (1, 0.75), (2, 0.5), (3, 0.25))
+
+
+def annealed_mixture(docs: DataFrame, budget: int = MIX_BUDGET) -> DataFrame:
+    """mx3: curriculum mixture ANNEALING — mx2's temperature weighting
+    extended over a training schedule: epoch 0 samples sources at
+    their natural share (alpha = 1), later epochs anneal toward strong
+    rebalancing (alpha = 0.25), the standard curriculum for
+    multi-source pretraining (start on-distribution, end
+    diversity-heavy). Output is the full epoch x source sampling plan
+    a dataloader consumes.
+
+    Determinism: mx2's discipline per epoch — weights snap to
+    DECIMAL(20,9) before the normalizing SUM (exact,
+    order-independent), one double division per row, rounded 6.
+
+    Scale shape: one per-source aggregate over the corpus; everything
+    after is O(sources x epochs) — window per epoch partition over a
+    tiny frame.
+    """
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    n = F.col("n_docs").cast("double")
+    raws = {
+        0: n,
+        1: F.sqrt(n) * F.sqrt(F.sqrt(n)),
+        2: F.sqrt(n),
+        3: F.sqrt(F.sqrt(n)),
+    }
+    tagged = counts.select(
+        "source",
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e).cast("int").alias("epoch"),
+                        F.lit(a).alias("alpha"),
+                        F.round(raws[e], 9).cast("decimal(20,9)").alias("w"),
+                    )
+                    for e, a in ANNEAL_ALPHAS
+                ]
+            )
+        ).alias("x"),
+    ).select("source", "n_docs", "x.epoch", "x.alpha", "x.w")
+    per_epoch = Window.partitionBy("epoch")
+    weight = F.round(
+        F.col("w").cast("double") / F.sum("w").over(per_epoch).cast("double"), 6
+    )
+    return (
+        tagged.select(
+            "epoch",
+            "alpha",
+            "source",
+            "n_docs",
+            weight.alias("temp_weight"),
+            F.floor(weight * budget).cast("long").alias("target_docs"),
+        )
+        .orderBy("epoch", "source")
+    )

@@ -46,20 +46,7 @@ def classifier_scores(embeddings: DataFrame) -> DataFrame:
     the O(labels) rollup. At 100 TB this is scan-bound, exactly like a
     real classifier-filter pass.
     """
-    z = (
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"), _weights(), lambda x, w: x.cast("double") * w
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        + F.lit(BIAS)
-    )
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    scored = embeddings.select(
-        "label", F.round(score * 1_000_000).cast("long").alias("s_e6")
-    )
+    scored = embeddings.select("label", _score_e6().alias("s_e6"))
     return (
         scored.groupBy("label")
         .agg(
@@ -72,4 +59,90 @@ def classifier_scores(embeddings: DataFrame) -> DataFrame:
             .alias("n_kept"),
         )
         .orderBy("label")
+    )
+
+
+# inf2: reliability-diagram bins. "Relevant" ground truth on the
+# synthetic corpus is the label-parity rule (label % 2 = 0) — a
+# deterministic stand-in for the human labels a real calibration pass
+# consumes; the OPERATOR is the real thing (bin, count, confidence,
+# accuracy, gap).
+CALIB_BINS = 10
+
+
+def _score_e6():
+    """inf1's sigmoid score in integer micro-units — THE shared scoring
+    expression (classifier_scores and calibration_bins must never
+    diverge)."""
+    z = (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), _weights(), lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        + F.lit(BIAS)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.round(score * 1_000_000).cast("long")
+
+
+def calibration_bins(embeddings: DataFrame) -> DataFrame:
+    """inf2: classifier calibration — the reliability diagram as a
+    table: decile-bin the predicted score, compare mean confidence
+    against the observed positive rate per bin. The eval every
+    quality-classifier gate (inf1/ct5) should run before its threshold
+    is trusted; a |gap| that grows off-diagonal means the scores are
+    NOT probabilities and the keep-threshold is miscalibrated.
+
+    Determinism: scores snap to integer micro-units (inf1's contract),
+    bins are integer division, and the per-bin confidence/accuracy are
+    single divisions of exact integers rounded to 6 — no float
+    accumulation anywhere.
+
+    Scale shape: one codegen scoring expression over the scan, one
+    hash aggregate onto <= CALIB_BINS keys with map-side combine —
+    scan-bound, like inf1 itself.
+    """
+    scored = embeddings.select(
+        _score_e6().alias("s_e6"),
+        (F.col("label") % 2 == 0).alias("is_pos"),
+    )
+    binned = scored.select(
+        F.expr(f"CAST(LEAST(s_e6 DIV 100000, {CALIB_BINS - 1}) AS INT)").alias(
+            "bin"
+        ),
+        "s_e6",
+        "is_pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(F.col("is_pos").cast("long")).cast("long").alias("n_pos"),
+            F.sum("s_e6").cast("long").alias("sum_s_e6"),
+        )
+        .select(
+            "bin",
+            "n_vectors",
+            "n_pos",
+            F.round(
+                F.col("sum_s_e6").cast("double") / F.col("n_vectors") / 1_000_000.0,
+                6,
+            ).alias("mean_confidence"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_vectors"), 6
+            ).alias("pos_rate"),
+            F.round(
+                F.abs(
+                    F.col("sum_s_e6").cast("double")
+                    / F.col("n_vectors")
+                    / 1_000_000.0
+                    - F.col("n_pos").cast("double") / F.col("n_vectors")
+                ),
+                6,
+            ).alias("calib_gap"),
+        )
+        .orderBy("bin")
     )

@@ -496,3 +496,103 @@ def e20_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over unbounded key domains."""
     tune_session(spark)
     return ev.heavy_hitters(_events(spark, sf_dir))
+
+
+# -------------------------------------------------------------- inf2
+
+from file_indexer_spark.operators import inference as inf  # noqa: E402
+
+_INF2_SCORE_E6 = f"""CAST(ROUND(1.0 / (1.0 + exp(-(
+                   list_reduce(
+                       list_transform(range(1, {inf.DIM} + 1),
+                           i -> (embedding[i]::DOUBLE)
+                                * (((i * 37) % 29 - 14)::DOUBLE / 29.0)),
+                       (x, y) -> x + y)
+                   + {inf.BIAS}))) * 1000000) AS BIGINT)"""
+
+
+@register(
+    "inf2_calibration_bins",
+    f"""
+    -- Reliability diagram over inf1's scores: decile bins, mean
+    -- confidence vs observed positive rate (label-parity ground
+    -- truth), |gap| per bin. Integer micro-unit scores, integer
+    -- bins, single rounded divisions — no float accumulation.
+    WITH scored AS (
+        SELECT {_INF2_SCORE_E6} AS s_e6,
+               label % 2 = 0 AS is_pos
+        FROM embeddings),
+    binned AS (
+        SELECT CAST(LEAST(s_e6 // 100000, {inf.CALIB_BINS - 1}) AS INTEGER)
+                   AS bin,
+               s_e6, is_pos
+        FROM scored)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(s_e6) AS DOUBLE) / COUNT(*) / 1000000, 6)
+               AS mean_confidence,
+           ROUND(CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pos_rate,
+           ROUND(ABS(CAST(SUM(s_e6) AS DOUBLE) / COUNT(*) / 1000000
+                     - CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*)), 6) AS calib_gap
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def inf2_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INF2: the classifier-calibration eval — one codegen scoring
+    expression over the scan (inf1's shared _score_e6), one hash
+    aggregate onto <= 10 bins. Scan-bound like inf1."""
+    tune_session(spark)
+    return inf.calibration_bins(_table(spark, sf_dir, "embeddings"))
+
+
+# -------------------------------------------------------------- mx3
+
+_MX3_EPOCH_W = " ".join(
+    f"WHEN {e} THEN " + {
+        0: "n",
+        1: "sqrt(n) * sqrt(sqrt(n))",
+        2: "sqrt(n)",
+        3: "sqrt(sqrt(n))",
+    }[e]
+    for e, _ in cu.ANNEAL_ALPHAS
+)
+_MX3_ALPHA = " ".join(f"WHEN {e} THEN {a}" for e, a in cu.ANNEAL_ALPHAS)
+
+
+@register(
+    "mx3_annealed_mixture",
+    f"""
+    -- Curriculum mixture annealing: alpha walks 1.0 -> 0.25 across
+    -- epochs (quarter powers only, so every weight is composed
+    -- sqrt()s — correctly rounded in both engines); per-epoch
+    -- normalization over DECIMAL(20,9) (exact, order-independent).
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM documents GROUP BY source),
+    ep AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(epoch)),
+    tagged AS (
+        SELECT CAST(epoch AS INTEGER) AS epoch,
+               CAST(CASE epoch {_MX3_ALPHA} END AS DOUBLE) AS alpha,
+               source, n_docs,
+               CAST(ROUND(CASE epoch {_MX3_EPOCH_W} END, 9)
+                    AS DECIMAL(20,9)) AS w
+        FROM counts, ep)
+    SELECT epoch, alpha, source, n_docs,
+           ROUND(CAST(w AS DOUBLE)
+                 / CAST(SUM(w) OVER (PARTITION BY epoch) AS DOUBLE), 6)
+               AS temp_weight,
+           CAST(FLOOR(ROUND(CAST(w AS DOUBLE)
+                 / CAST(SUM(w) OVER (PARTITION BY epoch) AS DOUBLE), 6)
+                 * {cu.MIX_BUDGET}) AS BIGINT) AS target_docs
+    FROM tagged ORDER BY epoch, source
+    """,
+)
+def mx3_annealed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MX3: the epoch x source sampling plan — one per-source corpus
+    aggregate, then O(sources x epochs) window arithmetic."""
+    tune_session(spark)
+    return cu.annealed_mixture(_table(spark, sf_dir, "documents"))

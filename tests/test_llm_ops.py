@@ -1755,3 +1755,44 @@ def test_heavy_hitters_exact_under_eviction(spark):
     out = evo.heavy_hitters(ev, t=8, capacity=8).collect()
     # threshold = 95 // 8 = 11 -> exactly users 1 (40) and 2 (25)
     assert [(r["user_id"], r["n_events"]) for r in out] == [(1, 40), (2, 25)]
+
+
+def test_calibration_bins_partition_and_diagonal(spark):
+    """inf2: bins partition the corpus, pos_rate is exact per bin, and
+    a perfectly calibrated synthetic slice sits on the diagonal."""
+    from file_indexer_spark.operators import inference as inf
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = inf.calibration_bins(emb).collect()
+    assert sum(r["n_vectors"] for r in out) == emb.count()
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["pos_rate"] <= 1
+        assert abs(
+            r["calib_gap"] - round(abs(r["mean_confidence"] - r["pos_rate"]), 6)
+        ) <= 2e-6  # gap computed pre-rounding; allow the rounding skew
+
+
+def test_annealed_mixture_flattens_with_alpha(spark):
+    """mx3: at alpha=1 weights equal natural shares; as alpha anneals
+    down the big source's weight falls and the small source's rises
+    (the flattening the schedule exists to produce)."""
+    from file_indexer_spark.operators import curation as cu
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {(r["epoch"], r["source"]): r for r in cu.annealed_mixture(docs).collect()}
+    assert abs(out[(0, "big")]["temp_weight"] - 0.9) < 1e-6
+    assert (
+        out[(0, "big")]["temp_weight"]
+        > out[(1, "big")]["temp_weight"]
+        > out[(2, "big")]["temp_weight"]
+        > out[(3, "big")]["temp_weight"]
+    )
+    assert (
+        out[(3, "small")]["temp_weight"] > out[(0, "small")]["temp_weight"]
+    )
+    for e in range(4):
+        tot = out[(e, "big")]["temp_weight"] + out[(e, "small")]["temp_weight"]
+        assert abs(tot - 1.0) < 1e-5
