@@ -50,7 +50,8 @@ _DRIVER_PRIORITY = [
     "e19_linear_attribution", "e20_heavy_hitters",
     "t15_bm25_topk", "ct6_distribution_drift",
     "sim16_mmr_rerank", "sp13_source_interleave",
-    "st16_streaming_drift",
+    "st16_streaming_drift", "inf2_calibration_bins",
+    "mx3_annealed_mixture",
     # oldest-driver-checked rotation block (r2–r4-era rows):
     "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",
     "h2_returned_top_customers", "e7_asof_last_view",
