@@ -51,7 +51,7 @@ _DRIVER_PRIORITY = [
     "t15_bm25_topk", "ct6_distribution_drift",
     "sim16_mmr_rerank", "sp13_source_interleave",
     "st16_streaming_drift", "inf2_calibration_bins",
-    "mx3_annealed_mixture",
+    "mx3_annealed_mixture", "e21_decayed_engagement",
     # oldest-driver-checked rotation block (r2–r4-era rows):
     "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",
     "h2_returned_top_customers", "e7_asof_last_view",

@@ -214,6 +214,8 @@ LLM_EXTENSION = [
     # per-source agg + O(sources x epochs) windows
     "inf2_calibration_bins",
     "mx3_annealed_mixture",
+    # e21: anchor broadcast + map-side decay weights + one user-key agg
+    "e21_decayed_engagement",
 ]
 
 
@@ -573,6 +575,8 @@ SCALE_QUERIES = [
     # inf2/mx3: scan-bound scoring / per-source agg — linear
     "inf2_calibration_bins",
     "mx3_annealed_mixture",
+    # e21: scan-bound weight expression + user-key agg — linear
+    "e21_decayed_engagement",
 ]
 
 

@@ -917,3 +917,59 @@ def heavy_hitters(
         "n_events",
         F.round(F.col("n_events").cast("double") / n_total, 6).alias("frequency"),
     ).orderBy(F.desc("n_events"), "user_id")
+
+
+# e21: recency half-life. Weights quantize to integer micro-units per
+# row BEFORE aggregation (the repo's fixed-point discipline), so the
+# per-user sums are exact integers — a 1-ulp pow() difference between
+# engines cannot survive into the aggregate. e6 quanta leave the
+# weighted-value sum (e8 units) ~1e18/5e16 BIGINT headroom at 100x;
+# past that, raise the sum dtype to DECIMAL(38,0) (t14's rule).
+DECAY_HALF_LIFE_DAYS = 7
+
+
+def decayed_engagement(
+    events: DataFrame, half_life_days: int = DECAY_HALF_LIFE_DAYS, k: int = 20
+) -> DataFrame:
+    """e21: exponential time-decay scoring — each event weighs
+    2^(-age/half_life) with age measured back from the corpus's max
+    event time (a deterministic anchor; a production run anchors on
+    the batch watermark). The recency-weighted engagement feature
+    every ranking/feature-store pipeline computes, and the decayed
+    counterpart of e4's raw top-users.
+
+    Scale shape: one 1-row max-ts broadcast, one map-side weight
+    expression, one user-key hash aggregate with map-side combine,
+    TakeOrderedAndProject top-k. Scan-bound.
+    """
+    anchor = events.agg(F.max("ts").alias("anchor_ts"))
+    hl_us = half_life_days * 86_400_000_000
+    weighted = events.join(F.broadcast(anchor)).select(
+        "user_id",
+        # timestampdiff is the NTZ-safe age idiom (see
+        # preceding_window_counts); both engines produce the same
+        # integer microseconds
+        F.expr(
+            "CAST(ROUND(pow(0.5, CAST(timestampdiff(MICROSECOND, ts, anchor_ts)"
+            f" AS DOUBLE) / {hl_us}) * 1000000) AS BIGINT)"
+        ).alias("w_e6"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_e2"),
+    )
+    scored = weighted.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("w_e6").cast("long").alias("decayed_count_e6"),
+        F.sum(F.expr("w_e6 * value_e2")).cast("long").alias("decayed_value_e8"),
+    )
+    w = Window.orderBy(F.desc("decayed_value_e8"), "user_id")
+    return (
+        scored.orderBy(F.desc("decayed_value_e8"), "user_id")
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "user_id",
+            "n_events",
+            "decayed_count_e6",
+            "decayed_value_e8",
+        )
+        .orderBy("rank")
+    )

@@ -596,3 +596,43 @@ def mx3_annealed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, then O(sources x epochs) window arithmetic."""
     tune_session(spark)
     return cu.annealed_mixture(_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- e21
+
+_E21_HL_US = ev.DECAY_HALF_LIFE_DAYS * 86_400_000_000
+
+
+@register(
+    "e21_decayed_engagement",
+    f"""
+    -- Recency-weighted engagement: each event weighs
+    -- 2^(-age/half_life) anchored on the corpus max event time,
+    -- QUANTIZED to integer micro-units per row before aggregation, so
+    -- the per-user sums are exact integers on both engines.
+    WITH anchor AS (SELECT MAX(ts) AS anchor_ts FROM events),
+    weighted AS (
+        SELECT user_id,
+               CAST(ROUND(pow(0.5, CAST(epoch_us(anchor_ts) - epoch_us(ts)
+                    AS DOUBLE) / {_E21_HL_US}) * 1000000) AS BIGINT) AS w_e6,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_e2
+        FROM events, anchor),
+    scored AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(w_e6) AS BIGINT) AS decayed_count_e6,
+               CAST(SUM(w_e6 * value_e2) AS BIGINT) AS decayed_value_e8
+        FROM weighted GROUP BY user_id)
+    SELECT CAST(row_number() OVER (ORDER BY decayed_value_e8 DESC, user_id)
+               AS INTEGER) AS rank,
+           user_id, n_events, decayed_count_e6, decayed_value_e8
+    FROM scored
+    ORDER BY decayed_value_e8 DESC, user_id LIMIT 20
+    """,
+)
+def e21_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: the recency-weighted counterpart of e4's top-users — one
+    1-row anchor broadcast, map-side weight expression, one user-key
+    hash aggregate, TakeOrderedAndProject top-k. Scan-bound."""
+    tune_session(spark)
+    return ev.decayed_engagement(_events(spark, sf_dir))

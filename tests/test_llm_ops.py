@@ -1796,3 +1796,25 @@ def test_annealed_mixture_flattens_with_alpha(spark):
     for e in range(4):
         tot = out[(e, "big")]["temp_weight"] + out[(e, "small")]["temp_weight"]
         assert abs(tot - 1.0) < 1e-5
+
+
+def test_decayed_engagement_prefers_recent_value(spark):
+    """e21: equal raw value, fresher timestamps -> higher decayed
+    score; weight halves per half-life (exact at the e6 quantum)."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import events as evo
+
+    rows = [
+        # user 1: one event at the anchor (weight 1.0)
+        (1, "2024-03-08 00:00:00", 1, "view", 100.0),
+        # user 2: same value exactly one half-life earlier (weight 0.5)
+        (2, "2024-03-01 00:00:00", 2, "view", 100.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["user_id"]: r for r in evo.decayed_engagement(ev).collect()}
+    assert out[1]["decayed_count_e6"] == 1_000_000
+    assert out[2]["decayed_count_e6"] == 500_000
+    assert out[1]["decayed_value_e8"] == 2 * out[2]["decayed_value_e8"]
