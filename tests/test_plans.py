@@ -138,6 +138,9 @@ _NESTED_LOOP_OK = {
     # corpus scalars (N, total tokens) — t10/t12/t14's scalar-subquery
     # shape; df and dl attach via real equi-joins.
     "t15_bm25_topk",
+    # e21 crosses every event with the BROADCAST 1-row max-ts anchor —
+    # h9/t10's scalar-subquery shape; the aggregate is a real hash agg.
+    "e21_decayed_engagement",
 }
 
 
