@@ -524,3 +524,88 @@ def test_pagerank_matches_adjacency_reference(spark, case):
         for r in gr.pagerank(docs, pairs).collect()
     }
     assert got == _pagerank_reference(n, edges)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=5, max_size=60),
+    st.integers(min_value=2, max_value=6),
+)
+def test_heavy_hitters_matches_bruteforce(spark, users, t):
+    """e20 on random streams at minimal legal capacity (== t): the
+    sketch-then-verify result equals the brute-force global groupBy
+    for every threshold — the MG superset guarantee, exercised."""
+    from collections import Counter
+
+    from file_indexer_spark.operators import events as evo
+
+    ev = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(users)], "event_id long, user_id long"
+    ).coalesce(2)
+    got = [
+        (r["user_id"], r["n_events"])
+        for r in evo.heavy_hitters(ev, t=t, capacity=t).collect()
+    ]
+    thr = len(users) // t
+    want = sorted(
+        ((u, c) for u, c in Counter(users).items() if c > thr),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 359), min_size=6, max_size=12, unique=True))
+def test_mmr_matches_bruteforce_greedy(spark, angles):
+    """sim16 on random 2-D unit vectors: the Arrow-batch greedy equals
+    an independent pure-python MMR with the same tie-breaks."""
+    import math
+
+    from file_indexer_spark.operators import similarity as sim
+
+    lam, n_sel = 0.5, 3
+    vecs = {0: 0.0}
+    for j, a in enumerate(angles):
+        vecs[100 + j] = math.radians(a)
+    rows = [
+        (vid, [math.cos(th), math.sin(th)] + [0.0] * 62, 0)
+        for vid, th in vecs.items()
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = [
+        r["neighbor_id"]
+        for r in sim.mmr_rerank(emb, lam=lam, n_select=n_sel).collect()
+        if r["query_id"] == 0
+    ]
+
+    # independent reference on float32-rounded cosines (the engine
+    # computes on float arrays cast to double — replicate by casting
+    # through float32 per component)
+    import numpy as np
+
+    fv = {vid: np.array([math.cos(th), math.sin(th)], dtype=np.float32).astype(float)
+          for vid, th in vecs.items()}
+
+    def cos(a, b):
+        va, vb = fv[a], fv[b]
+        return float(
+            (va[0] * vb[0] + va[1] * vb[1])
+            / (math.sqrt(va[0] ** 2 + va[1] ** 2) * math.sqrt(vb[0] ** 2 + vb[1] ** 2))
+        )
+
+    cands = sorted(v for v in vecs if v != 0)
+    cands = sorted(cands, key=lambda c: (-cos(0, c), c))[: sim.MMR_CANDIDATES]
+    sel = []
+    for _ in range(min(n_sel, len(cands))):
+        best, best_m = None, None
+        for c in cands:
+            if c in sel:
+                continue
+            ms = max((cos(c, s) for s in sel), default=0.0)
+            m = lam * cos(0, c) - (1.0 - lam) * ms
+            if best is None or m > best_m or (m == best_m and c < best):
+                best, best_m = c, m
+        sel.append(best)
+    assert got == sel
