@@ -674,7 +674,20 @@ def drift_from_histogram(hist: DataFrame) -> DataFrame:
         "bin",
         "base_n",
         "batch_n",
-        F.expr("ABS(base_n * batch_total - batch_n * base_total)")
+        # Each cross-product scales with corpus size squared (counts past
+        # ~3e9 rows per side push a*B toward BIGINT max); non-ANSI Spark
+        # would wrap silently while the DuckDB oracle raises.  t14's
+        # discipline: try_multiply + loud raise_error on overflow.
+        F.expr(
+            "ABS("
+            "ifnull(try_multiply(base_n, batch_total), CAST(raise_error("
+            "'ct6: histogram cross-product overflow past BIGINT headroom; "
+            "rescale counts before drift') AS BIGINT))"
+            " - ifnull(try_multiply(batch_n, base_total), CAST(raise_error("
+            "'ct6: histogram cross-product overflow past BIGINT headroom; "
+            "rescale counts before drift') AS BIGINT))"
+            ")"
+        )
         .cast("long")
         .alias("l1_num"),
         F.expr(psi_bin).alias("psi_raw"),

@@ -882,24 +882,31 @@ def heavy_hitters(
     threshold = n_total // t  # report count > threshold
 
     def _mg_partition(batches):
-        counters: dict[int, int] = {}
+        # Batched Misra-Gries fold (vectorized — no per-row Python
+        # loop): a batch's exact value_counts IS an MG summary with
+        # zero error, and MG summaries merge by adding counters and,
+        # when more than `cap` survive, subtracting the (cap+1)-th
+        # largest counter from all and dropping non-positives
+        # (Agarwal et al., "Mergeable Summaries": the total decrement
+        # across the fold stays <= n_p/(cap+1), so any key with
+        # partition-local count > n_p/(cap+1) still finishes positive
+        # — the superset guarantee is unchanged).
+        counters = None
         for pdf in batches:
-            for u in pdf["user_id"]:
-                u = int(u)
-                if u in counters:
-                    counters[u] += 1
-                elif len(counters) < cap:
-                    counters[u] = 1
-                else:
-                    # decrement-all step; drop zeros
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"user_id": list(counters.keys())})
+            vc = pdf["user_id"].value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > cap:
+                d = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters[counters > d] - d
+        yield pd.DataFrame(
+            {
+                "user_id": (
+                    counters.index.to_numpy(dtype="int64")
+                    if counters is not None
+                    else []
+                )
+            }
+        )
 
     candidates = (
         events.select("user_id")
@@ -919,24 +926,57 @@ def heavy_hitters(
     ).orderBy(F.desc("n_events"), "user_id")
 
 
-# e21: recency half-life. Weights quantize to integer micro-units per
-# row BEFORE aggregation (the repo's fixed-point discipline), so the
-# per-user sums are exact integers — a 1-ulp pow() difference between
-# engines cannot survive into the aggregate. e6 quanta leave the
-# weighted-value sum (e8 units) ~1e18/5e16 BIGINT headroom at 100x;
-# past that, raise the sum dtype to DECIMAL(38,0) (t14's rule).
+# e21: recency half-life. The decay law is QUANTIZED to quarter
+# half-lives so the weight needs no pow(): age maps to an integer
+# quarter count q, and 0.5^(q/4) = (exact power of two for q DIV 4)
+# x (one of four sqrt-composed constants for q % 4). sqrt is
+# IEEE-754 correctly rounded on BOTH engines (mx3's precedent —
+# pow() is NOT, and a 1-ulp pow difference at a ROUND(x*1e6)
+# half-way boundary would flip w_e6 by one micro-unit; ADVICE r10),
+# so every per-row weight is bit-identical across engines BEFORE
+# the micro-unit quantization.  Weights quantize to integer
+# micro-units per row before aggregation, so the per-user sums are
+# exact integers. e6 quanta leave the weighted-value sum (e8 units)
+# ~1e18/5e16 BIGINT headroom at 100x; past that, raise the sum
+# dtype to DECIMAL(38,0) (t14's rule).
 DECAY_HALF_LIFE_DAYS = 7
+
+# 2^-21 * 1e6 ~= 0.477 rounds to 0 micro-units, and the fractional
+# factor only shrinks it — so >= 21 whole half-lives is weight 0
+# without touching shiftleft overflow territory.
+_DECAY_ZERO_HALF_LIVES = 21
+
+# w_e6 from the quarter count q: CASE q%4 gives the sqrt-composed
+# fractional factor; division by the exact power of two 1<<(q DIV 4)
+# is exact; x1e6 and ROUND act on bit-identical doubles.
+_DECAY_W_E6 = (
+    "CASE WHEN q_qhl DIV 4 >= {zero} THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(ROUND("
+    "(CASE q_qhl % 4 WHEN 0 THEN CAST(1.0 AS DOUBLE) "
+    "WHEN 1 THEN sqrt(sqrt(0.5)) "
+    "WHEN 2 THEN sqrt(0.5) "
+    "ELSE sqrt(0.5) * sqrt(sqrt(0.5)) END) "
+    "/ CAST(shiftleft(CAST(1 AS BIGINT), CAST(q_qhl DIV 4 AS INT)) AS DOUBLE) "
+    "* 1000000) AS BIGINT) END"
+)
 
 
 def decayed_engagement(
     events: DataFrame, half_life_days: int = DECAY_HALF_LIFE_DAYS, k: int = 20
 ) -> DataFrame:
     """e21: exponential time-decay scoring — each event weighs
-    2^(-age/half_life) with age measured back from the corpus's max
-    event time (a deterministic anchor; a production run anchors on
-    the batch watermark). The recency-weighted engagement feature
-    every ranking/feature-store pipeline computes, and the decayed
-    counterpart of e4's raw top-users.
+    2^(-q/4) where q is its age in WHOLE QUARTER half-lives, measured
+    back from the corpus's max event time (a deterministic anchor; a
+    production run anchors on the batch watermark). The recency-
+    weighted engagement feature every ranking/feature-store pipeline
+    computes, and the decayed counterpart of e4's raw top-users.
+
+    The quarter-half-life staircase is the determinism contract: the
+    weight decomposes into an exact power of two times a sqrt-composed
+    fractional factor, both bit-identical across engines (see
+    _DECAY_W_E6) — continuous 0.5^(age/hl) would ride on pow(), which
+    is not correctly rounded and can flip a micro-unit at a ROUND
+    half-way boundary.
 
     Scale shape: one 1-row max-ts broadcast, one map-side weight
     expression, one user-key hash aggregate with map-side combine,
@@ -948,12 +988,17 @@ def decayed_engagement(
         "user_id",
         # timestampdiff is the NTZ-safe age idiom (see
         # preceding_window_counts); both engines produce the same
-        # integer microseconds
+        # integer microseconds, and *4 DIV hl_us keeps the quarter
+        # count in pure BIGINT arithmetic
         F.expr(
-            "CAST(ROUND(pow(0.5, CAST(timestampdiff(MICROSECOND, ts, anchor_ts)"
-            f" AS DOUBLE) / {hl_us}) * 1000000) AS BIGINT)"
-        ).alias("w_e6"),
+            "(timestampdiff(MICROSECOND, ts, anchor_ts) * 4)"
+            f" DIV {hl_us}"
+        ).alias("q_qhl"),
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_e2"),
+    ).select(
+        "user_id",
+        F.expr(_DECAY_W_E6.format(zero=_DECAY_ZERO_HALF_LIVES)).alias("w_e6"),
+        "value_e2",
     )
     scored = weighted.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_events"),

@@ -1363,6 +1363,21 @@ def mmr_rerank(
             _cosine("emb_a", "norm_a", "emb_b", "norm_b").alias("sim"),
         )
     )
+    # Seed every candidate with a self-row (sim NULL, never read by the
+    # greedy: max_sim only consults ALREADY-SELECTED neighbors, which can
+    # never include the candidate itself).  Without it a query with exactly
+    # ONE candidate has an empty pairwise join, the applyInPandas group
+    # never exists, and the query silently emits no rows while the oracle's
+    # sel1 CTE still emits rank 1 (ADVICE r10).
+    pairs = pairs.unionByName(
+        cand.select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_a"),
+            F.col("rel").alias("rel_a"),
+            F.col("neighbor_id").alias("cand_b"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    )
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
@@ -1372,7 +1387,8 @@ def mmr_rerank(
             pdf["cand_a"], pdf["rel_a"], pdf["cand_b"], pdf["sim"]
         ):
             rel[int(ca)] = float(ra)
-            sim[(int(ca), int(cb))] = float(s)
+            if int(ca) != int(cb):  # self-seed rows carry no sim
+                sim[(int(ca), int(cb))] = float(s)
         selected: list[int] = []
         out_rows = []
         cands = sorted(rel)

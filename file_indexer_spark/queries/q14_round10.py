@@ -606,17 +606,32 @@ _E21_HL_US = ev.DECAY_HALF_LIFE_DAYS * 86_400_000_000
 @register(
     "e21_decayed_engagement",
     f"""
-    -- Recency-weighted engagement: each event weighs
-    -- 2^(-age/half_life) anchored on the corpus max event time,
-    -- QUANTIZED to integer micro-units per row before aggregation, so
-    -- the per-user sums are exact integers on both engines.
+    -- Recency-weighted engagement: each event weighs 2^(-q/4) where
+    -- q is its age in whole QUARTER half-lives (anchored on the
+    -- corpus max event time). The weight decomposes into an exact
+    -- power of two times a sqrt-composed fractional factor — both
+    -- IEEE-correctly-rounded, hence bit-identical across engines
+    -- (pow() is not; mx3's precedent) — then QUANTIZES to integer
+    -- micro-units per row, so the per-user sums are exact integers.
     WITH anchor AS (SELECT MAX(ts) AS anchor_ts FROM events),
-    weighted AS (
+    quarters AS (
         SELECT user_id,
-               CAST(ROUND(pow(0.5, CAST(epoch_us(anchor_ts) - epoch_us(ts)
-                    AS DOUBLE) / {_E21_HL_US}) * 1000000) AS BIGINT) AS w_e6,
+               ((epoch_us(anchor_ts) - epoch_us(ts)) * 4) // {_E21_HL_US}
+                   AS q_qhl,
                CAST(ROUND(value * 100) AS BIGINT) AS value_e2
         FROM events, anchor),
+    weighted AS (
+        SELECT user_id, value_e2,
+               CASE WHEN q_qhl // 4 >= 21 THEN CAST(0 AS BIGINT)
+               ELSE CAST(ROUND(
+                   (CASE q_qhl % 4 WHEN 0 THEN CAST(1.0 AS DOUBLE)
+                         WHEN 1 THEN sqrt(sqrt(0.5))
+                         WHEN 2 THEN sqrt(0.5)
+                         ELSE sqrt(0.5) * sqrt(sqrt(0.5)) END)
+                   / CAST((CAST(1 AS BIGINT) << CAST(q_qhl // 4 AS INTEGER))
+                          AS DOUBLE)
+                   * 1000000) AS BIGINT) END AS w_e6
+        FROM quarters),
     scored AS (
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -283,23 +283,38 @@ def _funnel_group(
         tv = tc = tp = hwm = None
 
     saw_rows = False
-    for pdf in batches:
-        # event-time order with the batch operator's (ts, event_id)
-        # tie-break: an equal-ts purchase with a smaller event_id than
-        # the click lands BEFORE t_click is set and is skipped — the
-        # batch form excludes it too (strict p > t_click).
+    # Concatenate the group's Arrow chunks and sort ONCE — Spark gives
+    # no intra-batch row-order guarantee, so the fold must not depend
+    # on arrival order within a micro-batch.  The (ts, event_id)
+    # tie-break matches the batch operator: an equal-ts purchase with
+    # a smaller event_id than the click lands BEFORE t_click is set
+    # and is skipped — the batch form excludes it too (strict
+    # p > t_click).
+    chunks = list(batches)
+    pdf = (
+        pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+        else (chunks[0] if chunks else None)
+    )
+    if pdf is not None and len(pdf):
         pdf = pdf.sort_values(["ts", "event_id"])
+        saw_rows = True
+        # The chronological contract is CROSS-batch only: the batch's
+        # earliest event must not precede the hwm consumed by PRIOR
+        # micro-batches.  (Checking per row would spuriously reject a
+        # wholly-newer but internally-unsorted batch — ADVICE r10.)
+        first_us = int(pdf["ts"].iloc[0].value // 1_000)
+        if hwm is not None and first_us < hwm:
+            raise ValueError(
+                "st15: chronological-arrival contract violated for "
+                f"user {user_id}: event at {first_us}us arrived after "
+                f"the consumed high-water mark {hwm}us; feed this "
+                "operator a per-user time-ordered source or use batch "
+                "e18"
+            )
+        last_us = int(pdf["ts"].iloc[-1].value // 1_000)
+        hwm = last_us if hwm is None else max(hwm, last_us)
         for ts, et in zip(pdf["ts"], pdf["event_type"]):
-            saw_rows = True
             us = int(ts.value // 1_000)
-            if hwm is not None and us < hwm:
-                raise ValueError(
-                    "st15: chronological-arrival contract violated for "
-                    f"user {user_id}: event at {us}us arrived after the "
-                    f"consumed high-water mark {hwm}us; feed this operator "
-                    "a per-user time-ordered source or use batch e18"
-                )
-            hwm = us if hwm is None else max(hwm, us)
             if et == "view":
                 if tv is None:
                     tv = us

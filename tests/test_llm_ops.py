@@ -1682,6 +1682,40 @@ def test_mmr_diversifies_against_redundant_top(spark):
     assert [r["rank"] for r in out if r["query_id"] == 0] == [1, 2, 3]
 
 
+def test_distribution_drift_overflow_raises_loudly(spark):
+    """ct6: histogram cross-products past BIGINT headroom must raise
+    (t14's try_multiply discipline), never wrap silently (ADVICE r10)."""
+    import pytest
+
+    from file_indexer_spark.operators import curation as cu
+
+    # 4e9 * 4e9 = 1.6e19 > 2^63-1 — the product overflows BIGINT
+    big = 4_000_000_000
+    hist = spark.createDataFrame(
+        [(0, big, 1), (1, 1, big)], "bin int, base_n long, batch_n long"
+    )
+    with pytest.raises(Exception, match="ct6: histogram cross-product overflow"):
+        cu.drift_from_histogram(hist).collect()
+
+
+def test_mmr_single_candidate_emits_rank1(spark):
+    """sim16: a query whose candidate set has exactly ONE member still
+    emits its rank-1 row (the pairwise join is empty for such a query;
+    the self-seed row keeps the group alive — ADVICE r10)."""
+    import math
+
+    from file_indexer_spark.operators import similarity as sim
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 62
+
+    rows = [(0, vec(0.0), 0), (100, vec(0.2), 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sim.mmr_rerank(emb, lam=0.3, n_select=3).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out if r["query_id"] == 0]
+    assert got == [(100, 1)]
+
+
 def test_source_interleave_rounds_are_fair(spark):
     """sp13: every full round contains each live source exactly once;
     exhausted sources drop out of later rounds."""
@@ -1818,3 +1852,28 @@ def test_decayed_engagement_prefers_recent_value(spark):
     assert out[1]["decayed_count_e6"] == 1_000_000
     assert out[2]["decayed_count_e6"] == 500_000
     assert out[1]["decayed_value_e8"] == 2 * out[2]["decayed_value_e8"]
+
+
+def test_decayed_engagement_quarter_staircase(spark):
+    """e21's determinism contract: the decay is a quarter-half-life
+    staircase built from exact powers of two and sqrt-composed
+    fractional factors (never pow()).  An age of 0.3 half-lives floors
+    to q=1 quarter (weight 2^-0.25); >= 21 whole half-lives is exactly
+    zero micro-units."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import events as evo
+
+    rows = [
+        (1, "2024-03-08 00:00:00", 1, "view", 100.0),   # anchor
+        (2, "2024-03-05 21:36:00", 2, "view", 100.0),   # 2.1 d = 0.3 hl -> q=1
+        (3, "2023-08-21 00:00:00", 3, "view", 100.0),   # 200 d = 28.5 hl -> 0
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["user_id"]: r for r in evo.decayed_engagement(ev).collect()}
+    assert out[2]["decayed_count_e6"] == round(math.sqrt(math.sqrt(0.5)) * 1e6)
+    assert out[3]["decayed_count_e6"] == 0

@@ -899,6 +899,37 @@ def test_streaming_funnel_rejects_out_of_order_batches(spark, tmp_path):
         sw.run_update_mode_to_parquet(ss.funnel_stream(stream), out)
 
 
+def test_streaming_funnel_tolerates_unsorted_rows_within_batch(spark, tmp_path):
+    """st15's contract is CROSS-batch only: a micro-batch wholly newer
+    than the stored high-water mark but internally UNSORTED (Spark
+    gives no intra-group row order) must fold in event-time order and
+    not raise (ADVICE r10).  The reversed-order rows still convert."""
+    import datetime as dt
+
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming import sessions as ss
+    from file_indexer_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+
+    b1 = mk([(1, t0, 7, "view", 1.0, None)])
+    # batch 2: rows in REVERSE event-time order, both newer than b1's hwm
+    b2 = mk([
+        (3, t0 + dt.timedelta(hours=2), 7, "purchase", 1.0, None),
+        (2, t0 + dt.timedelta(hours=1), 7, "click", 1.0, None),
+    ])
+    src, out = str(tmp_path / "st15_rev_src"), str(tmp_path / "st15_rev_log")
+    _land_arrivals(src, [b1, b2])
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    sw.run_update_mode_to_parquet(ss.funnel_stream(stream), out)
+    final = {r["user_id"]: r for r in sw.last_emission(spark, out, ["user_id"]).collect()}
+    assert final[7]["t_click"] is not None
+    assert final[7]["t_purchase"] is not None
+
+
 def test_streaming_drift_folds_across_batches(spark, tmp_path):
     """st16: per-bin counters accumulate across micro-batches — a bin
     fed from both arrivals ends at the batch-computed total, and the
