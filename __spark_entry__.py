@@ -37,95 +37,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # window verifies them; the already-verified ones keep local regression
 # coverage.
 _DRIVER_PRIORITY = [
-    # round 10: this round's additions lead (never driver-checked),
-    # then the ROTATION set — the oldest-driver-checked queries
-    # (standing rule, verdict r8 #3: oldest-check-first for spare
-    # slots). The r9 window re-verified the r9 additions plus the ten
-    # headline rotations and dd7/w2/ct1-ct3; the oldest rows now are
-    # the r2–r4-era block below it (last checked r02-r04) and the
-    # r1-era search surfaces (p2/p3/p5/p6/p7, last checked r01-r03).
-    # The local test_oracle_diff gate covers all queries every run.
-    # round 10 additions (never driver-checked — lead the window):
-    "dd18_pagerank_centrality", "dd19_incremental_pagerank",
-    "e19_linear_attribution", "e20_heavy_hitters",
-    "t15_bm25_topk", "ct6_distribution_drift",
-    "sim16_mmr_rerank", "sp13_source_interleave",
-    "st16_streaming_drift", "inf2_calibration_bins",
-    "mx3_annealed_mixture", "e21_decayed_engagement",
-    # oldest-driver-checked rotation block (r2–r4-era rows):
+    # round 11 window (50 slots): the r10 verdict's rotation order —
+    # p5/p6/p7 FIRST (displaced from the r10 window by late
+    # additions), then this round's never-driver-checked additions
+    # (t16/t17/st17), then EVERY remaining query whose newest driver
+    # row is r03/r04-era, oldest-first. That clears the entire
+    # rotation debt in one window; after r11 no query's newest row
+    # predates r8. The local test_oracle_diff gate covers all
+    # queries every run.
+    "p5_point_lookup", "p6_batch_probe", "p7_keyset_page", "t16_bm25_materialized",
+    "t17_bm25_append", "st17_streaming_heavy_hitters", "dd20_personalized_pagerank", "a10_extension_stats",
+    "a11_modification_timeline", "a13_total_wasted_space", "a7_phase2_work_selection",
+    "a7b_phase2_files_to_hash", "a8_duplicate_stats", "a9_size_histogram",
+    "dd1_exact_dedup", "dd2_ngram_jaccard", "dd4_simhash", "dd5_embedding_neardup",
+    "dd6_minhash_lsh_ml", "e2_tumbling_counts", "e3_funnel", "e4_top_users",
+    "e5_props_stats", "j1_duplicate_files", "j3_duplicate_groups_pattern",
+    "m1_binary_metadata", "m2_media_decode", "m3_frame_sampling",
+    "m4_media_features", "m5_media_resize", "s12_raw_sql", "s12b_tpch_pricing",
+    "s12c_tpch_top_orders", "s5_files_scan", "sim1_cosine_topk",
+    "sim2_ivf_ann", "sim3_brp_lsh_ann", "st1_streaming_windows",
+    "st2_streaming_index", "st3_stateful_sessions", "t1_token_stats",
+    "t2_quality_scores", "t3_language_confusion", "t4_fingerprints",
+    "w1_index_roundtrip", "e6_retention_cohorts", "sim4_filtered_ann",
+    "sp2_source_cap", "sp3_sequence_packing", "st4_streaming_dedup",
+   
+    # ---- behind the 50-slot window boundary: recently checked ----
+    # (t5 displaced by dd20 — newest of the r04-era rows, next window)
+    "t5_quality_retention",
+    # (r10 additions first, then the r8-r10 window blocks in their
+    # previous order)
+    "dd18_pagerank_centrality", "dd19_incremental_pagerank", "e19_linear_attribution",
+    "e20_heavy_hitters", "t15_bm25_topk", "ct6_distribution_drift",
+    "sim16_mmr_rerank", "sp13_source_interleave", "st16_streaming_drift",
+    "inf2_calibration_bins", "mx3_annealed_mixture", "e21_decayed_engagement",
     "ch1_token_chunking", "mx1_mixture_resample", "sd1_semantic_dedup",
-    "h2_returned_top_customers", "e7_asof_last_view",
-    "e8_rolling_daily_value", "t6_length_percentiles",
-    "e9_preceding_window_counts", "w3_cleanup_roundtrip",
+    "h2_returned_top_customers", "e7_asof_last_view", "e8_rolling_daily_value",
+    "t6_length_percentiles", "e9_preceding_window_counts", "w3_cleanup_roundtrip",
     "e10_sliding_counts", "st5_streaming_sliding", "w4_json_roundtrip",
     "t7_rollup_token_totals", "t8_lang_pivot", "e11_event_transitions",
-    "inf1_classifier_scores", "sp4_shard_assignment",
-    "w5_incremental_update", "e12_gap_percentiles",
-    "ct4_boilerplate_ngrams", "t9_cube_token_totals",
+    "inf1_classifier_scores", "sp4_shard_assignment", "w5_incremental_update",
+    "e12_gap_percentiles", "ct4_boilerplate_ngrams", "t9_cube_token_totals",
     "e1b_sessionization_skew", "m2b_ppm_decode", "h4_pricing_summary",
-    "h5_shipping_priority", "sp5_stratified_sample",
-    "dd8_duplicate_spans", "ct5_quality_rank_filter",
-    "mx2_temperature_mixture", "t10_distinctive_terms",
+    "h5_shipping_priority", "sp5_stratified_sample", "dd8_duplicate_spans",
+    "ct5_quality_rank_filter", "mx2_temperature_mixture", "t10_distinctive_terms",
     "h6_revenue_forecast", "sim5_knn_join", "e13_daily_uniques",
-    "w6_sharded_export", "dd9_duplicate_span_extents",
-    "pp1_curation_pipeline",
-    # r1-era search surfaces (window slots 46-50):
-    "p2_search_recency_page", "p3_search_ilike", "p5_point_lookup",
-    "p6_batch_probe", "p7_keyset_page",
-    # ---- behind the 50-slot window boundary: recently checked ----
-    # round 9 window (checked r9):
-    "h12_promo_revenue_share", "h13_small_qty_revenue",
-    "h14_disjunctive_revenue", "h15_waiting_suppliers",
-    "h16_market_share", "t14_bigram_surprisal",
-    "dd15_quality_keeper", "sim15_recall_eval",
-    "dd16_split_contamination", "sp10_leakage_safe_split",
-    "sp11_prototype_sample", "dd17_minhash_calibration",
-    "e18_deadline_funnel", "st15_streaming_funnel",
-    "pp2_neardup_split_pipeline", "sp12_bin_packing",
+    "w6_sharded_export", "dd9_duplicate_span_extents", "pp1_curation_pipeline",
+    "p2_search_recency_page", "p3_search_ilike", "h12_promo_revenue_share",
+    "h13_small_qty_revenue", "h14_disjunctive_revenue", "h15_waiting_suppliers",
+    "h16_market_share", "t14_bigram_surprisal", "dd15_quality_keeper",
+    "sim15_recall_eval", "dd16_split_contamination", "sp10_leakage_safe_split",
+    "sp11_prototype_sample", "dd17_minhash_calibration", "e18_deadline_funnel",
+    "st15_streaming_funnel", "pp2_neardup_split_pipeline", "sp12_bin_packing",
     "sim14_range_search", "sp8_weighted_repeat", "t13_vocab_coverage",
     "w14_change_feed", "dd14_containment_pairs", "e17_event_debounce",
-    "w13_zero_copy_clone", "st14_streaming_debounce",
-    "w15_cdf_view_maintenance", "sp9_budget_select", "w16_restore",
-    "w17_orc_roundtrip", "w18_csv_roundtrip",
-    "st13_streaming_neardup_ingest", "x3_dup_assets_append",
-    "w11_schema_evolution", "sim13_streaming_ann_ingest",
-    "x4_streaming_crossmodal_ingest", "w12_pruned_point_lookup",
-    "j2_duplicate_groups", "a12_duplicate_groups_nested",
+    "w13_zero_copy_clone", "st14_streaming_debounce", "w15_cdf_view_maintenance",
+    "sp9_budget_select", "w16_restore", "w17_orc_roundtrip", "w18_csv_roundtrip",
+    "st13_streaming_neardup_ingest", "x3_dup_assets_append", "w11_schema_evolution",
+    "sim13_streaming_ann_ingest", "x4_streaming_crossmodal_ingest",
+    "w12_pruned_point_lookup", "j2_duplicate_groups", "a12_duplicate_groups_nested",
     "a1_database_stats", "p1_search_multidim", "d5_duplicates_report",
-    "h1_regional_revenue", "h3_late_order_priorities",
-    "dd3_minhash_lsh", "e1_sessionization", "sp1_hash_split",
-    "dd7_dedup_clusters", "w2_two_phase_roundtrip",
-    "ct1_contamination", "ct2_pii_scrub", "ct3_repetition_stats",
-    # round 8 window (checked r8):
-    "sim9_pq_encode", "w10_compaction_roundtrip",
-    "sim10_ivfpq_topk", "x1_cross_modal_dup_assets",
-    "st12_late_data_accounting", "x2_dup_assets_materialized",
-    "dd12_incremental_lsh", "sim11_ivfpq_materialized",
-    "dd13_incremental_clusters", "sim12_ivfpq_append",
-    # round 7 window (bounds companions + r7 additions, checked r7/r8):
-    "t6a_bounds", "e12a_bounds", "e13a_bounds", "st6_bounds",
-    "dd6_bounds", "sim3_bounds", "sim8_bounds",
-    "st11_update_mode_counts", "m7c_audio_dup_groups",
-    "sim7_quantize",
-    "t6a_length_percentiles_approx", "e12a_gap_percentiles_approx",
-    "e13a_daily_uniques_approx", "st6_streaming_uniques",
-    "m6c_image_ahash_canonical", "w7b_vacuum_history", "e1c_session_stats",
-    "m6d_image_dup_groups_canonical",
-    "h8_order_count_distribution", "h9_idle_rich_customers",
-    "h10_nation_trade_volume", "e15_interval_join",
-    "st9_interval_join_stream", "w8_streaming_ingest",
-    "m7_audio_frame_energy", "m7b_silence_spans",
-    "t12_doc_top_terms", "h11_top_revenue_suppliers",
-    "sp7_zorder_layout",
-    "e15b_interval_join_outer", "st10_interval_join_outer_stream",
-    "sim8_kmeans_ml", "dd11_cluster_consolidation",
-    "m8_video_shot_cuts", "m8b_video_keyframes",
-    "w7_time_travel", "t11_token_rarity", "st7_streaming_curation",
-    "sim6_hier_ivf_assign", "dd10_strip_spans", "sp6_epoch_shuffle",
-    "p7b_directory_page", "m6_image_ahash",
-    "m6b_image_dup_groups",
-    "e14_session_window", "st8_session_window_stream",
-    "h7_large_volume_customers",
+    "h1_regional_revenue", "h3_late_order_priorities", "dd3_minhash_lsh",
+    "e1_sessionization", "sp1_hash_split", "dd7_dedup_clusters",
+    "w2_two_phase_roundtrip", "ct1_contamination", "ct2_pii_scrub",
+    "ct3_repetition_stats", "sim9_pq_encode", "w10_compaction_roundtrip",
+    "sim10_ivfpq_topk", "x1_cross_modal_dup_assets", "st12_late_data_accounting",
+    "x2_dup_assets_materialized", "dd12_incremental_lsh", "sim11_ivfpq_materialized",
+    "dd13_incremental_clusters", "sim12_ivfpq_append", "t6a_bounds",
+    "e12a_bounds", "e13a_bounds", "st6_bounds", "dd6_bounds", "sim3_bounds",
+    "sim8_bounds", "st11_update_mode_counts", "m7c_audio_dup_groups",
+    "sim7_quantize", "t6a_length_percentiles_approx", "e12a_gap_percentiles_approx",
+    "e13a_daily_uniques_approx", "st6_streaming_uniques", "m6c_image_ahash_canonical",
+    "w7b_vacuum_history", "e1c_session_stats", "m6d_image_dup_groups_canonical",
+    "h8_order_count_distribution", "h9_idle_rich_customers", "h10_nation_trade_volume",
+    "e15_interval_join", "st9_interval_join_stream", "w8_streaming_ingest",
+    "m7_audio_frame_energy", "m7b_silence_spans", "t12_doc_top_terms",
+    "h11_top_revenue_suppliers", "sp7_zorder_layout", "e15b_interval_join_outer",
+    "st10_interval_join_outer_stream", "sim8_kmeans_ml", "dd11_cluster_consolidation",
+    "m8_video_shot_cuts", "m8b_video_keyframes", "w7_time_travel",
+    "t11_token_rarity", "st7_streaming_curation", "sim6_hier_ivf_assign",
+    "dd10_strip_spans", "sp6_epoch_shuffle", "p7b_directory_page",
+    "m6_image_ahash", "m6b_image_dup_groups", "e14_session_window",
+    "st8_session_window_stream", "h7_large_volume_customers",
 ]
 
 

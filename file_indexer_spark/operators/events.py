@@ -846,6 +846,45 @@ HH_T = 1500
 HH_CAPACITY = 2 * HH_T
 
 
+def mg_merge(counters, vc, cap: int):
+    """Batched Misra-Gries merge (vectorized — no per-row Python
+    loop), THE shared fold of e20's partition sketch and st17's
+    per-group streaming state: a batch's exact ``value_counts`` IS an
+    MG summary with zero error, and MG summaries merge by adding
+    counters and, when more than ``cap`` survive, subtracting the
+    (cap+1)-th largest counter from all and dropping non-positives
+    (Agarwal et al., "Mergeable Summaries": the total decrement across
+    any fold stays <= n/(cap+1), so a key with true count > n/(cap+1)
+    always finishes positive — the superset guarantee holds under ANY
+    merge order)."""
+    merged = vc if counters is None else counters.add(vc, fill_value=0)
+    if len(merged) > cap:
+        d = merged.nlargest(cap + 1).iloc[-1]
+        merged = merged[merged > d] - d
+    return merged
+
+
+def heavy_hitters_verify(
+    events: DataFrame, candidates: DataFrame, n_total: int, t: int = HH_T
+) -> DataFrame:
+    """The exact second pass shared by e20 and st17: count ONLY the
+    candidate superset (broadcast semi-join — the exchange carries
+    O(candidates) partials, never O(distinct users)) and keep counts
+    above the n/t threshold."""
+    threshold = n_total // t
+    exact = (
+        events.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .filter(F.col("n_events") > threshold)
+    )
+    return exact.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / n_total, 6).alias("frequency"),
+    ).orderBy(F.desc("n_events"), "user_id")
+
+
 def heavy_hitters(
     events: DataFrame, t: int = HH_T, capacity: int | None = None
 ) -> DataFrame:
@@ -879,25 +918,11 @@ def heavy_hitters(
     if cap < t:  # the superset guarantee needs cap + 1 > t
         raise ValueError(f"capacity {cap} too small for threshold 1/{t}")
     n_total = events.count()
-    threshold = n_total // t  # report count > threshold
 
     def _mg_partition(batches):
-        # Batched Misra-Gries fold (vectorized — no per-row Python
-        # loop): a batch's exact value_counts IS an MG summary with
-        # zero error, and MG summaries merge by adding counters and,
-        # when more than `cap` survive, subtracting the (cap+1)-th
-        # largest counter from all and dropping non-positives
-        # (Agarwal et al., "Mergeable Summaries": the total decrement
-        # across the fold stays <= n_p/(cap+1), so any key with
-        # partition-local count > n_p/(cap+1) still finishes positive
-        # — the superset guarantee is unchanged).
         counters = None
         for pdf in batches:
-            vc = pdf["user_id"].value_counts()
-            counters = vc if counters is None else counters.add(vc, fill_value=0)
-            if len(counters) > cap:
-                d = counters.nlargest(cap + 1).iloc[-1]
-                counters = counters[counters > d] - d
+            counters = mg_merge(counters, pdf["user_id"].value_counts(), cap)
         yield pd.DataFrame(
             {
                 "user_id": (
@@ -913,17 +938,7 @@ def heavy_hitters(
         .mapInPandas(_mg_partition, "user_id long")
         .distinct()
     )
-    exact = (
-        events.join(F.broadcast(candidates), "user_id", "left_semi")
-        .groupBy("user_id")
-        .agg(F.count("*").cast("long").alias("n_events"))
-        .filter(F.col("n_events") > threshold)
-    )
-    return exact.select(
-        "user_id",
-        "n_events",
-        F.round(F.col("n_events").cast("double") / n_total, 6).alias("frequency"),
-    ).orderBy(F.desc("n_events"), "user_id")
+    return heavy_hitters_verify(events, candidates, n_total, t)
 
 
 # e21: recency half-life. The decay law is QUANTIZED to quarter

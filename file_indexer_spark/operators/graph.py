@@ -122,6 +122,107 @@ def pagerank(
     )
 
 
+# dd20: personalization. Seeds are the anchor slice (the sim-family's
+# query convention, vec_id < PPR_SEED_MAX); teleport mass goes ONLY to
+# seeds, so rank measures weighted proximity to the anchor set.
+PPR_SEED_MAX = 10
+
+
+def personalized_pagerank(
+    knn: DataFrame,
+    corpus_ids: DataFrame,
+    seed_max: int = PPR_SEED_MAX,
+    iterations: int = ITERATIONS,
+) -> DataFrame:
+    """dd20: WEIGHTED personalized PageRank over sim5's kNN graph —
+    random-walk-with-restart proximity to a seed/anchor set, the
+    label-propagation / seed-expansion primitive (find the corpus
+    neighborhood of a curated exemplar set by graph proximity, not
+    just direct cosine).
+
+    Weighted + personalized, extending dd18's machinery:
+      * edges are sim5's DIRECTED top-k links; the weight is the
+        cosine in integer micro-units, and only POSITIVE weights
+        propagate (a non-positive similarity carries no mass; this
+        also keeps every out-weight sum > 0, so the integer division
+        is total on both engines);
+      * inflow is weight-proportional: quota(u->v) =
+        (rank(u) * w_e6(u,v)) DIV W_e6(u), with W the vertex's total
+        positive out-weight — the rank*weight product is
+        try_multiply-guarded (t14's rule: at extreme seed counts the
+        product could pass BIGINT headroom; fail loudly, never wrap);
+      * teleport mass goes ONLY to seeds: rank'(v) =
+        [v is seed] * BASE_E6 + (DAMPING_E2 * inflow(v)) DIV 100,
+        starting from R0 on seeds and 0 elsewhere.
+
+    All arithmetic BIGINT (the dd18 determinism contract); the oracle
+    unrolls the rounds verbatim over sim5's replicated kNN CTEs.
+
+    Scale shape: iteration state is O(kNN subgraph + seeds) — the
+    corpus joins in once at the end with rank 0 for unreached
+    vectors; per-round ``localCheckpoint`` cuts lineage (dd18's
+    contract); edges are weight-annotated once and hash-partitioned
+    by src.
+    """
+    if iterations < 1:
+        raise ValueError("personalized_pagerank needs >= 1 iteration")
+    edges = knn.select(
+        F.col("vec_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.expr("CAST(ROUND(cosine * 1000000) AS BIGINT)").alias("w_e6"),
+    ).filter(F.col("w_e6") > 0)
+    wtot = edges.groupBy("src").agg(F.sum("w_e6").cast("long").alias("w_tot"))
+    edges_w = (
+        edges.join(wtot, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    seeds = corpus_ids.filter(F.col("vec_id") < seed_max).select("vec_id")
+    nodes = (
+        edges_w.select(F.col("src").alias("vec_id"))
+        .unionByName(edges_w.select(F.col("dst").alias("vec_id")))
+        .unionByName(seeds)
+        .distinct()
+    )
+    seed_rank = F.when(F.col("vec_id") < seed_max, F.lit(R0_E6)).otherwise(F.lit(0))
+    ranks = nodes.select("vec_id", seed_rank.cast("long").alias("rank_e6"))
+    quota = (
+        "ifnull(try_multiply(rank_e6, w_e6), CAST(raise_error("
+        "'dd20: rank*weight product past BIGINT headroom; rescale R0_E6 "
+        "or the seed set') AS BIGINT)) DIV w_tot"
+    )
+    base = F.when(F.col("vec_id") < seed_max, F.lit(BASE_E6)).otherwise(F.lit(0))
+    for _ in range(iterations):
+        inflow = (
+            edges_w.join(ranks, edges_w["src"] == ranks["vec_id"])
+            .select("dst", F.expr(quota).alias("quota"))
+            .groupBy("dst")
+            .agg(F.sum("quota").cast("long").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["vec_id"] == inflow["dst"], "left")
+            .select(
+                "vec_id",
+                (
+                    base
+                    + F.expr(f"{DAMPING_E2} * coalesce(inflow, 0L) DIV 100")
+                )
+                .cast("long")
+                .alias("rank_e6"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        corpus_ids.select("vec_id")
+        .join(ranks, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("rank_e6", F.lit(0)).cast("long").alias("rank_e6"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def pagerank_refresh(
     stored_ranks: DataFrame,
     stored_pairs: DataFrame,

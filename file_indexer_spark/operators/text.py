@@ -696,20 +696,33 @@ def bm25_topk(
     and the output rounds to 6 decimals with a (score, doc_id)
     tie-break — the sim1 float-contract.
     """
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
+    toks = _bm25_tokens(docs)
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
     scalars = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("tot_tokens"),
     )
-    term_list = ", ".join(f"'{t}'" for t in terms)
     tf = (
         toks.filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    return _bm25_rank(tf, dl, scalars, k)
+
+
+def _bm25_tokens(docs: DataFrame) -> DataFrame:
+    """THE single tokenizer for the BM25 family (t15/t16/t17) — build
+    and serve paths must agree token-for-token."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+
+
+def _bm25_rank(tf: DataFrame, dl: DataFrame, scalars: DataFrame, k: int) -> DataFrame:
+    """The shared BM25 scoring back half: df from the (already
+    query-filtered) tf table, the Lucene-idf score expression, and the
+    TakeOrderedAndProject top-k. Identical SQL text to the oracle —
+    same operation order, exact integer inputs."""
     df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").cast("long").alias("df"))
     score_term = (
         f"ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
@@ -732,3 +745,84 @@ def bm25_topk(
         F.row_number().over(w).cast("int").alias("rank"),
         F.round("score", 6).alias("score"),
     ).orderBy("rank")
+
+
+def bm25_index_tables(docs: DataFrame) -> dict[str, DataFrame]:
+    """t16 build phase: the FULL inverted-index tables a lexical
+    serving tier stores once per corpus snapshot —
+
+      * ``postings`` (doc_id, term, tf) over the ENTIRE vocabulary
+        (t15 filters to one query's terms before its shuffle; the
+        stored index pays the full tokenize/aggregate cost ONCE and
+        then serves ARBITRARY queries from narrow re-reads),
+      * ``doclen`` (doc_id, dl),
+      * ``scalars`` (n_docs, tot_tokens) — one row.
+
+    The caller writes these to parquet; cluster postings by term
+    (``repartitionByRange("term")`` + sort-within) so a query's IN
+    predicate prunes row groups at serve time — the 100 TB read is
+    O(postings of the query terms), never the corpus.
+    """
+    toks = _bm25_tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    scalars = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_tokens"),
+    )
+    return {"postings": postings, "doclen": dl, "scalars": scalars}
+
+
+def bm25_topk_from_index(
+    mats: dict[str, DataFrame],
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """t16 serve phase: answer a BM25 query from the stored index
+    tables only — the term filter lands on the clustered postings
+    parquet (row-group pruning), df/scalars broadcast, and the raw
+    corpus text is never touched.  Produces the IDENTICAL ranking to
+    t15's from-scratch pass (hash-gated against the same oracle)."""
+    tf = mats["postings"].filter(F.col("term").isin(*terms))
+    return _bm25_rank(tf, mats["doclen"], mats["scalars"], k)
+
+
+def bm25_append(
+    mats: dict[str, DataFrame], new_docs: DataFrame
+) -> dict[str, DataFrame]:
+    """t17 index MAINTENANCE: add a document batch to the stored
+    index WITHOUT re-tokenizing the corpus.  BM25's statistics are
+    pure counts — postings and doc lengths of disjoint doc sets union,
+    and the corpus scalars add — so the merged index is EXACTLY the
+    full-corpus index (unlike sim12's frozen-quantizer append, no
+    approximation is involved; the oracle is t15's verbatim over the
+    union corpus).  Cost: tokenize/aggregate the BATCH only.
+
+    Contract: ``new_docs`` doc_ids are disjoint from the indexed set
+    (the dd12/sim12 arrival convention); overlapping ids would need a
+    read-modify-write of the touched postings instead.
+    """
+    toks = _bm25_tokens(new_docs)
+    new_dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    new_postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    batch_scalars = new_dl.agg(
+        F.count("*").cast("long").alias("b_docs"),
+        F.sum("dl").cast("long").alias("b_tokens"),
+    )
+    # 1-row x 1-row cross: the stored scalars absorb the batch counts
+    # incrementally — no corpus re-aggregation.
+    merged_scalars = mats["scalars"].join(F.broadcast(batch_scalars)).select(
+        (F.col("n_docs") + F.col("b_docs")).cast("long").alias("n_docs"),
+        (F.col("tot_tokens") + F.col("b_tokens")).cast("long").alias("tot_tokens"),
+    )
+    return {
+        "postings": mats["postings"].unionByName(new_postings),
+        "doclen": mats["doclen"].unionByName(new_dl),
+        "scalars": merged_scalars,
+    }

@@ -357,14 +357,10 @@ def h10_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim5_knn_join",
-    f"""
-    -- k-NN graph under the IVF constraint: neighbors share a centroid
-    -- list (top-2 multi-assignment; shared-list pairs deduped). The
-    -- assignment/ranking replicate operators/similarity.py exactly
-    -- (deterministic centroids, IEEE left-to-right fold).
-    WITH c AS ({_DUCK_NORMS}),
+# sim5's kNN-graph CTE chain, shared with dd20's personalized-PageRank
+# oracle (the _DD7_PAIRS_CTES pattern): ends in a `knn` CTE with the
+# exact columns/rounding the sim5 gate emits.
+_SIM5_KNN_CTES = f"""c AS ({_DUCK_NORMS}),
     cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
               FROM c
               JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) reps
@@ -388,9 +384,22 @@ def h10_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, neighbor_id, cosine,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM pairs)
-    SELECT vec_id, neighbor_id, rank, round(cosine, 6) AS cosine
-    FROM ranked WHERE rank <= {sim.KNN_K} ORDER BY vec_id, rank
+        FROM pairs),
+    knn AS (
+        SELECT vec_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= {sim.KNN_K})"""
+
+
+@register(
+    "sim5_knn_join",
+    f"""
+    -- k-NN graph under the IVF constraint: neighbors share a centroid
+    -- list (top-2 multi-assignment; shared-list pairs deduped). The
+    -- assignment/ranking replicate operators/similarity.py exactly
+    -- (deterministic centroids, IEEE left-to-right fold).
+    WITH {_SIM5_KNN_CTES}
+    SELECT vec_id, neighbor_id, rank, cosine
+    FROM knn ORDER BY vec_id, rank
     """,
 )
 def sim5_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:

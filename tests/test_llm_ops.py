@@ -1638,6 +1638,70 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_bm25_index_serve_equals_scratch(spark, tmp_path):
+    """t16: serving from the materialized inverted index produces the
+    identical ranking to the from-scratch pass (the build/serve split
+    is lossless through a parquet round-trip)."""
+    from file_indexer_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark join window"),
+            (2, "spark " + "filler " * 50),
+            (3, "nothing relevant here at all"),
+            (4, "window join window spark extra words padding"),
+        ],
+        "doc_id long, text string",
+    )
+    mats = {}
+    for name, df in tx.bm25_index_tables(docs).items():
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        mats[name] = spark.read.parquet(p)
+    scratch = [tuple(r) for r in tx.bm25_topk(docs, k=4).collect()]
+    served = [tuple(r) for r in tx.bm25_topk_from_index(mats, k=4).collect()]
+    assert served == scratch
+
+
+def test_bm25_append_equals_full_rebuild(spark, tmp_path):
+    """t17: appending a disjoint doc batch to the stored index yields
+    EXACTLY the full-corpus index (BM25 stats are pure counts), so the
+    served ranking equals a from-scratch pass over the union."""
+    from file_indexer_spark.operators import text as tx
+
+    base = spark.createDataFrame(
+        [
+            (1, "spark join window spark join window"),
+            (2, "spark " + "filler " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (3, "nothing relevant here at all"),
+            (4, "window join window spark extra words padding"),
+        ],
+        "doc_id long, text string",
+    )
+    mats = {}
+    for name, df in tx.bm25_index_tables(base).items():
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        mats[name] = spark.read.parquet(p)
+    merged = tx.bm25_append(mats, batch)
+    scratch = [
+        tuple(r) for r in tx.bm25_topk(base.unionByName(batch), k=4).collect()
+    ]
+    served = [tuple(r) for r in tx.bm25_topk_from_index(merged, k=4).collect()]
+    assert served == scratch
+    # the incrementally-merged scalars equal the union corpus's
+    srow = merged["scalars"].collect()[0]
+    assert srow["n_docs"] == 4
+    assert srow["tot_tokens"] == sum(
+        len(r["text"].split(" ")) for r in base.union(batch).collect()
+    )
+
+
 def test_distribution_drift_zero_when_identical(spark):
     """ct6: a batch slice with the same length profile as the base
     yields zero exact-L1 distance (PSI stays at its smoothing floor)."""

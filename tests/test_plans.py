@@ -141,6 +141,16 @@ _NESTED_LOOP_OK = {
     # e21 crosses every event with the BROADCAST 1-row max-ts anchor —
     # h9/t10's scalar-subquery shape; the aggregate is a real hash agg.
     "e21_decayed_engagement",
+    # t16/t17 serve t15's scoring from the materialized index — the
+    # same broadcast 1-row corpus-scalars cross (t17 adds the 1-row x
+    # 1-row stored-scalars x batch-scalars merge); postings/doclen
+    # attach via real equi-joins (term pushdown plan-pinned).
+    "t16_bm25_materialized",
+    "t17_bm25_append",
+    # dd20 builds its edge list with sim5's allow-listed bounded
+    # broadcast-centroid scoring pass; the PPR iteration itself joins
+    # on src/dst (real hash joins over the kNN subgraph).
+    "dd20_personalized_pagerank",
 }
 
 
@@ -803,6 +813,63 @@ def test_round10_ops_prune_and_stay_lean(spark, sf_smoke):
     plan = pi.simple_plan(att)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_serve_pushes_terms_into_postings_scan(spark, sf_smoke, tmp_path):
+    """t16: the serve path's query-term IN predicate must reach the
+    postings parquet scan (row-group pruning over the term-clustered
+    layout) with column pruning — a post-scan filter would read the
+    whole index."""
+    from file_indexer_spark.operators import text as tx
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    mats = {}
+    for name, df in tx.bm25_index_tables(docs).items():
+        p = str(tmp_path / name)
+        if name == "postings":
+            df = df.repartitionByRange(4, "term").sortWithinPartitions(
+                "term", "doc_id"
+            )
+        df.write.parquet(p)
+        mats[name] = spark.read.parquet(p)
+    served = tx.bm25_topk_from_index(mats)
+    pushed = " ".join(pi.pushed_filters(served))
+    assert "In(term" in pushed, pushed
+    cols = pi.scan_columns(served)
+    assert "text" not in cols, cols  # never touches the corpus
+
+
+def test_personalized_pagerank_weighted_seed_proximity(spark):
+    """dd20 semantics: teleport mass lands only on seeds; a vertex fed
+    by a heavier edge outranks one fed by a lighter edge from the same
+    seed; unreached corpus vectors hold rank 0; non-positive-cosine
+    edges carry no mass."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import graph as gr
+
+    # seed 0 -> 100 (cosine .9) and 0 -> 101 (cosine .1);
+    # 200 is reached only through a NEGATIVE edge (must stay 0);
+    # 999 is isolated corpus (rank 0); seed 1 has no edges (BASE only)
+    knn = spark.createDataFrame(
+        [
+            (0, 100, 1, 0.9),
+            (0, 101, 2, 0.1),
+            (0, 200, 3, -0.5),
+            (100, 0, 1, 0.9),
+        ],
+        "vec_id long, neighbor_id long, rank int, cosine double",
+    )
+    corpus = spark.range(0, 2).union(
+        spark.createDataFrame([(100,), (101,), (200,), (999,)], "id long")
+    ).select(F.col("id").alias("vec_id"))
+    out = {r["vec_id"]: r["rank_e6"] for r in
+           gr.personalized_pagerank(knn, corpus).collect()}
+    assert out[999] == 0 and out[200] == 0       # unreached / negative edge
+    assert out[100] > out[101] > 0               # weight-proportional inflow
+    assert out[1] == gr.BASE_E6                  # edgeless seed: teleport only
+    assert out[0] > gr.BASE_E6                   # seed with inflow from 100
 
 
 def test_pagerank_iterates_only_over_pair_subgraph(spark):

@@ -930,6 +930,53 @@ def test_streaming_funnel_tolerates_unsorted_rows_within_batch(spark, tmp_path):
     assert final[7]["t_purchase"] is not None
 
 
+def test_streaming_heavy_hitters_exact_across_eviction(spark, tmp_path):
+    """st17: a heavy hitter whose early events are decremented OUT of
+    the Misra-Gries state by a flood of light users still lands in the
+    final candidate set once its later events arrive (the MG bound
+    covers the whole stream prefix, state persists across batches),
+    and the shared exact verify equals the naive global count."""
+    import datetime as dt
+
+    from file_indexer_spark.operators import events as evo
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming import frequency as sfq
+    from file_indexer_spark.streaming.windows import (
+        EVENTS_STREAM_SCHEMA,
+        run_update_mode_to_parquet,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t0, u, "view", 1.0, None) for i, u in rows],
+            EVENTS_STREAM_SCHEMA,
+        )
+
+    # all user_ids are multiples of N_GROUPS -> ONE salt group, so the
+    # capacity-4 sketch is under real pressure
+    H = 800
+    b1 = mk([(i, 8 * (i + 1)) for i in range(9)] + [(9, H)])  # 9 lights + H once
+    b2 = mk([(100 + j, H) for j in range(9)] + [(200, 880), (201, 888)])
+    src, out = str(tmp_path / "st17_src"), str(tmp_path / "st17_log")
+    _land_arrivals(src, [b1, b2])
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    run_update_mode_to_parquet(
+        sfq.heavy_hitter_candidates_stream(stream, t=4, capacity=4), out
+    )
+    log = spark.read.parquet(out)
+    # batch 1: ten all-count-1 keys overflow capacity 4 -> everything
+    # (H included) decrements to zero; the trigger emits NO candidates
+    assert log.filter("seq = 1").count() == 0
+    cands = sfq.final_candidates(log)
+    assert H in {r["user_id"] for r in cands.collect()}
+    # exact verify over the landed corpus: threshold = 21 // 4 = 5
+    events = spark.read.parquet(src)
+    out_rows = evo.heavy_hitters_verify(events, cands, events.count(), t=4).collect()
+    assert [(r["user_id"], r["n_events"]) for r in out_rows] == [(H, 10)]
+
+
 def test_streaming_drift_folds_across_batches(spark, tmp_path):
     """st16: per-bin counters accumulate across micro-batches — a bin
     fed from both arrivals ends at the batch-computed total, and the
