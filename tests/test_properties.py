@@ -526,6 +526,80 @@ def test_pagerank_matches_adjacency_reference(spark, case):
     assert got == _pagerank_reference(n, edges)
 
 
+def _ppr_reference(n_nodes: int, edges: list[tuple[int, int, float]]):
+    """Independent pure-Python rendition of dd20's weighted
+    personalized recurrence (adjacency dicts + integer division)."""
+    from file_indexer_spark.operators import graph as gr
+
+    w_of = {}
+    for s, d, cos in edges:
+        w = round(cos * 1_000_000)
+        if w > 0:
+            w_of[(s, d)] = w
+    out = {}
+    for (s, d), w in w_of.items():
+        out.setdefault(s, {})[d] = w
+    w_tot = {s: sum(ds.values()) for s, ds in out.items()}
+    nodes = {v for e in w_of for v in e} | set(
+        range(min(n_nodes, gr.PPR_SEED_MAX))
+    )
+    ranks = {v: gr.R0_E6 if v < gr.PPR_SEED_MAX else 0 for v in nodes}
+    for _ in range(gr.ITERATIONS):
+        ranks = {
+            v: (gr.BASE_E6 if v < gr.PPR_SEED_MAX else 0)
+            + (
+                gr.DAMPING_E2
+                * sum(
+                    (ranks[u] * w) // w_tot[u]
+                    for u, ds in out.items()
+                    for d, w in ds.items()
+                    if d == v
+                )
+            )
+            // 100
+            for v in nodes
+        }
+    return {i: ranks.get(i, 0) for i in range(n_nodes)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=14).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(0, n - 1),
+                    st.integers(0, n - 1),
+                    st.integers(-3, 10),  # cosine = w/10: negatives exercise the filter
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=18,
+                unique_by=lambda e: (e[0], e[1]),
+            ),
+        )
+    )
+)
+def test_personalized_pagerank_matches_reference(spark, case):
+    """dd20 on random directed weighted graphs (negative/zero weights,
+    dangling seeds, unreached vertices): the DataFrame vertex program
+    must agree with an independent adjacency-dict rendition of the
+    weighted personalized integer recurrence."""
+    from file_indexer_spark.operators import graph as gr
+
+    n, raw = case
+    edges = [(s, d, w / 10.0) for s, d, w in raw]
+    knn = spark.createDataFrame(
+        [(s, d, 1, c) for s, d, c in edges] or [],
+        "vec_id long, neighbor_id long, rank int, cosine double",
+    )
+    corpus = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    got = {
+        r["vec_id"]: r["rank_e6"]
+        for r in gr.personalized_pagerank(knn, corpus).collect()
+    }
+    assert got == _ppr_reference(n, edges)
+
+
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(st.integers(min_value=0, max_value=6), min_size=5, max_size=60),
