@@ -616,7 +616,31 @@ def _sim10_serving_regime(spark, sf_dir: str):
     return sim.ivfpq_topk(emb, n_centroids=max(64, math.isqrt(n)))
 
 
-SCALE_EXTRA = {"sim10_ivfpq_topk_serving_regime": _sim10_serving_regime}
+def _dd20_serving_regime(spark, sf_dir: str):
+    """dd20 with the kNN build in its DESIGN regime (n_centroids =
+    sqrt(n), the serving rule — sim10's precedent): the gate config's
+    fixed centroid count makes within-list pair work quadratic under
+    replication (a fixture artifact, sim5's documented exclusion);
+    this row measures the shape a deployment runs. Not
+    oracle-replicable per-factor (k varies with n), so it lives only
+    in the scale sweep."""
+    import math
+
+    from file_indexer_spark.operators import graph as gr
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.session import tune_session
+
+    tune_session(spark)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    knn = sim.knn_join(emb, n_centroids=max(64, math.isqrt(n)))
+    return gr.personalized_pagerank(knn, emb.select("vec_id"))
+
+
+SCALE_EXTRA = {
+    "sim10_ivfpq_topk_serving_regime": _sim10_serving_regime,
+    "dd20_personalized_pagerank_serving_regime": _dd20_serving_regime,
+}
 
 
 def materialize_scale(spark, src_dir: str, dst_dir: str, factor: int) -> None:
