@@ -1079,6 +1079,21 @@ def main_stream() -> None:
         "append",
     )
 
+    # st17: the heavy-hitter sketch — state must stay O(groups x
+    # capacity) however many events stream through (the bounded-state
+    # claim, measured: peak_state_rows <= N_GROUPS regardless of
+    # distinct-user count; each group row carries one MG summary)
+    from file_indexer_spark.streaming import frequency as sfq
+
+    src17 = os.path.join(base, "st17_src")
+    _land_chunks(spark, events, src17, "ts", _STREAM_CHUNKS)
+    results["st17_streaming_heavy_hitters"] = _drain_with_metrics(
+        sfq.heavy_hitter_candidates_stream(
+            sw.read_events_stream(spark, src17, max_files_per_trigger=1)
+        ),
+        "update",
+    )
+
     doc = {
         "metric": "streaming_throughput_10x",
         "unit": "rows_per_sec",
