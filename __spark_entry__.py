@@ -46,7 +46,7 @@ _DRIVER_PRIORITY = [
     # predates r8. The local test_oracle_diff gate covers all
     # queries every run.
     "p5_point_lookup", "p6_batch_probe", "p7_keyset_page", "t16_bm25_materialized",
-    "t17_bm25_append", "st17_streaming_heavy_hitters", "dd20_personalized_pagerank", "a10_extension_stats",
+    "t17_bm25_append", "st17_streaming_heavy_hitters", "dd20_personalized_pagerank", "w19_constraint_quarantine", "a10_extension_stats",
     "a11_modification_timeline", "a13_total_wasted_space", "a7_phase2_work_selection",
     "a7b_phase2_files_to_hash", "a8_duplicate_stats", "a9_size_histogram",
     "dd1_exact_dedup", "dd2_ngram_jaccard", "dd4_simhash", "dd5_embedding_neardup",
@@ -59,11 +59,11 @@ _DRIVER_PRIORITY = [
     "st2_streaming_index", "st3_stateful_sessions", "t1_token_stats",
     "t2_quality_scores", "t3_language_confusion", "t4_fingerprints",
     "w1_index_roundtrip", "e6_retention_cohorts", "sim4_filtered_ann",
-    "sp2_source_cap", "sp3_sequence_packing", "st4_streaming_dedup",
+    "sp2_source_cap", "sp3_sequence_packing",
    
     # ---- behind the 50-slot window boundary: recently checked ----
-    # (t5 displaced by dd20 — newest of the r04-era rows, next window)
-    "t5_quality_retention",
+    # (t5/st4 displaced by dd20/w19 — newest of the r04-era rows, next window)
+    "t5_quality_retention", "st4_streaming_dedup",
     # (r10 additions first, then the r8-r10 window blocks in their
     # previous order)
     "dd18_pagerank_centrality", "dd19_incremental_pagerank", "e19_linear_attribution",

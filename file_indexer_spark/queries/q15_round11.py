@@ -141,6 +141,124 @@ def st17_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.heavy_hitters_verify(events, candidates, events.count())
 
 
+# ------------------------------------------------------------- w19
+
+from file_indexer_spark.tables import FILES_CTE, files_df  # noqa: E402
+
+
+@register(
+    "w19_constraint_quarantine",
+    f"""
+    -- Writer-side constraint enforcement: a deterministically
+    -- corrupted feed (md5-slice rules: '0' -> negative size,
+    -- '1' -> NULL key, '2' -> duplicated PK with size+7) is
+    -- classified row-exactly-once into accepted / null_key /
+    -- negative_size / duplicate_key; among row-level-clean rows of a
+    -- PK group the FIRST in (file_size, checksum NULLS FIRST, mtime)
+    -- order is kept. The Spark side recomputes this summary from the
+    -- ROUND-TRIPPED table + quarantine parquet, so a lost or
+    -- misrouted row hash-mismatches (the w6 discipline).
+    WITH {FILES_CTE},
+    dirty AS (
+        SELECT path,
+               CASE WHEN substr(md5(filename), 1, 1) = '1' THEN NULL
+                    ELSE filename END AS filename,
+               checksum, modification_datetime,
+               CASE WHEN substr(md5(filename), 1, 1) = '0'
+                    THEN -(file_size + 1) ELSE file_size END AS file_size,
+               indexed_at
+        FROM files
+        UNION ALL
+        SELECT path, filename, checksum, modification_datetime,
+               file_size + 7 AS file_size, indexed_at
+        FROM files WHERE substr(md5(filename), 1, 1) = '2'),
+    flagged AS (
+        SELECT *,
+               CASE WHEN path IS NULL OR filename IS NULL THEN 'null_key'
+                    WHEN file_size < 0 THEN 'negative_size' END AS row_reason
+        FROM dirty),
+    seqd AS (
+        SELECT *,
+               SUM(CASE WHEN row_reason IS NULL THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY path, filename
+                   ORDER BY file_size ASC,
+                            checksum ASC NULLS FIRST,
+                            modification_datetime ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM flagged),
+    classified AS (
+        SELECT *,
+               COALESCE(row_reason,
+                        CASE WHEN seq > 1 THEN 'duplicate_key' END) AS reason
+        FROM seqd)
+    SELECT COALESCE(reason, 'accepted') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(file_size) AS BIGINT) AS total_size
+    FROM classified
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def w19_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19: the validate-and-quarantine WRITE gate — the reference's
+    declared constraints (files DDL NOT NULLs + PK,
+    file_indexer/indexer.py:91-101) enforced the way a distributed
+    writer must: classify-and-route, never reject-the-batch, never
+    silently drop. Accepted rows commit through the FilesTable,
+    violations land in a quarantine parquet with their reason; the
+    summary is recomputed from the round-tripped SINKS."""
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.indexer.quality import classify_files, split_valid
+
+    tune_session(spark)
+    workdir, _ = _stream_workdir("fis_w19", sf_dir)
+
+    base = files_df(spark, sf_dir)
+    h = F.substring(F.md5(F.col("filename")), 1, 1)
+    dirty = base.select(
+        "path",
+        F.when(h == "1", F.lit(None).cast("string"))
+        .otherwise(F.col("filename"))
+        .alias("filename"),
+        "checksum",
+        "modification_datetime",
+        F.when(h == "0", -(F.col("file_size") + 1))
+        .otherwise(F.col("file_size"))
+        .cast("long")
+        .alias("file_size"),
+        "indexed_at",
+    ).unionByName(
+        base.filter(h == "2").select(
+            "path",
+            "filename",
+            "checksum",
+            "modification_datetime",
+            (F.col("file_size") + 7).cast("long").alias("file_size"),
+            "indexed_at",
+        )
+    )
+    accepted, quarantined = split_valid(classify_files(dirty))
+    table = FilesTable(spark, os.path.join(workdir, "db"))
+    table.overwrite(accepted)
+    qdir = os.path.join(workdir, "quarantine")
+    quarantined.write.mode("overwrite").parquet(qdir)
+
+    back = table.read().select(
+        F.lit("accepted").alias("status"), "file_size"
+    ).unionByName(
+        spark.read.parquet(qdir).select(
+            F.col("reason").alias("status"), "file_size"
+        )
+    )
+    return (
+        back.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("file_size").cast("long").alias("total_size"),
+        )
+        .orderBy("status")
+    )
+
+
 # ------------------------------------------------------------- dd20
 
 from file_indexer_spark.operators import graph as gr  # noqa: E402

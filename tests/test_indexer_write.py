@@ -1190,3 +1190,44 @@ def test_restore_is_metadata_only_and_history_labels(spark, tmp_path):
     assert {(r["filename"], r["checksum"]) for r in t.read().collect()} == got
     with pytest.raises(ValueError, match="vacuumed|not retained"):
         t.restore(2)
+
+
+def test_classify_files_routes_every_row_exactly_once(spark):
+    """w19: the classification partitions the input (accepted +
+    quarantined == input, no loss, no double-count); a row-level-bad
+    row never shadows a clean row of the same PK; among clean
+    duplicates the FIRST in (file_size, checksum NULLS FIRST, mtime)
+    order is kept."""
+    import datetime as dt
+
+    from file_indexer_spark.indexer.quality import classify_files, split_valid
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # clean singleton
+        ("/a", "ok", "c1", t0, 10, t0),
+        # negative-size row sorts FIRST in the PK group (size -5 < 7)
+        # but must NOT shadow the clean row
+        ("/a", "shadow", "c2", t0, -5, t0),
+        ("/a", "shadow", "c3", t0, 7, t0),
+        # clean duplicate pair: smaller size kept, larger quarantined
+        ("/a", "dup", "c4", t0, 3, t0),
+        ("/a", "dup", "c5", t0, 4, t0),
+        # null key
+        ("/a", None, "c6", t0, 1, t0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "path string, filename string, checksum string, "
+        "modification_datetime timestamp, file_size long, indexed_at timestamp",
+    )
+    accepted, quarantined = split_valid(classify_files(df))
+    acc = {(r["filename"], r["file_size"]) for r in accepted.collect()}
+    q = {(r["filename"], r["file_size"], r["reason"]) for r in quarantined.collect()}
+    assert accepted.count() + quarantined.count() == df.count()
+    assert acc == {("ok", 10), ("shadow", 7), ("dup", 3)}
+    assert q == {
+        ("shadow", -5, "negative_size"),
+        ("dup", 4, "duplicate_key"),
+        (None, 1, "null_key"),
+    }
