@@ -856,8 +856,20 @@ def mg_merge(counters, vc, cap: int):
     (Agarwal et al., "Mergeable Summaries": the total decrement across
     any fold stays <= n/(cap+1), so a key with true count > n/(cap+1)
     always finishes positive — the superset guarantee holds under ANY
-    merge order)."""
-    merged = vc if counters is None else counters.add(vc, fill_value=0)
+    merge order).
+
+    Counter dtype contract: the merge is int64 END TO END — the
+    reindex-union form below avoids ``Series.add(fill_value=...)``,
+    whose index alignment round-trips through float64 and would cap
+    exactness at 2^53 events per fold (the dd18/dd20 BIGINT-contract
+    discipline, applied to the sketch)."""
+    if counters is None:
+        merged = vc.astype("int64")
+    else:
+        idx = counters.index.union(vc.index)
+        merged = counters.reindex(idx, fill_value=0).astype(
+            "int64"
+        ) + vc.reindex(idx, fill_value=0).astype("int64")
     if len(merged) > cap:
         d = merged.nlargest(cap + 1).iloc[-1]
         merged = merged[merged > d] - d
@@ -920,15 +932,19 @@ def heavy_hitters(
     n_total = events.count()
 
     def _mg_partition(batches):
+        import numpy as np
+
         counters = None
         for pdf in batches:
             counters = mg_merge(counters, pdf["user_id"].value_counts(), cap)
+        # the empty branch must be an explicitly int64 array too — an
+        # object-dtype [] only coerces through pyarrow by accident
         yield pd.DataFrame(
             {
                 "user_id": (
                     counters.index.to_numpy(dtype="int64")
                     if counters is not None
-                    else []
+                    else np.array([], dtype="int64")
                 )
             }
         )

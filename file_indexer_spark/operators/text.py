@@ -811,9 +811,12 @@ def bm25_append(
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    # coalesce: an EMPTY batch aggregates sum(dl) to NULL, which would
+    # silently NULL the merged scalars (and every downstream score);
+    # an empty append must be a no-op instead
     batch_scalars = new_dl.agg(
         F.count("*").cast("long").alias("b_docs"),
-        F.sum("dl").cast("long").alias("b_tokens"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("b_tokens"),
     )
     # 1-row x 1-row cross: the stored scalars absorb the batch counts
     # incrementally — no corpus re-aggregation.

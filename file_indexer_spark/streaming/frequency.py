@@ -19,9 +19,10 @@ micro-batches instead:
     count > n_g/t within its own group (n_g <= n), so with cap + 1 > t
     it survives its group's summary;
   * every trigger re-emits the group's CURRENT candidate set tagged
-    with a monotone ``seq`` (update mode); the drain keeps each
-    group's final seq — candidates evicted mid-stream drop out, late
-    recoveries stay in;
+    with a monotone ``seq`` (update mode), PLUS one NULL-user sentinel
+    row so the trigger's seq is observable even when the summary is
+    empty; the drain keeps each group's final seq — candidates evicted
+    mid-stream drop out, late recoveries stay in;
   * the exact verify then runs over the landed corpus with
     :func:`operators.events.heavy_hitters_verify` — identical to e20's
     pass 2, so the final result equals the batch two-pass and the gate
@@ -31,12 +32,19 @@ At 100 TB: the sketch rides the ingestion stream with constant state
 while the landed event log sits in parquet; the verify is one
 candidate-restricted scan per reporting period, never an O(distinct
 users) shuffle.
+
+Counter dtype contract: the MG counters stay int64 end to end — the
+state arrays are long, :func:`operators.events.mg_merge` merges via an
+int64-preserving reindex-union, and the state round-trip below rebuilds
+the pandas Series with explicit int64 arrays (never float64), so the
+counts are exact at ANY event volume, not merely below 2^53.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,11 +55,15 @@ from file_indexer_spark.operators.events import HH_CAPACITY, HH_T, mg_merge
 
 N_GROUPS = 8
 
+# user_id is nullable: each trigger emits one NULL-user sentinel row
+# alongside the candidates so its seq is observable in the log even
+# when the MG summary is empty (otherwise max(seq) would resolve to an
+# earlier trigger and resurrect mid-stream-evicted candidates).
 HH_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("grp", T.LongType(), False),
         T.StructField("seq", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
     ]
 )
 
@@ -73,7 +85,8 @@ def _make_hh_group(cap: int):
         if state.exists:
             seq, keys, counts = state.get
             counters = pd.Series(
-                [float(c) for c in counts], index=[int(k) for k in keys]
+                np.asarray(counts, dtype="int64"),
+                index=np.asarray(keys, dtype="int64"),
             )
         else:
             seq, counters = 0, None
@@ -81,7 +94,10 @@ def _make_hh_group(cap: int):
             counters = mg_merge(counters, pdf["user_id"].value_counts(), cap)
         seq += 1
         if counters is None:
-            counters = pd.Series(dtype="float64")
+            counters = pd.Series(
+                np.array([], dtype="int64"),
+                index=np.array([], dtype="int64"),
+            )
         state.update(
             (
                 seq,
@@ -89,11 +105,15 @@ def _make_hh_group(cap: int):
                 [int(c) for c in counters],
             )
         )
+        # candidates + one NULL-user sentinel: every trigger's seq is
+        # observable in the log (pandas nullable Int64 -> Arrow long)
         yield pd.DataFrame(
             {
-                "grp": [int(grp)] * len(counters),
-                "seq": [seq] * len(counters),
-                "user_id": counters.index.to_numpy(dtype="int64"),
+                "grp": [int(grp)] * (len(counters) + 1),
+                "seq": [seq] * (len(counters) + 1),
+                "user_id": pd.array(
+                    list(counters.index) + [None], dtype="Int64"
+                ),
             }
         )
 
@@ -122,13 +142,17 @@ def heavy_hitter_candidates_stream(
 
 def final_candidates(emissions: DataFrame) -> DataFrame:
     """The drained sink's FINAL candidate set: each group's last
-    emitted seq (mid-stream evictions drop out, recoveries stay)."""
+    emitted seq (mid-stream evictions drop out, recoveries stay).
+    The sentinel rows make every trigger's seq present in the log, so
+    max(seq) is always the LAST trigger even when its summary emptied;
+    they are dropped here by the NULL filter."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("grp")
     return (
         emissions.withColumn("max_seq", F.max("seq").over(w))
         .filter(F.col("seq") == F.col("max_seq"))
+        .filter(F.col("user_id").isNotNull())
         .select("user_id")
         .distinct()
     )

@@ -1702,6 +1702,30 @@ def test_bm25_append_equals_full_rebuild(spark, tmp_path):
     )
 
 
+def test_bm25_append_empty_batch_is_noop(spark, tmp_path):
+    """t17 edge (ADVICE r11): an EMPTY append batch must leave the
+    index bit-identical — sum(dl) over zero rows aggregates to NULL
+    and uncoalesced would NULL the merged scalars (and every score)."""
+    from file_indexer_spark.operators import text as tx
+
+    base = spark.createDataFrame(
+        [(1, "spark join window"), (2, "spark filler words")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    mats = {}
+    for name, df in tx.bm25_index_tables(base).items():
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        mats[name] = spark.read.parquet(p)
+    merged = tx.bm25_append(mats, empty)
+    srow = merged["scalars"].collect()[0]
+    assert (srow["n_docs"], srow["tot_tokens"]) == (2, 6)
+    before = [tuple(r) for r in tx.bm25_topk_from_index(mats, k=2).collect()]
+    after = [tuple(r) for r in tx.bm25_topk_from_index(merged, k=2).collect()]
+    assert after == before
+
+
 def test_distribution_drift_zero_when_identical(spark):
     """ct6: a batch slice with the same length profile as the base
     yields zero exact-L1 distance (PSI stays at its smoothing floor)."""

@@ -967,8 +967,10 @@ def test_streaming_heavy_hitters_exact_across_eviction(spark, tmp_path):
     )
     log = spark.read.parquet(out)
     # batch 1: ten all-count-1 keys overflow capacity 4 -> everything
-    # (H included) decrements to zero; the trigger emits NO candidates
-    assert log.filter("seq = 1").count() == 0
+    # (H included) decrements to zero; the trigger emits NO candidates,
+    # only the NULL-user sentinel that makes the empty seq observable
+    assert log.filter("seq = 1 AND user_id IS NOT NULL").count() == 0
+    assert log.filter("seq = 1 AND user_id IS NULL").count() == 1
     cands = sfq.final_candidates(log)
     assert H in {r["user_id"] for r in cands.collect()}
     # exact verify over the landed corpus: threshold = 21 // 4 = 5
