@@ -13,7 +13,10 @@ reason — the reject-handling pattern constraint-checking writers
 (Delta CHECK constraints, DLT expectations) expose.
 
 Classification is one pass, one window:
-  * row-level reasons first (``null_key``: a NULL primary-key column;
+  * row-level reasons first, covering EVERY declared NOT NULL column
+    (``null_key``: a NULL primary-key column; ``null_size`` /
+    ``null_mtime``: the other two NOT NULL columns of the DDL —
+    NULL ``file_size`` or ``modification_datetime``;
     ``negative_size``: the BIGINT NOT NULL size is semantically
     non-negative);
   * then ``duplicate_key``: among the row-level-CLEAN rows of each
@@ -34,18 +37,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 REASON_NULL_KEY = "null_key"
+REASON_NULL_SIZE = "null_size"
+REASON_NULL_MTIME = "null_mtime"
 REASON_NEGATIVE_SIZE = "negative_size"
 REASON_DUPLICATE_KEY = "duplicate_key"
 
 
 def classify_files(df: DataFrame) -> DataFrame:
     """Append a ``reason`` column: NULL = accepted, else one of
-    null_key / negative_size / duplicate_key (priority in that
-    order). Single pass: one map-side CASE + one PK window."""
-    row_reason = F.when(
-        F.col("path").isNull() | F.col("filename").isNull(),
-        F.lit(REASON_NULL_KEY),
-    ).when(F.col("file_size") < 0, F.lit(REASON_NEGATIVE_SIZE))
+    null_key / null_size / null_mtime / negative_size / duplicate_key
+    (priority in that order — every NOT NULL column the reference DDL
+    declares gets its own arm; a bare ``file_size < 0`` predicate is
+    NULL for NULL input and would let a NULL size sail through).
+    Single pass: one map-side CASE + one PK window."""
+    row_reason = (
+        F.when(
+            F.col("path").isNull() | F.col("filename").isNull(),
+            F.lit(REASON_NULL_KEY),
+        )
+        .when(F.col("file_size").isNull(), F.lit(REASON_NULL_SIZE))
+        .when(F.col("modification_datetime").isNull(), F.lit(REASON_NULL_MTIME))
+        .when(F.col("file_size") < 0, F.lit(REASON_NEGATIVE_SIZE))
+    )
     w = (
         Window.partitionBy("path", "filename")
         .orderBy(

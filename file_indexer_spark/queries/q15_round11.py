@@ -151,21 +151,28 @@ from file_indexer_spark.tables import FILES_CTE, files_df  # noqa: E402
     f"""
     -- Writer-side constraint enforcement: a deterministically
     -- corrupted feed (md5-slice rules: '0' -> negative size,
-    -- '1' -> NULL key, '2' -> duplicated PK with size+7) is
+    -- '1' -> NULL key, '2' -> duplicated PK with size+7,
+    -- '3' -> NULL file_size, '4' -> NULL modification_datetime —
+    -- every NOT NULL column of the reference DDL is exercised) is
     -- classified row-exactly-once into accepted / null_key /
-    -- negative_size / duplicate_key; among row-level-clean rows of a
-    -- PK group the FIRST in (file_size, checksum NULLS FIRST, mtime)
-    -- order is kept. The Spark side recomputes this summary from the
-    -- ROUND-TRIPPED table + quarantine parquet, so a lost or
-    -- misrouted row hash-mismatches (the w6 discipline).
+    -- null_size / null_mtime / negative_size / duplicate_key; among
+    -- row-level-clean rows of a PK group the FIRST in (file_size,
+    -- checksum NULLS FIRST, mtime) order is kept. The Spark side
+    -- recomputes this summary from the ROUND-TRIPPED table +
+    -- quarantine parquet, so a lost or misrouted row hash-mismatches
+    -- (the w6 discipline).
     WITH {FILES_CTE},
     dirty AS (
         SELECT path,
                CASE WHEN substr(md5(filename), 1, 1) = '1' THEN NULL
                     ELSE filename END AS filename,
-               checksum, modification_datetime,
+               checksum,
+               CASE WHEN substr(md5(filename), 1, 1) = '4' THEN NULL
+                    ELSE modification_datetime END AS modification_datetime,
                CASE WHEN substr(md5(filename), 1, 1) = '0'
-                    THEN -(file_size + 1) ELSE file_size END AS file_size,
+                    THEN -(file_size + 1)
+                    WHEN substr(md5(filename), 1, 1) = '3' THEN NULL
+                    ELSE file_size END AS file_size,
                indexed_at
         FROM files
         UNION ALL
@@ -175,6 +182,8 @@ from file_indexer_spark.tables import FILES_CTE, files_df  # noqa: E402
     flagged AS (
         SELECT *,
                CASE WHEN path IS NULL OR filename IS NULL THEN 'null_key'
+                    WHEN file_size IS NULL THEN 'null_size'
+                    WHEN modification_datetime IS NULL THEN 'null_mtime'
                     WHEN file_size < 0 THEN 'negative_size' END AS row_reason
         FROM dirty),
     seqd AS (
@@ -220,8 +229,11 @@ def w19_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("filename"))
         .alias("filename"),
         "checksum",
-        "modification_datetime",
+        F.when(h == "4", F.lit(None).cast("timestamp"))
+        .otherwise(F.col("modification_datetime"))
+        .alias("modification_datetime"),
         F.when(h == "0", -(F.col("file_size") + 1))
+        .when(h == "3", F.lit(None))
         .otherwise(F.col("file_size"))
         .cast("long")
         .alias("file_size"),

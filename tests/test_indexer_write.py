@@ -1215,6 +1215,13 @@ def test_classify_files_routes_every_row_exactly_once(spark):
         ("/a", "dup", "c5", t0, 4, t0),
         # null key
         ("/a", None, "c6", t0, 1, t0),
+        # the other two declared NOT NULL columns (r11 verdict #1: a
+        # NULL size made `file_size < 0` NULL and sailed through as
+        # accepted) — and neither may shadow the clean PK row
+        ("/a", "nullsize", "c7", t0, None, t0),
+        ("/a", "nullsize", "c8", t0, 2, t0),
+        ("/a", "nullmtime", "c9", None, 5, t0),
+        ("/a", "nullmtime", "ca", t0, 6, t0),
     ]
     df = spark.createDataFrame(
         rows,
@@ -1225,9 +1232,11 @@ def test_classify_files_routes_every_row_exactly_once(spark):
     acc = {(r["filename"], r["file_size"]) for r in accepted.collect()}
     q = {(r["filename"], r["file_size"], r["reason"]) for r in quarantined.collect()}
     assert accepted.count() + quarantined.count() == df.count()
-    assert acc == {("ok", 10), ("shadow", 7), ("dup", 3)}
+    assert acc == {("ok", 10), ("shadow", 7), ("dup", 3), ("nullsize", 2), ("nullmtime", 6)}
     assert q == {
         ("shadow", -5, "negative_size"),
         ("dup", 4, "duplicate_key"),
         (None, 1, "null_key"),
+        ("nullsize", None, "null_size"),
+        ("nullmtime", 5, "null_mtime"),
     }
