@@ -1304,13 +1304,62 @@ def main_incremental() -> None:
     def append_lexical():
         tx.bm25_topk_from_index(tx.bm25_append(lidx, new_docs)).count()
 
+    # round 12: fragmentation economics. Ten successive 1% appends
+    # land their postings/doclen DELTAS as separate file sets (the
+    # steady-state writer's layout); the serve read degrades as every
+    # term's postings spread over 11 file sets, and one t18 compaction
+    # rewrite restores the clustered layout. Also the t17b upsert leg
+    # (read-modify-write of the 10% slice).
+    def land_fragmented():
+        posts, dls = [lidx["postings"]], [lidx["doclen"]]
+        for i in range(10):
+            b = docs.filter(F.col("doc_id") % 100 == 10 * i + 7)
+            t = tx.bm25_index_tables(b)
+            p = mat({"postings": t["postings"], "doclen": t["doclen"]}, f"t18_gen{i}")
+            posts.append(p["postings"])
+            dls.append(p["doclen"])
+        from functools import reduce
+
+        merged_p = reduce(lambda a, b: a.unionByName(b), posts)
+        merged_d = reduce(lambda a, b: a.unionByName(b), dls)
+        scal = merged_d.groupBy().agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("tot_tokens"),
+        )
+        return {"postings": merged_p, "doclen": merged_d, "scalars": scal}
+
+    compacted: dict = {}
+
+    def compact():
+        compacted.update(
+            tx.bm25_compact(spark, frag, os.path.join(base_dir, "t18_compact"))
+        )
+
+    t15_scratch = timed(lambda: tx.bm25_topk(docs).count())
+    t16_build = timed(build_lexical)  # populates lidx
+    frag = land_fragmented()
     results["lexical_index"] = {
-        "from_scratch_t15": timed(lambda: tx.bm25_topk(docs).count()),
-        "build_once": timed(build_lexical),
+        "from_scratch_t15": t15_scratch,
+        "build_once": t16_build,
         "steady_state_t16_serve": timed(
             lambda: tx.bm25_topk_from_index(lidx).count(), reps=3
         ),
         "steady_state_t17_append_10pct_plus_serve": timed(append_lexical, reps=2),
+        "serve_after_10_appends_fragmented": timed(
+            lambda: tx.bm25_topk_from_index(frag).count(), reps=3
+        ),
+        "t18_compaction_rewrite": timed(compact),
+        "steady_state_serve_after_compaction": timed(
+            lambda: tx.bm25_topk_from_index(compacted).count(), reps=3
+        ),
+        # t17b: the 10% batch REPLACES its indexed versions in the
+        # compacted full index (read-modify-write + serve)
+        "steady_state_t17b_upsert_10pct_plus_serve": timed(
+            lambda: tx.bm25_topk_from_index(
+                tx.bm25_upsert(compacted, new_docs)
+            ).count(),
+            reps=2,
+        ),
     }
 
     # dd7 vs dd12/dd13: dedup index (base = 90% slice, batch = 10%)

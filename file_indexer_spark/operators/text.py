@@ -829,3 +829,94 @@ def bm25_append(
         "doclen": mats["doclen"].unionByName(new_dl),
         "scalars": merged_scalars,
     }
+
+
+# term-range partition count for the clustered postings layout; at
+# 100 TB this scales with the vocabulary (each range partition should
+# hold a few row groups per term so the IN predicate prunes tightly)
+BM25_POSTINGS_RANGE_PARTITIONS = 8
+
+
+def write_bm25_index(
+    spark, mats: dict[str, DataFrame], workdir: str
+) -> dict[str, DataFrame]:
+    """Materialize the index tables to parquet with postings CLUSTERED
+    BY TERM (``repartitionByRange`` + sort-within-partitions), so a
+    query's IN predicate prunes row groups at serve time.  Shared by
+    the t16 build, the t17 append landing, and t18 compaction — one
+    layout discipline, one writer."""
+    import os
+
+    out: dict[str, DataFrame] = {}
+    for name, df in mats.items():
+        path = os.path.join(workdir, name)
+        if name == "postings":
+            df = df.repartitionByRange(
+                BM25_POSTINGS_RANGE_PARTITIONS, "term"
+            ).sortWithinPartitions("term", "doc_id")
+        df.write.mode("overwrite").parquet(path)
+        out[name] = spark.read.parquet(path)
+    return out
+
+
+def bm25_compact(
+    spark, mats: dict[str, DataFrame], workdir: str
+) -> dict[str, DataFrame]:
+    """t18: lexical-index COMPACTION — the w10 discipline applied to
+    the postings table.  Each :func:`bm25_append` unions the batch's
+    postings alongside the stored files, so after N appends a term's
+    postings spread over N file sets and the serve plan's row-group
+    pruning degrades toward a full scan.  Compaction rewrites the
+    index term-clustered (one logical pass, no tokenization — the
+    postings are already counts), restoring the O(query-term postings)
+    serve read.  Contents are untouched: compaction is a pure layout
+    rewrite, so the served ranking is bit-identical before and after
+    (the gate hashes it against t15's oracle verbatim)."""
+    return write_bm25_index(spark, mats, workdir)
+
+
+def bm25_upsert(
+    mats: dict[str, DataFrame], batch_docs: DataFrame
+) -> dict[str, DataFrame]:
+    """t17b: READ-MODIFY-WRITE index maintenance — the batch may
+    UPDATE documents already in the index (the reference's write path
+    is update-heavy by design: ``UPDATE files SET checksum…``,
+    file_indexer/indexer.py:424-448; an append-only lexical index is
+    the first leg a real user hits).
+
+    Three exact steps, never touching the corpus text:
+      1. anti-join the batch's doc_ids out of the stored postings and
+         doc lengths (the batch id set is small — a broadcast
+         anti-join, one pass over the stored tables);
+      2. subtract the displaced docs' counts from the corpus scalars,
+         reading them off the STORED doclen (pure counts subtract as
+         exactly as they add);
+      3. run the disjoint-id append (:func:`bm25_append`) — its
+         contract now holds by construction.
+
+    Ids in the batch absent from the index degrade to plain inserts,
+    so one code path serves mixed insert+update batches.  Upserting
+    the same batch twice is idempotent.  At 100 TB the anti-join
+    rewrite is one pass over the postings; a production table
+    amortizes it with delete tombstones folded at compaction
+    (:func:`bm25_compact` — the w10 discipline).
+    """
+    ids = batch_docs.select("doc_id").distinct()
+    removed_scalars = (
+        mats["doclen"]
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .agg(
+            F.count("*").cast("long").alias("r_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("r_tokens"),
+        )
+    )
+    shrunk_scalars = mats["scalars"].join(F.broadcast(removed_scalars)).select(
+        (F.col("n_docs") - F.col("r_docs")).cast("long").alias("n_docs"),
+        (F.col("tot_tokens") - F.col("r_tokens")).cast("long").alias("tot_tokens"),
+    )
+    shrunk = {
+        "postings": mats["postings"].join(F.broadcast(ids), "doc_id", "left_anti"),
+        "doclen": mats["doclen"].join(F.broadcast(ids), "doc_id", "left_anti"),
+        "scalars": shrunk_scalars,
+    }
+    return bm25_append(shrunk, batch_docs)

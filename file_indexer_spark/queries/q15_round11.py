@@ -49,19 +49,9 @@ from file_indexer_spark.session import tune_session
 def _write_bm25_index(
     spark: SparkSession, docs: DataFrame, workdir: str
 ) -> dict[str, DataFrame]:
-    """Materialize the BM25 index tables; postings clustered by term
-    (repartitionByRange + sort-within) so a query's IN predicate
-    prunes row groups at serve time."""
-    mats: dict[str, DataFrame] = {}
-    for name, df in tx.bm25_index_tables(docs).items():
-        path = os.path.join(workdir, name)
-        if name == "postings":
-            df = df.repartitionByRange(8, "term").sortWithinPartitions(
-                "term", "doc_id"
-            )
-        df.write.mode("overwrite").parquet(path)
-        mats[name] = spark.read.parquet(path)
-    return mats
+    """Materialize the BM25 index tables term-clustered (the shared
+    :func:`operators.text.write_bm25_index` layout discipline)."""
+    return tx.write_bm25_index(spark, tx.bm25_index_tables(docs), workdir)
 
 
 @register("t16_bm25_materialized", ORACLES["t15_bm25_topk"])

@@ -1702,6 +1702,67 @@ def test_bm25_append_equals_full_rebuild(spark, tmp_path):
     )
 
 
+def test_bm25_upsert_updates_and_is_idempotent(spark, tmp_path):
+    """t17b: a batch that UPDATES an indexed doc displaces its stale
+    postings, doc length, and scalar counts completely (the merged
+    index equals a from-scratch build over the true corpus), and
+    re-ingesting the same batch is a no-op."""
+    from file_indexer_spark.operators import text as tx
+
+    truth = spark.createDataFrame(
+        [
+            (1, "spark join window spark"),
+            (2, "spark filler filler filler"),
+            (3, "window join fresh words"),
+        ],
+        "doc_id long, text string",
+    )
+    # the stored index has doc 3 STALE (longer, different tf) and no doc 2
+    stale = spark.createDataFrame(
+        [
+            (1, "spark join window spark"),
+            (3, "window join fresh words stale stale stale"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = truth.filter("doc_id IN (2, 3)")
+    mats = tx.write_bm25_index(
+        spark, tx.bm25_index_tables(stale), str(tmp_path / "idx")
+    )
+    merged = tx.bm25_upsert(mats, batch)
+    scratch = [tuple(r) for r in tx.bm25_topk(truth, k=3).collect()]
+    assert [tuple(r) for r in tx.bm25_topk_from_index(merged, k=3).collect()] == scratch
+    srow = merged["scalars"].collect()[0]
+    assert (srow["n_docs"], srow["tot_tokens"]) == (3, 12)
+    # idempotent re-ingest: same batch again, same index
+    again = tx.bm25_upsert(merged, batch)
+    assert [tuple(r) for r in tx.bm25_topk_from_index(again, k=3).collect()] == scratch
+    srow2 = again["scalars"].collect()[0]
+    assert (srow2["n_docs"], srow2["tot_tokens"]) == (3, 12)
+
+
+def test_bm25_compaction_preserves_ranking(spark, tmp_path):
+    """t18: compaction is a pure layout rewrite — the served ranking
+    over the compacted index is identical to the fragmented one."""
+    from file_indexer_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join window filler{i % 3} spark") for i in range(8)],
+        "doc_id long, text string",
+    )
+    mats = tx.write_bm25_index(
+        spark, tx.bm25_index_tables(docs.filter("doc_id < 5")), str(tmp_path / "b")
+    )
+    for lo, hi in ((5, 7), (7, 8)):
+        mats = tx.bm25_append(
+            mats, docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        )
+    before = [tuple(r) for r in tx.bm25_topk_from_index(mats, k=5).collect()]
+    compacted = tx.bm25_compact(spark, mats, str(tmp_path / "c"))
+    after = [tuple(r) for r in tx.bm25_topk_from_index(compacted, k=5).collect()]
+    assert after == before == [tuple(r) for r in tx.bm25_topk(docs, k=5).collect()]
+
+
 def test_bm25_append_empty_batch_is_noop(spark, tmp_path):
     """t17 edge (ADVICE r11): an EMPTY append batch must leave the
     index bit-identical — sum(dl) over zero rows aggregates to NULL

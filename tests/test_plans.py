@@ -147,6 +147,11 @@ _NESTED_LOOP_OK = {
     # attach via real equi-joins (term pushdown plan-pinned).
     "t16_bm25_materialized",
     "t17_bm25_append",
+    # t17b/t18 are the same serve shape (broadcast 1-row scalar
+    # crosses); t17b's displacement joins are broadcast anti/semi
+    # equi-joins on doc_id, t18's compaction adds no join at all.
+    "t17b_bm25_upsert",
+    "t18_bm25_compaction",
     # dd20 builds its edge list with sim5's allow-listed bounded
     # broadcast-centroid scoring pass; the PPR iteration itself joins
     # on src/dst (real hash joins over the kNN subgraph).
@@ -838,6 +843,29 @@ def test_bm25_serve_pushes_terms_into_postings_scan(spark, sf_smoke, tmp_path):
     assert "In(term" in pushed, pushed
     cols = pi.scan_columns(served)
     assert "text" not in cols, cols  # never touches the corpus
+
+
+def test_bm25_compaction_keeps_term_pushdown(spark, sf_smoke, tmp_path):
+    """t18: after append-fragmentation AND compaction, the serve
+    plan's query-term IN predicate still reaches the (rewritten)
+    postings scan — compaction must not launder the layout the t16
+    pin guarantees."""
+    from file_indexer_spark.operators import text as tx
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    mats = tx.write_bm25_index(
+        spark,
+        tx.bm25_index_tables(docs.filter("doc_id % 2 = 0")),
+        str(tmp_path / "base"),
+    )
+    mats = tx.bm25_append(mats, docs.filter("doc_id % 2 = 1"))
+    compacted = tx.bm25_compact(spark, mats, str(tmp_path / "compact"))
+    served = tx.bm25_topk_from_index(compacted)
+    pushed = " ".join(pi.pushed_filters(served))
+    assert "In(term" in pushed, pushed
+    cols = pi.scan_columns(served)
+    assert "text" not in cols, cols
 
 
 def test_personalized_pagerank_weighted_seed_proximity(spark):
