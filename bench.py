@@ -1495,6 +1495,43 @@ def main_incremental() -> None:
         rc[f"steady_state_dd19_rerank_{tag}_batch"] = timed(rrerank, reps=2)
     results["centrality_index_realistic"] = rc
 
+    # dd20 vs dd21: personalized centrality under a SEED-SET EDIT —
+    # the kNN edge list and the old-seed rank table are stored once;
+    # the refresh re-walks only the components containing an edited
+    # seed (Kiveris labeling over the positive-weight pair subgraph)
+    # and passes every other stored row through with one anti-join.
+    pmats: dict = {}
+
+    def build_personalized():
+        pmats.update(mat({"knn": sim.knn_join(emb)}, "dd21"))
+        pmats.update(
+            mat(
+                {
+                    "ranks": gr.personalized_pagerank(
+                        pmats["knn"],
+                        emb.select("vec_id"),
+                        seed_max=gr.PPR_SEED_MAX_OLD,
+                    )
+                },
+                "dd21",
+            )
+        )
+
+    results["personalized_centrality"] = {
+        "from_scratch_dd20": timed(
+            lambda: gr.personalized_pagerank(
+                sim.knn_join(emb), emb.select("vec_id")
+            ).count()
+        ),
+        "build_once": timed(build_personalized),
+        "steady_state_dd21_seed_edit_refresh": timed(
+            lambda: gr.personalized_pagerank_refresh(
+                pmats["knn"], emb.select("vec_id"), pmats["ranks"]
+            ).count(),
+            reps=2,
+        ),
+    }
+
     doc = {
         "metric": "incremental_split_sec",
         "unit": "sec",

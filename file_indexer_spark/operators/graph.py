@@ -295,3 +295,84 @@ def pagerank_refresh(
         .unionByName(new_isolated)
         .orderBy("doc_id")
     )
+
+
+# dd21: the refresh gate's OLD seed bound — the stored rank table was
+# walked with seeds vec_id < PPR_SEED_MAX_OLD; the curation loop then
+# expands the anchor set to dd20's vec_id < PPR_SEED_MAX.
+PPR_SEED_MAX_OLD = 5
+
+
+def personalized_pagerank_refresh(
+    knn: DataFrame,
+    corpus_ids: DataFrame,
+    stored_ranks: DataFrame,
+    old_seed_max: int = PPR_SEED_MAX_OLD,
+    seed_max: int = PPR_SEED_MAX,
+    iterations: int = ITERATIONS,
+) -> DataFrame:
+    """dd21: maintain dd20's personalized-rank table under a SEED-SET
+    EDIT — the curation loop's most common move (expand or trim the
+    exemplar anchor set) currently costs a full re-walk; this is the
+    dd19 affected-components pattern applied to the personalized walk.
+
+    Exactness: teleport mass is SEED-LOCAL and inflow travels only
+    along positive-weight edges, so a vertex's rank is a function of
+    its weakly-connected component of the positive-weight kNN graph
+    alone (WCC closure covers directed reachability).  A seed edit
+    changes the teleport term only at the EDITED vertices (the
+    symmetric difference of the two seed ranges), hence only the
+    components containing an edited vertex can change rank; every
+    iteration starts from the same seed-determined state, so re-running
+    the walk over exactly those components with the NEW seed rule and
+    passing every other stored row through untouched provably equals
+    dd20 recomputed from scratch — which is what the gate oracles.
+
+    Scale shape: the component labeling runs over the positive-weight
+    PAIR SUBGRAPH (Kiveris star contractions, O(log n) rounds — the
+    shared ``_connected_components``); the re-walk is O(affected
+    members); the untouched corpus is one anti-join passthrough of the
+    stored rank table.  A 100 TB corpus with a ten-exemplar seed edit
+    re-ranks in neighborhood-sized time.
+    """
+    from file_indexer_spark.operators.dedup import _connected_components
+
+    lo, hi = sorted((old_seed_max, seed_max))
+    edited = corpus_ids.filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select("vec_id")
+    # the SAME positive-weight edge set the walk propagates over — a
+    # non-positive edge carries no mass, so it cannot connect a vertex
+    # to an edited seed for rank purposes
+    pairs = (
+        knn.select(
+            F.col("vec_id").alias("doc_a"),
+            F.col("neighbor_id").alias("doc_b"),
+            F.expr("CAST(ROUND(cosine * 1000000) AS BIGINT)").alias("w_e6"),
+        )
+        .filter(F.col("w_e6") > 0)
+        .select("doc_a", "doc_b")
+    )
+    labels, _ = _connected_components(pairs)
+    labels = labels.select(F.col("doc_id").alias("vec_id"), "label")
+    aff_labels = (
+        labels.join(edited, "vec_id", "left_semi").select("label").distinct()
+    )
+    affected = (
+        labels.join(aff_labels, "label", "left_semi")
+        .select("vec_id")
+        .unionByName(edited)  # edited vertices in no pair (isolated seeds)
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the edge filter, the
+        # re-walk's corpus arg, AND the passthrough anti-join
+    )
+    sub_knn = knn.join(affected, "vec_id", "left_semi")
+    recomputed = personalized_pagerank(
+        sub_knn, affected, seed_max=seed_max, iterations=iterations
+    )
+    untouched = stored_ranks.join(affected, "vec_id", "left_anti").select(
+        "vec_id", "rank_e6"
+    )
+    return untouched.unionByName(
+        recomputed.select("vec_id", "rank_e6")
+    ).orderBy("vec_id")

@@ -112,3 +112,40 @@ def t18_bm25_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         mats = appended
     compacted = tx.bm25_compact(spark, mats, os.path.join(workdir, "compact"))
     return tx.bm25_topk_from_index(compacted)
+
+
+# ------------------------------------------------------------- dd21
+
+# dd21 shares dd20's oracle VERBATIM: the refresh starts from a stored
+# rank table walked with the OLD seed set (vec_id < PPR_SEED_MAX_OLD),
+# applies the seed edit by re-walking ONLY the affected weakly-
+# connected components, and must land exactly where dd20 lands from
+# scratch with the new seeds — a stale passthrough row or an
+# under-closed component set hash-mismatches.
+
+from file_indexer_spark.operators import graph as gr  # noqa: E402
+
+
+@register("dd21_ppr_refresh", ORACLES["dd20_personalized_pagerank"])
+def dd21_ppr_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD21: incremental personalized-PageRank refresh under a
+    SEED-SET EDIT (anchor set grows PPR_SEED_MAX_OLD -> PPR_SEED_MAX)
+    — the dd19 affected-components pattern on the personalized walk.
+    The stored rank table (materialized to parquet, the compute-once
+    discipline) passes through untouched outside the components that
+    contain an edited seed; only those components re-walk, with the
+    shared Kiveris star-contraction labeling bounding the re-walk to
+    O(affected members)."""
+    from file_indexer_spark.operators import similarity as sim
+
+    tune_session(spark)
+    emb = _table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id")
+    knn = sim.knn_join(emb).localCheckpoint(eager=False)
+    workdir, _ = _stream_workdir("fis_dd21", sf_dir)
+    stored_path = os.path.join(workdir, "ranks")
+    gr.personalized_pagerank(
+        knn, corpus, seed_max=gr.PPR_SEED_MAX_OLD
+    ).write.mode("overwrite").parquet(stored_path)
+    stored = spark.read.parquet(stored_path)
+    return gr.personalized_pagerank_refresh(knn, corpus, stored)

@@ -602,6 +602,52 @@ def test_personalized_pagerank_matches_reference(spark, case):
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
+    st.integers(min_value=2, max_value=12).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(0, n - 1),
+                    st.integers(0, n - 1),
+                    st.integers(-3, 10),
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=14,
+                unique_by=lambda e: (e[0], e[1]),
+            ),
+            st.integers(0, 12),  # old seed bound (may exceed n: fine)
+            st.integers(0, 12),  # new seed bound
+        )
+    )
+)
+def test_ppr_refresh_equals_scratch(spark, case):
+    """dd21 on random directed weighted graphs and ARBITRARY seed-set
+    edits (grow, shrink, disjoint-range, no-op): refreshing a stored
+    old-seed walk via affected-components must equal the from-scratch
+    walk with the new seeds, row for row."""
+    from file_indexer_spark.operators import graph as gr
+
+    n, raw, old_max, new_max = case
+    knn = spark.createDataFrame(
+        [(s, d, 1, w / 10.0) for s, d, w in raw] or [],
+        "vec_id long, neighbor_id long, rank int, cosine double",
+    )
+    corpus = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    stored = gr.personalized_pagerank(knn, corpus, seed_max=old_max)
+    refreshed = {
+        r["vec_id"]: r["rank_e6"]
+        for r in gr.personalized_pagerank_refresh(
+            knn, corpus, stored, old_seed_max=old_max, seed_max=new_max
+        ).collect()
+    }
+    scratch = {
+        r["vec_id"]: r["rank_e6"]
+        for r in gr.personalized_pagerank(knn, corpus, seed_max=new_max).collect()
+    }
+    assert refreshed == scratch
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
     st.lists(st.integers(min_value=0, max_value=6), min_size=5, max_size=60),
     st.integers(min_value=2, max_value=6),
 )
