@@ -86,3 +86,65 @@ def split_valid(classified: DataFrame) -> tuple[DataFrame, DataFrame]:
     accepted = classified.filter(F.col("reason").isNull()).drop("reason")
     quarantined = classified.filter(F.col("reason").isNotNull())
     return accepted, quarantined
+
+
+def arbitrate_incoming(
+    stored: DataFrame, incoming: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """st18's CROSS-BATCH duplicate-key arbitration: a PK may arrive
+    clean in two different micro-batches, so within-batch
+    classification alone under-enforces the PK constraint.  Among the
+    stored row (the earlier batches' winner, if any) and the incoming
+    batch's clean rows of each PK, the best row in the SAME
+    deterministic total order the batch window uses — (file_size,
+    checksum NULLS FIRST, modification_datetime), stored winning full
+    ties — is kept; because the order is total and arrival-independent,
+    the stream's final state equals the one-shot batch classification
+    no matter how the feed is split (which is what lets the gate share
+    w19's oracle verbatim).
+
+    Returns ``(winners_new, displaced_stored, losing_new)``:
+      * winners_new — incoming rows that won their PK (to upsert; the
+        upsert's PK match evicts the displaced stored row from the
+        table);
+      * displaced_stored — stored rows an incoming row beat (must move
+        to quarantine as duplicate_key, or the row-exactly-once
+        accounting breaks);
+      * losing_new — incoming rows that lost (straight to quarantine).
+
+    ``stored`` should be pre-restricted to the incoming PKs (a semi
+    join — at 100 TB the bucketed table prunes this to the touched
+    pk_buckets, the same exchange the MERGE itself rides).
+    """
+    tagged = stored.withColumn("__origin", F.lit(0)).unionByName(
+        incoming.withColumn("__origin", F.lit(1))
+    )
+    w = Window.partitionBy("path", "filename").orderBy(
+        F.col("file_size").asc(),
+        F.col("checksum").asc_nulls_first(),
+        F.col("modification_datetime").asc(),
+        F.col("__origin").asc(),
+    )
+    # localCheckpoint: the three outputs below are filters of this ONE
+    # frame, and callers union them back together (the quarantine
+    # write). Without the cut, that union contains two structurally
+    # identical window subtrees over the same scan, and Spark's
+    # exchange reuse conflates them — measured on 4.1: the second
+    # leg's rows silently vanish. The cut also executes the window
+    # once instead of three times.
+    ranked = tagged.withColumn(
+        "__rn", F.row_number().over(w)
+    ).localCheckpoint(eager=False)
+    winners_new = (
+        ranked.filter((F.col("__rn") == 1) & (F.col("__origin") == 1))
+        .drop("__origin", "__rn")
+    )
+    displaced_stored = (
+        ranked.filter((F.col("__rn") > 1) & (F.col("__origin") == 0))
+        .drop("__origin", "__rn")
+    )
+    losing_new = (
+        ranked.filter((F.col("__rn") > 1) & (F.col("__origin") == 1))
+        .drop("__origin", "__rn")
+    )
+    return winners_new, displaced_stored, losing_new

@@ -136,6 +136,48 @@ def st17_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 from file_indexer_spark.tables import FILES_CTE, files_df  # noqa: E402
 
 
+def _w19_h() -> F.Column:
+    return F.substring(F.md5(F.col("filename")), 1, 1)
+
+
+def _w19_corrupted_base(base: DataFrame) -> DataFrame:
+    """The deterministically corrupted feed shared by w19 and st18:
+    md5-slice rules '0' -> negative size, '1' -> NULL key, '3' -> NULL
+    file_size, '4' -> NULL modification_datetime (every NOT NULL
+    column of the reference DDL exercised)."""
+    h = _w19_h()
+    return base.select(
+        "path",
+        F.when(h == "1", F.lit(None).cast("string"))
+        .otherwise(F.col("filename"))
+        .alias("filename"),
+        "checksum",
+        F.when(h == "4", F.lit(None).cast("timestamp"))
+        .otherwise(F.col("modification_datetime"))
+        .alias("modification_datetime"),
+        F.when(h == "0", -(F.col("file_size") + 1))
+        .when(h == "3", F.lit(None))
+        .otherwise(F.col("file_size"))
+        .cast("long")
+        .alias("file_size"),
+        "indexed_at",
+    )
+
+
+def _w19_dup_rows(base: DataFrame) -> DataFrame:
+    """Slice '2' duplicated with size+7 — the PK-constraint violators
+    (always LOSE the total-order arbitration against their clean
+    originals, whichever batch they arrive in)."""
+    return base.filter(_w19_h() == "2").select(
+        "path",
+        "filename",
+        "checksum",
+        "modification_datetime",
+        (F.col("file_size") + 7).cast("long").alias("file_size"),
+        "indexed_at",
+    )
+
+
 @register(
     "w19_constraint_quarantine",
     f"""
@@ -212,32 +254,7 @@ def w19_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir, _ = _stream_workdir("fis_w19", sf_dir)
 
     base = files_df(spark, sf_dir)
-    h = F.substring(F.md5(F.col("filename")), 1, 1)
-    dirty = base.select(
-        "path",
-        F.when(h == "1", F.lit(None).cast("string"))
-        .otherwise(F.col("filename"))
-        .alias("filename"),
-        "checksum",
-        F.when(h == "4", F.lit(None).cast("timestamp"))
-        .otherwise(F.col("modification_datetime"))
-        .alias("modification_datetime"),
-        F.when(h == "0", -(F.col("file_size") + 1))
-        .when(h == "3", F.lit(None))
-        .otherwise(F.col("file_size"))
-        .cast("long")
-        .alias("file_size"),
-        "indexed_at",
-    ).unionByName(
-        base.filter(h == "2").select(
-            "path",
-            "filename",
-            "checksum",
-            "modification_datetime",
-            (F.col("file_size") + 7).cast("long").alias("file_size"),
-            "indexed_at",
-        )
-    )
+    dirty = _w19_corrupted_base(base).unionByName(_w19_dup_rows(base))
     accepted, quarantined = split_valid(classify_files(dirty))
     table = FilesTable(spark, os.path.join(workdir, "db"))
     table.overwrite(accepted)

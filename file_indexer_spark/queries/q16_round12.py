@@ -149,3 +149,107 @@ def dd21_ppr_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(stored_path)
     stored = spark.read.parquet(stored_path)
     return gr.personalized_pagerank_refresh(knn, corpus, stored)
+
+
+# ------------------------------------------------------------- st18
+
+# st18 shares w19's oracle VERBATIM (the ct6->st16 / e20->st17 shared-
+# oracle pattern): the one-shot batch classification and the streamed
+# classify-arbitrate-route must land the exact same final state,
+# because the duplicate-key arbitration is a TOTAL order independent
+# of arrival split — the gate feeds the same corrupted rows in three
+# micro-batches with the PK violators arriving LAST (cross-batch).
+
+
+@register("st18_streaming_quarantine", ORACLES["w19_constraint_quarantine"])
+def st18_streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST18: w19's validate-and-quarantine gate AT INGESTION — a
+    foreachBatch stage in front of the MERGE: each micro-batch is
+    classified with the shared ``classify_files`` (all four NOT NULL
+    reasons + within-batch duplicate_key), then the batch's surviving
+    rows arbitrate against the stored table per PK in the shared total
+    order (``arbitrate_incoming``): the incoming winner upserts (the
+    MERGE evicts the displaced stored row), and displaced/losing rows
+    land in the quarantine parquet — every input row in exactly one
+    sink at stream end, and the final state provably equals the batch
+    classification regardless of how the feed was split.  Summary
+    recomputed from the ROUND-TRIPPED sinks (the w6 discipline)."""
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.indexer.quality import (
+        REASON_DUPLICATE_KEY,
+        arbitrate_incoming,
+        classify_files,
+        split_valid,
+    )
+    from file_indexer_spark.queries.q15_round11 import (
+        _w19_corrupted_base,
+        _w19_dup_rows,
+    )
+    from file_indexer_spark.tables import files_df
+
+    tune_session(spark)
+    workdir, _ = _stream_workdir("fis_st18", sf_dir)
+    base = files_df(spark, sf_dir)
+    corrupted = _w19_corrupted_base(base)
+    # split the corrupted base in two by a path hash (filename may be
+    # NULL), and land the PK violators as their own LAST batch so the
+    # duplicate keys genuinely span micro-batches
+    h2 = F.substring(F.md5(F.col("path")), 2, 1)
+    src = os.path.join(workdir, "src")
+    _land_arrivals(
+        src,
+        [
+            corrupted.filter(h2 < "8"),
+            corrupted.filter(h2 >= "8"),
+            _w19_dup_rows(base),
+        ],
+    )
+    table = FilesTable(spark, os.path.join(workdir, "db"))
+    table.overwrite(base.limit(0))
+    qdir = os.path.join(workdir, "quarantine")
+
+    def ingest(batch: DataFrame, _id: int) -> None:
+        accepted, quarantined = split_valid(classify_files(batch))
+        stored = table.read().join(
+            accepted.select("path", "filename").distinct(),
+            ["path", "filename"],
+            "left_semi",
+        )
+        winners, displaced, losers = arbitrate_incoming(stored, accepted)
+        dup = F.lit(REASON_DUPLICATE_KEY)
+        quarantined.unionByName(
+            displaced.withColumn("reason", dup)
+        ).unionByName(losers.withColumn("reason", dup)).write.mode(
+            "append"
+        ).parquet(qdir)
+        table.upsert(winners)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(corrupted.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    query.awaitTermination()
+
+    back = table.read().select(
+        F.lit("accepted").alias("status"), "file_size"
+    ).unionByName(
+        spark.read.parquet(qdir).select(
+            F.col("reason").alias("status"), "file_size"
+        )
+    )
+    return (
+        back.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("file_size").cast("long").alias("total_size"),
+        )
+        .orderBy("status")
+    )

@@ -1009,3 +1009,66 @@ def test_streaming_drift_folds_across_batches(spark, tmp_path):
     assert got == want
     # bin 1 (chars 60): 3 base docs, 0 batch; bin 2 (110): 1 base, 2 batch
     assert (1, 3, 0, 6) in got
+
+
+def test_streaming_quarantine_cross_batch_duplicate_key(spark, tmp_path):
+    """st18: the SAME PK arriving clean in two micro-batches lands in
+    the table exactly once — whichever arrival order: the later LOSER
+    goes straight to quarantine, and a later WINNER upserts while the
+    displaced stored row moves to quarantine (row-exactly-once holds
+    across batches)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.indexer.files_table import FilesTable
+    from file_indexer_spark.indexer.quality import (
+        REASON_DUPLICATE_KEY,
+        arbitrate_incoming,
+        classify_files,
+        split_valid,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "path string, filename string, checksum string, "
+        "modification_datetime timestamp, file_size long, indexed_at timestamp"
+    )
+    # PK /x/a: batch-1 row wins (size 3 < 9)   -> batch-2 row quarantined
+    # PK /x/b: batch-2 row wins (size 1 < 5)   -> batch-1 row DISPLACED
+    b1 = spark.createDataFrame(
+        [("/x", "a", "c1", t0, 3, t0), ("/x", "b", "c2", t0, 5, t0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("/x", "a", "c3", t0, 9, t0), ("/x", "b", "c4", t0, 1, t0)], schema
+    )
+    table = FilesTable(spark, str(tmp_path / "db"))
+    table.overwrite(b1.limit(0))
+    qdir = str(tmp_path / "quarantine")
+    for batch in (b1, b2):
+        accepted, quarantined = split_valid(classify_files(batch))
+        stored = table.read().join(
+            accepted.select("path", "filename").distinct(),
+            ["path", "filename"],
+            "left_semi",
+        )
+        winners, displaced, losers = arbitrate_incoming(stored, accepted)
+        dup = F.lit(REASON_DUPLICATE_KEY)
+        quarantined.unionByName(
+            displaced.withColumn("reason", dup)
+        ).unionByName(losers.withColumn("reason", dup)).write.mode(
+            "append"
+        ).parquet(qdir)
+        table.upsert(winners)
+    final = {(r["filename"], r["file_size"]) for r in table.read().collect()}
+    assert final == {("a", 3), ("b", 1)}
+    q = {
+        (r["filename"], r["file_size"], r["reason"])
+        for r in spark.read.parquet(qdir).collect()
+    }
+    assert q == {
+        ("a", 9, "duplicate_key"),
+        ("b", 5, "duplicate_key"),
+    }
+    # exactly once: table rows + quarantine rows == input rows
+    assert table.read().count() + spark.read.parquet(qdir).count() == 4
