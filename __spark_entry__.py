@@ -33,9 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 12 window: the r11 verdict's rotation order — the two r04-era
 # rows (t5/st4) FIRST, then the seven r7-era rows, then this round's
 # new-or-changed gates (w19's oracle gained two NOT NULL slices; st17
-# emits a sentinel row now; t17b/t18/dd21/st18 are new), then 35 of
+# emits a sentinel row now; t17b/t18/dd21/st18/dd22 are new), then 34 of
 # the 50 r8-era rows alphabetically. After r12 the oldest remaining
-# driver rows are the 15 leftover r8-era names queued immediately
+# driver rows are the 16 leftover r8-era names queued immediately
 # behind the boundary for r13. The local test_oracle_diff gate covers
 # ALL queries every pytest run regardless of the window.
 _DRIVER_PRIORITY = [
@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = [
     "t18_bm25_compaction",
     "dd21_ppr_refresh",
     "st18_streaming_quarantine",
+    "dd22_label_propagation",
     "dd10_strip_spans",
     "dd11_cluster_consolidation",
     "dd12_incremental_lsh",
@@ -88,9 +89,9 @@ _DRIVER_PRIORITY = [
     "sim9_pq_encode",
     "sp7_zorder_layout",
     "st10_interval_join_outer_stream",
-    "st11_update_mode_counts",
     # ---- behind the 50-slot window boundary ----
-    # (the 15 remaining r8-era rows, queued for r13)
+    # (the 16 remaining r8-era rows, queued for r13)
+    "st11_update_mode_counts",
     "st12_late_data_accounting",
     "st6_bounds",
     "st6_streaming_uniques",

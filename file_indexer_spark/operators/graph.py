@@ -376,3 +376,97 @@ def personalized_pagerank_refresh(
     return untouched.unionByName(
         recomputed.select("vec_id", "rank_e6")
     ).orderBy("vec_id")
+
+
+# dd22: fixed round budget for label propagation — communities on kNN
+# graphs stabilize in a handful of synchronous rounds; the count is
+# unrolled verbatim in the oracle SQL (the dd18/dd20 discipline).
+LP_ITERATIONS = 4
+
+
+def label_propagation(
+    knn: DataFrame,
+    corpus_ids: DataFrame,
+    iterations: int = LP_ITERATIONS,
+) -> DataFrame:
+    """dd22: WEIGHTED label propagation over sim5's kNN graph — the
+    community-detection primitive the curation loop pairs with dd20's
+    seed expansion (dd20 answers "how close is every doc to my
+    exemplars"; dd22 answers "what natural groups does the corpus fall
+    into" without any seeds).
+
+    Semantics (deterministic by construction, no RNG, no async order):
+      * edges are sim5's directed top-k links with positive cosine
+        micro-unit weights (the dd20 edge machinery verbatim) — a
+        non-positive similarity casts no vote;
+      * every vertex starts labeled with its own id;
+      * each SYNCHRONOUS round, a vertex adopts the label with the
+        largest incoming weight sum, ties broken by MIN label; a
+        vertex with no incoming edges keeps its current label.  All
+        weight sums are BIGINT — no float accumulation order to
+        diverge, so Spark and the unrolled DuckDB oracle agree
+        bit-for-bit;
+      * a FIXED number of rounds (unrolled verbatim in the oracle):
+        synchronous LP can 2-cycle on bipartite structures, so a fixed
+        budget is the determinism contract, not a convergence claim —
+        the curation use-case wants stable groupings, which kNN graphs
+        reach in a few rounds.
+
+    Scale shape for 100 TB: per round ONE join ranks⋈edges on src
+    (reusing the weight-annotated edge table's hash partitioning) and
+    ONE groupBy(dst, label) with map-side partial sums — O(edges)
+    exchanged, never O(corpus^2); label state is O(subgraph vertices);
+    per-round ``localCheckpoint`` cuts lineage (dd18's contract); the
+    corpus joins in once at the end, isolated vectors keeping their
+    own id as a singleton community.
+    """
+    if iterations < 1:
+        raise ValueError("label_propagation needs >= 1 iteration")
+    edges = knn.select(
+        F.col("vec_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.expr("CAST(ROUND(cosine * 1000000) AS BIGINT)").alias("w_e6"),
+    ).filter(F.col("w_e6") > 0)
+    edges_w = edges.repartition("src").localCheckpoint(eager=False)
+    nodes = (
+        edges_w.select(F.col("src").alias("vec_id"))
+        .unionByName(edges_w.select(F.col("dst").alias("vec_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("vec_id", F.col("vec_id").alias("lbl"))
+    from pyspark.sql import Window
+
+    w_best = Window.partitionBy("vec_id").orderBy(
+        F.col("wsum").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            edges_w.join(labels, edges_w["src"] == labels["vec_id"])
+            .select("dst", "lbl", "w_e6")
+            .groupBy("dst", "lbl")
+            .agg(F.sum("w_e6").cast("long").alias("wsum"))
+        )
+        best = (
+            votes.select(F.col("dst").alias("vec_id"), "lbl", "wsum")
+            .withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce("new_lbl", "lbl").cast("long").alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        corpus_ids.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("lbl", F.col("vec_id")).cast("long").alias("community"),
+        )
+        .orderBy("vec_id")
+    )

@@ -253,3 +253,70 @@ def st18_streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ------------------------------------------------------------- dd22
+
+from file_indexer_spark.queries.q08_round4plus import _SIM5_KNN_CTES  # noqa: E402
+
+
+def _lp_round(i: int) -> str:
+    return f"""
+    votes{i} AS (
+        SELECT e.dst AS vec_id, p.lbl,
+               CAST(SUM(e.w_e6) AS BIGINT) AS wsum
+        FROM ew e JOIN lp{i} p ON p.vec_id = e.src
+        GROUP BY e.dst, p.lbl),
+    best{i} AS (
+        SELECT vec_id, lbl FROM (
+            SELECT vec_id, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY wsum DESC, lbl ASC) AS rn
+            FROM votes{i}) WHERE rn = 1),
+    lp{i + 1} AS (
+        SELECT p.vec_id, COALESCE(b.lbl, p.lbl) AS lbl
+        FROM lp{i} p LEFT JOIN best{i} b ON b.vec_id = p.vec_id)"""
+
+
+_LP_ROUNDS = ",".join(_lp_round(i) for i in range(gr.LP_ITERATIONS))
+
+
+@register(
+    "dd22_label_propagation",
+    f"""
+    -- Weighted label propagation over sim5's kNN graph: every vertex
+    -- starts as its own label; each synchronous round adopts the
+    -- label with the largest incoming positive-weight sum (BIGINT
+    -- micro-units), ties broken by MIN label, no-inflow vertices keep
+    -- their label; {gr.LP_ITERATIONS} unrolled rounds; isolated
+    -- corpus vectors are singleton communities.
+    WITH {_SIM5_KNN_CTES},
+    ew AS (
+        SELECT vec_id AS src, neighbor_id AS dst,
+               CAST(ROUND(cosine * 1000000) AS BIGINT) AS w_e6
+        FROM knn
+        WHERE CAST(ROUND(cosine * 1000000) AS BIGINT) > 0),
+    nodes AS (
+        SELECT DISTINCT vec_id FROM (
+            SELECT src AS vec_id FROM ew UNION SELECT dst FROM ew) t),
+    lp0 AS (SELECT vec_id, vec_id AS lbl FROM nodes),
+    {_LP_ROUNDS}
+    SELECT e.vec_id,
+           CAST(COALESCE(l.lbl, e.vec_id) AS BIGINT) AS community
+    FROM embeddings e
+    LEFT JOIN lp{gr.LP_ITERATIONS} l USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+)
+def dd22_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD22: weighted community detection over sim5's kNN graph — the
+    grouping primitive completing the graph family (dd18 global
+    centrality, dd20 seed proximity, dd22 unsupervised communities).
+    Synchronous min-tie-break majority voting on BIGINT weight sums,
+    fixed unrolled rounds; per-round localCheckpoint; one
+    edges-partitioned join + one (dst, label) aggregate per round."""
+    from file_indexer_spark.operators import similarity as sim
+
+    tune_session(spark)
+    emb = _table(spark, sf_dir, "embeddings")
+    return gr.label_propagation(sim.knn_join(emb), emb.select("vec_id"))

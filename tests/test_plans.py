@@ -156,6 +156,9 @@ _NESTED_LOOP_OK = {
     # broadcast-centroid scoring pass; the PPR iteration itself joins
     # on src/dst (real hash joins over the kNN subgraph).
     "dd20_personalized_pagerank",
+    # dd22 rides the same sim5 kNN edge construction; the label
+    # rounds themselves are src/dst equi-joins + (dst, label) aggs.
+    "dd22_label_propagation",
 }
 
 

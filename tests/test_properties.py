@@ -646,6 +646,73 @@ def test_ppr_refresh_equals_scratch(spark, case):
     assert refreshed == scratch
 
 
+def _lp_reference(n_nodes: int, edges: list[tuple[int, int, float]], rounds: int):
+    """Independent pure-Python rendition of dd22's synchronous
+    weighted-majority recurrence (adjacency dicts, min-label ties)."""
+    w_of = {}
+    for s, d, cos in edges:
+        w = round(cos * 1_000_000)
+        if w > 0:
+            w_of[(s, d)] = w
+    nodes = {v for e in w_of for v in e}
+    lbl = {v: v for v in nodes}
+    for _ in range(rounds):
+        votes = {}
+        for (s, d), w in w_of.items():
+            votes.setdefault(d, {}).setdefault(lbl[s], 0)
+            votes[d][lbl[s]] += w
+        lbl = {
+            v: (
+                min(
+                    (label for label, ws in votes[v].items()
+                     if ws == max(votes[v].values()))
+                )
+                if v in votes
+                else lbl[v]
+            )
+            for v in nodes
+        }
+    return {i: lbl.get(i, i) for i in range(n_nodes)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=14).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(0, n - 1),
+                    st.integers(0, n - 1),
+                    st.integers(-3, 10),
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=18,
+                unique_by=lambda e: (e[0], e[1]),
+            ),
+        )
+    )
+)
+def test_label_propagation_matches_reference(spark, case):
+    """dd22 on random directed weighted graphs (negative/zero weights,
+    no-inflow vertices, isolated corpus ids): the DataFrame rounds must
+    agree with an independent adjacency-dict rendition of the
+    synchronous weighted-majority min-tie recurrence."""
+    from file_indexer_spark.operators import graph as gr
+
+    n, raw = case
+    edges = [(s, d, w / 10.0) for s, d, w in raw]
+    knn = spark.createDataFrame(
+        [(s, d, 1, c) for s, d, c in edges] or [],
+        "vec_id long, neighbor_id long, rank int, cosine double",
+    )
+    corpus = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    got = {
+        r["vec_id"]: r["community"]
+        for r in gr.label_propagation(knn, corpus).collect()
+    }
+    assert got == _lp_reference(n, edges, gr.LP_ITERATIONS)
+
+
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(st.integers(min_value=0, max_value=6), min_size=5, max_size=60),
