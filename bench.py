@@ -596,6 +596,16 @@ SCALE_QUERIES = [
     # --stream-ingest shapes, not the batch sweep).
     "t16_bm25_materialized",
     "t17_bm25_append",
+    # round 12. t17b: t17's shape plus two broadcast anti/semi joins
+    # over the stored tables (linear in the index); t18: the appends
+    # are t17's shape and the compaction rewrite is one linear pass
+    # over the postings. dd21/dd22 ride sim5's kNN machinery and are
+    # excluded like dd20 (the fixed-centroid within-list pair work is
+    # a fixture artifact at 100x; their own iterations are
+    # subgraph-bounded). st18 follows the streaming family's
+    # convention (drain cost under --stream-ingest shapes).
+    "t17b_bm25_upsert",
+    "t18_bm25_compaction",
 ]
 
 
@@ -1172,6 +1182,21 @@ def main_stream_ingest() -> None:
         sann.read_embeddings_stream, sann.ingest_ann_stream)
     run("x4_crossmodal_ingest", docs, "doc_id",
         sxm.read_docs_stream, sxm.ingest_crossmodal_stream)
+
+    # st18: the constraint-quarantine MERGE front-end over the w19
+    # corrupted feed (classify + cross-batch PK arbitration + bucketed
+    # partial upsert + quarantine append per micro-batch)
+    from file_indexer_spark.queries.q15_round11 import (
+        _w19_corrupted_base,
+        _w19_dup_rows,
+    )
+    from file_indexer_spark.streaming import quality as sq
+    from file_indexer_spark.tables import files_df
+
+    files = files_df(spark, sf_dir)
+    dirty = _w19_corrupted_base(files).unionByName(_w19_dup_rows(files))
+    run("st18_quarantine_ingest", dirty, "path",
+        sq.read_files_stream, sq.ingest_quarantine_stream)
 
     doc = {
         "metric": "stream_ingest_throughput",

@@ -175,16 +175,11 @@ def st18_streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification regardless of how the feed was split.  Summary
     recomputed from the ROUND-TRIPPED sinks (the w6 discipline)."""
     from file_indexer_spark.indexer.files_table import FilesTable
-    from file_indexer_spark.indexer.quality import (
-        REASON_DUPLICATE_KEY,
-        arbitrate_incoming,
-        classify_files,
-        split_valid,
-    )
     from file_indexer_spark.queries.q15_round11 import (
         _w19_corrupted_base,
         _w19_dup_rows,
     )
+    from file_indexer_spark.streaming import quality as sq
     from file_indexer_spark.tables import files_df
 
     tune_session(spark)
@@ -204,39 +199,15 @@ def st18_streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             _w19_dup_rows(base),
         ],
     )
-    table = FilesTable(spark, os.path.join(workdir, "db"))
-    table.overwrite(base.limit(0))
-    qdir = os.path.join(workdir, "quarantine")
-
-    def ingest(batch: DataFrame, _id: int) -> None:
-        accepted, quarantined = split_valid(classify_files(batch))
-        stored = table.read().join(
-            accepted.select("path", "filename").distinct(),
-            ["path", "filename"],
-            "left_semi",
-        )
-        winners, displaced, losers = arbitrate_incoming(stored, accepted)
-        dup = F.lit(REASON_DUPLICATE_KEY)
-        quarantined.unionByName(
-            displaced.withColumn("reason", dup)
-        ).unionByName(losers.withColumn("reason", dup)).write.mode(
-            "append"
-        ).parquet(qdir)
-        table.upsert(winners)
-
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(corrupted.schema)
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
+    state = os.path.join(workdir, "state")
+    sq.ingest_quarantine_stream(
+        spark,
+        sq.read_files_stream(spark, src),
+        state,
+        os.path.join(workdir, "ckpt"),
     )
-    query = (
-        stream.writeStream.foreachBatch(ingest)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .start()
-    )
-    query.awaitTermination()
+    table = FilesTable(spark, os.path.join(state, "db"))
+    qdir = os.path.join(state, "quarantine")
 
     back = table.read().select(
         F.lit("accepted").alias("status"), "file_size"
