@@ -1577,7 +1577,13 @@ def main_incremental() -> None:
             "centrality_index_realistic applies the same split to the "
             "dd18/dd19 family (the dense-corpus centrality row "
             "inherits dd13's caveat squared: the affected-component "
-            "rerun covers most of the graph there)"
+            "rerun covers most of the graph there); "
+            "personalized_centrality = dd20 scratch vs dd21's "
+            "affected-components seed-edit refresh over stored "
+            "knn+ranks; lexical_index round-12 rows: ten 1pct appends "
+            "landed as separate file sets (fragmented serve), one t18 "
+            "term-clustered rewrite, serve after compaction, and the "
+            "t17b read-modify-write 10pct upsert"
         ),
         "families": results,
     }
