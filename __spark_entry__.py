@@ -33,11 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 12 window: the r11 verdict's rotation order — the two r04-era
 # rows (t5/st4) FIRST, then the seven r7-era rows, then this round's
 # new-or-changed gates (w19's oracle gained two NOT NULL slices; st17
-# emits a sentinel row now; t17b/t18/dd21/st18/dd22 are new), then 34 of
-# the 50 r8-era rows alphabetically. After r12 the oldest remaining
-# driver rows are the 16 leftover r8-era names queued immediately
-# behind the boundary for r13. The local test_oracle_diff gate covers
-# ALL queries every pytest run regardless of the window.
+# emits a sentinel row now; t17b/t18/dd21/st18/dd22 and the round-12b
+# additions t19/dd23/ct7 are new), then 31 of the 50 r8-era rows
+# alphabetically. After r12 the oldest remaining driver rows are the
+# 19 leftover r8-era names queued immediately behind the boundary for
+# r13. The local test_oracle_diff gate covers ALL queries every pytest
+# run regardless of the window.
 _DRIVER_PRIORITY = [
     "t5_quality_retention",
     "st4_streaming_dedup",
@@ -55,6 +56,9 @@ _DRIVER_PRIORITY = [
     "dd21_ppr_refresh",
     "st18_streaming_quarantine",
     "dd22_label_propagation",
+    "t19_streaming_lexical_ingest",
+    "dd23_lp_refresh",
+    "ct7_contamination_spans",
     "dd10_strip_spans",
     "dd11_cluster_consolidation",
     "dd12_incremental_lsh",
@@ -86,11 +90,12 @@ _DRIVER_PRIORITY = [
     "sim7_quantize",
     "sim8_bounds",
     "sim8_kmeans_ml",
+    # ---- behind the 50-slot window boundary ----
+    # (3 r8-era rows displaced by the round-12b additions, then the
+    # 16 remaining r8-era rows — all queued for r13)
     "sim9_pq_encode",
     "sp7_zorder_layout",
     "st10_interval_join_outer_stream",
-    # ---- behind the 50-slot window boundary ----
-    # (the 16 remaining r8-era rows, queued for r13)
     "st11_update_mode_counts",
     "st12_late_data_accounting",
     "st6_bounds",

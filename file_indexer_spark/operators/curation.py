@@ -768,3 +768,90 @@ def annealed_mixture(docs: DataFrame, budget: int = MIX_BUDGET) -> DataFrame:
         )
         .orderBy("epoch", "source")
     )
+
+
+# ------------------------------------------------- ct7 contamination spans
+
+
+def contamination_spans(docs: DataFrame, n: int = H.SHINGLE_N) -> DataFrame:
+    """ct7: benchmark-contamination EXTENTS — for every candidate
+    (non-benchmark) document, the merged token intervals covered by
+    word n-grams that also occur anywhere in the benchmark set.
+
+    ct1 makes the drop-whole-doc decision (overlap FRACTION over a
+    threshold); ct7 emits the surgical alternative — the exact token
+    ranges a strip pass would excise, which is what GPT-3-style
+    decontamination actually does when the collision is a quoted
+    benchmark question inside an otherwise-clean document (dropping a
+    10k-token page over a 13-token collision wastes the page).  The
+    span list is dd9's gaps-and-islands machinery pointed at an
+    EXTERNAL gram set instead of the corpus's own repeats.
+
+    Benchmark membership and the gram definition are ct1's verbatim
+    (first hex char of md5(doc_id) == BENCH_HEX; hash60 word n-grams
+    with the whole-doc fallback for sub-gram-width docs), so the two
+    operators agree on what "the eval set" is.
+
+    Scale shape for 100 TB: the benchmark gram set is DISTINCT and
+    bounded by the eval corpus (millions of grams, not billions) — it
+    broadcasts, so marking is a map-side semi-join over the exploded
+    candidate gram stream (one row per gram occurrence, keeping its
+    token offset; Generate fuses the projection).  The only shuffle is
+    the per-doc gaps-and-islands window, linear in MATCHED gram
+    occurrences — contamination is rare by construction, so the window
+    input is a small fraction of the corpus.
+    """
+    is_bench = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == BENCH_HEX
+    )
+    shingle = f"array_join(slice(words, i, {n}), ' ')"
+    grams = (
+        docs.filter(~is_bench)
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.size("words").alias("n_tokens"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
+                    f"i -> {H.spark_hash60(shingle)})"
+                )
+            ).alias("pos0", "h"),
+        )
+        .select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("p"), "h")
+    )
+    bench = (
+        docs.filter(is_bench)
+        .select(F.split("text", " ").alias("words"))
+        .select(
+            F.explode(F.expr(H.spark_shingle_hashes_from_words(n=n))).alias("h")
+        )
+        .distinct()
+    )
+    marked = grams.join(F.broadcast(bench), "h", "left_semi").select(
+        "doc_id", "n_tokens", "p"
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    flagged = marked.withColumn(
+        "new_island",
+        (F.col("p") > F.coalesce(F.lag("p").over(wdoc), F.lit(-10)) + n).cast(
+            "long"
+        ),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            # clamp to the doc's token count (whole-doc fallback grams
+            # of sub-gram-width docs have raw end p + n - 1 past EOF)
+            F.least(F.max("p") + (n - 1), F.max("n_tokens"))
+            .cast("long")
+            .alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )

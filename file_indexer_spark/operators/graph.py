@@ -384,6 +384,18 @@ def personalized_pagerank_refresh(
 LP_ITERATIONS = 4
 
 
+def lp_edges(knn: DataFrame) -> DataFrame:
+    """THE positive-weight directed edge derivation of the dd20/dd22
+    graph family (sim5's top-k links, cosine in BIGINT micro-units,
+    non-positive weights dropped) — the propagation and its refresh
+    must agree edge-for-edge, so both read this one definition."""
+    return knn.select(
+        F.col("vec_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.expr("CAST(ROUND(cosine * 1000000) AS BIGINT)").alias("w_e6"),
+    ).filter(F.col("w_e6") > 0)
+
+
 def label_propagation(
     knn: DataFrame,
     corpus_ids: DataFrame,
@@ -422,12 +434,7 @@ def label_propagation(
     """
     if iterations < 1:
         raise ValueError("label_propagation needs >= 1 iteration")
-    edges = knn.select(
-        F.col("vec_id").alias("src"),
-        F.col("neighbor_id").alias("dst"),
-        F.expr("CAST(ROUND(cosine * 1000000) AS BIGINT)").alias("w_e6"),
-    ).filter(F.col("w_e6") > 0)
-    edges_w = edges.repartition("src").localCheckpoint(eager=False)
+    edges_w = lp_edges(knn).repartition("src").localCheckpoint(eager=False)
     nodes = (
         edges_w.select(F.col("src").alias("vec_id"))
         .unionByName(edges_w.select(F.col("dst").alias("vec_id")))
@@ -467,6 +474,103 @@ def label_propagation(
         .select(
             "vec_id",
             F.coalesce("lbl", F.col("vec_id")).cast("long").alias("community"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def label_propagation_refresh(
+    knn: DataFrame,
+    corpus_ids: DataFrame,
+    stored_edges: DataFrame,
+    stored_labels: DataFrame,
+    iterations: int = LP_ITERATIONS,
+) -> DataFrame:
+    """dd23: maintain dd22's community table under a BATCH INGEST —
+    the dd19/dd21 affected-components pattern applied to label
+    propagation, completing the incremental leg of the graph family
+    (dd18→dd19 centrality, dd20→dd21 seed proximity, dd22→dd23
+    communities).
+
+    Inputs: the UNION-corpus kNN graph (new vectors change existing
+    vectors' neighbor lists, so the graph must be re-scored — the same
+    honest boundary dd21 records), the MATERIALIZED base edge table
+    (:func:`lp_edges` over the base kNN, the compute-once discipline)
+    and the stored community table.
+
+    Exactness: with every vertex seeded by its own id, a fixed-round
+    synchronous propagation is COMPONENT-LOCAL — labels originate and
+    travel only inside a weakly-connected component of the
+    positive-weight graph, so a vertex's community is a function of
+    its component's edge set alone.  The ingest changes edges only
+    where the union and base edge tables differ (new vertices' links
+    plus existing vertices whose top-k lists the batch displaced);
+    re-running the propagation over exactly the union-graph components
+    containing a changed endpoint and passing every other stored row
+    through untouched provably equals dd22 recomputed from scratch —
+    which is what the gate oracles, verbatim.
+
+    Scale shape: the edge diff is two anti-joins over narrow
+    (src, dst, w) rows; the component labeling runs over the union
+    pair subgraph (Kiveris star contractions, the shared
+    ``_connected_components``); the re-propagation is O(affected
+    members' edges x rounds); the untouched corpus is one anti-join
+    passthrough of the stored table.  A 100 TB corpus with a 1 GB
+    ingest re-groups in batch-neighborhood-sized time — with dd21's
+    caveat recorded honestly: on a near-globally-connected synthetic
+    kNN graph the affected set covers most vertices, and the pattern's
+    win appears once the near-dup graph shatters (dd13's
+    realistic-density measurement).
+    """
+    from file_indexer_spark.operators.dedup import _connected_components
+
+    union_edges = lp_edges(knn).localCheckpoint(eager=False)
+    # endpoints of the edge symmetric difference: every vertex whose
+    # incident edge set the ingest changed (weight changes included)
+    changed = (
+        union_edges.exceptAll(stored_edges)
+        .unionByName(stored_edges.exceptAll(union_edges))
+        .localCheckpoint(eager=False)
+    )
+    changed_ids = (
+        changed.select(F.col("src").alias("vec_id"))
+        .unionByName(changed.select(F.col("dst").alias("vec_id")))
+        .distinct()
+    )
+    pairs = union_edges.select(
+        F.least("src", "dst").alias("doc_a"),
+        F.greatest("src", "dst").alias("doc_b"),
+    ).distinct()
+    labels, _ = _connected_components(pairs)
+    labels = labels.select(F.col("doc_id").alias("vec_id"), "label")
+    aff_labels = (
+        labels.join(changed_ids, "vec_id", "left_semi").select("label").distinct()
+    )
+    affected = (
+        labels.join(aff_labels, "label", "left_semi")
+        .select("vec_id")
+        .unionByName(changed_ids)  # changed vertices in no union pair
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the subgraph filter, the
+        # re-propagation's corpus arg, AND the passthrough anti-join
+    )
+    sub_knn = knn.join(affected, "vec_id", "left_semi")
+    recomputed = label_propagation(sub_knn, affected, iterations=iterations)
+    untouched = stored_labels.join(affected, "vec_id", "left_anti").select(
+        "vec_id", "community"
+    )
+    merged = untouched.unionByName(
+        recomputed.select("vec_id", "community")
+    )
+    # new vertices with no positive edge at all appear in neither the
+    # stored table nor the affected set — singleton fallback, exactly
+    # dd22's corpus left-join rule
+    return (
+        corpus_ids.select("vec_id")
+        .join(merged, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("community", F.col("vec_id")).cast("long").alias("community"),
         )
         .orderBy("vec_id")
     )

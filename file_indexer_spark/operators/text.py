@@ -769,9 +769,12 @@ def bm25_index_tables(docs: DataFrame) -> dict[str, DataFrame]:
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    # coalesce: an EMPTY corpus (e.g. a degenerate stream micro-batch)
+    # aggregates sum(dl) to NULL — the t17 empty-append rule applies to
+    # the build leg too
     scalars = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("tot_tokens"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tot_tokens"),
     )
     return {"postings": postings, "doclen": dl, "scalars": scalars}
 

@@ -159,6 +159,12 @@ _NESTED_LOOP_OK = {
     # dd22 rides the same sim5 kNN edge construction; the label
     # rounds themselves are src/dst equi-joins + (dst, label) aggs.
     "dd22_label_propagation",
+    # t19 is t16's serve shape over the streamed-in state (broadcast
+    # 1-row corpus-scalars cross; postings/doclen real equi-joins).
+    "t19_streaming_lexical_ingest",
+    # dd23 rides sim5's kNN edge construction TWICE (base + union);
+    # the diff/component/propagation joins are all equi-joins.
+    "dd23_lp_refresh",
 }
 
 

@@ -796,3 +796,65 @@ def test_mmr_matches_bruteforce_greedy(spark, angles):
                 best, best_m = c, m
         sel.append(best)
     assert got == sel
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=12).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.integers(1, n),  # base corpus size (union adds the rest)
+            st.lists(  # base edges (over base ids only)
+                st.tuples(
+                    st.integers(0, n - 1),
+                    st.integers(0, n - 1),
+                    st.integers(-3, 10),
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=14,
+                unique_by=lambda e: (e[0], e[1]),
+            ),
+            st.lists(  # union edges (arbitrary add/remove/reweight)
+                st.tuples(
+                    st.integers(0, n - 1),
+                    st.integers(0, n - 1),
+                    st.integers(-3, 10),
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=14,
+                unique_by=lambda e: (e[0], e[1]),
+            ),
+        )
+    )
+)
+def test_lp_refresh_equals_scratch(spark, case):
+    """dd23 on random directed weighted graph pairs: refreshing a
+    stored base-graph propagation via affected components must equal
+    the from-scratch propagation on the union graph, row for row —
+    for ARBITRARY edge edits (adds, removals, reweights, new
+    vertices, vertices going isolated)."""
+    from file_indexer_spark.operators import graph as gr
+
+    n, n_base, raw_base, raw_union = case
+    base_raw = [(s, d, w) for s, d, w in raw_base if s < n_base and d < n_base]
+    knn_schema = "vec_id long, neighbor_id long, rank int, cosine double"
+    knn_base = spark.createDataFrame(
+        [(s, d, 1, w / 10.0) for s, d, w in base_raw] or [], knn_schema
+    )
+    knn_union = spark.createDataFrame(
+        [(s, d, 1, w / 10.0) for s, d, w in raw_union] or [], knn_schema
+    )
+    corpus_base = spark.createDataFrame(
+        [(i,) for i in range(n_base)], "vec_id long"
+    )
+    corpus = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    stored_labels = gr.label_propagation(knn_base, corpus_base)
+    refreshed = {
+        r["vec_id"]: r["community"]
+        for r in gr.label_propagation_refresh(
+            knn_union, corpus, gr.lp_edges(knn_base), stored_labels
+        ).collect()
+    }
+    scratch = {
+        r["vec_id"]: r["community"]
+        for r in gr.label_propagation(knn_union, corpus).collect()
+    }
+    assert refreshed == scratch

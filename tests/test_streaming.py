@@ -1072,3 +1072,55 @@ def test_streaming_quarantine_cross_batch_duplicate_key(spark, tmp_path):
     }
     # exactly once: table rows + quarantine rows == input rows
     assert table.read().count() + spark.read.parquet(qdir).count() == 4
+
+
+def test_streaming_lexical_ingest_replay_is_idempotent(spark, sf_smoke, tmp_path):
+    """t19: a replayed micro-batch (foreachBatch at-least-once) whose
+    version is already committed must not double-count its postings or
+    its scalar deltas."""
+    from file_indexer_spark.streaming import lexical as slex
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 10 != 7)
+    b2 = docs.filter(F.col("doc_id") % 10 == 7)
+    state = str(tmp_path / "state")
+    slex.ingest_batch(spark, b1, state, 0)
+    slex.ingest_batch(spark, b2, state, 1)
+    mats = slex.load_lexical_index(spark, state)
+    n_postings = mats["postings"].count()
+    scalars = mats["scalars"].first()
+    slex.ingest_batch(spark, b2, state, 1)  # replay
+    slex.ingest_batch(spark, b2, state, 0)  # stale replay below watermark
+    mats2 = slex.load_lexical_index(spark, state)
+    assert mats2["postings"].count() == n_postings
+    assert tuple(mats2["scalars"].first()) == tuple(scalars)
+
+
+def test_lexical_state_compaction_preserves_serving(spark, sf_smoke, tmp_path):
+    """t19 maintenance: compacting the per-batch version dirs into one
+    term-clustered dir must not change the served ranking, must drop
+    the superseded dirs, and a replay of a compacted-away batch stays
+    a no-op."""
+    import os
+
+    from file_indexer_spark.streaming import lexical as slex
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 10 != 7)
+    b2 = docs.filter(F.col("doc_id") % 10 == 7)
+    state = str(tmp_path / "state")
+    slex.ingest_batch(spark, b1, state, 0)
+    slex.ingest_batch(spark, b2, state, 1)
+    before = [tuple(r) for r in slex.search(spark, state).collect()]
+    wm = slex.compact_lexical_state(spark, state)
+    assert wm == 1
+    assert sorted(os.listdir(state)) == ["c1"]
+    after = [tuple(r) for r in slex.search(spark, state).collect()]
+    assert after == before
+    n = slex.load_lexical_index(spark, state)["postings"].count()
+    slex.ingest_batch(spark, b2, state, 1)  # replay of a compacted batch
+    assert slex.load_lexical_index(spark, state)["postings"].count() == n
+    # a second compaction with nothing new is a watermark no-op
+    assert slex.compact_lexical_state(spark, state) == 1
