@@ -34,9 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows (t5/st4) FIRST, then the seven r7-era rows, then this round's
 # new-or-changed gates (w19's oracle gained two NOT NULL slices; st17
 # emits a sentinel row now; t17b/t18/dd21/st18/dd22 and the round-12b
-# additions t19/dd23/ct7 are new), then 31 of the 50 r8-era rows
-# alphabetically. After r12 the oldest remaining driver rows are the
-# 19 leftover r8-era names queued immediately behind the boundary for
+# additions t19/dd23/ct7 and round-12c's sim17/sim18 are new), then
+# 29 of the 50 r8-era rows alphabetically. After r12 the oldest
+# remaining driver rows are the 19 leftover r8-era names plus the
+# displaced sim8 pair, queued immediately behind the boundary for
 # r13. The local test_oracle_diff gate covers ALL queries every pytest
 # run regardless of the window.
 _DRIVER_PRIORITY = [
@@ -59,6 +60,9 @@ _DRIVER_PRIORITY = [
     "t19_streaming_lexical_ingest",
     "dd23_lp_refresh",
     "ct7_contamination_spans",
+    "sim17_ivfpq_upsert",
+    "sim18_ivfpq_compaction",
+    "t20_phrase_search",
     "dd10_strip_spans",
     "dd11_cluster_consolidation",
     "dd12_incremental_lsh",
@@ -87,12 +91,14 @@ _DRIVER_PRIORITY = [
     "sim12_ivfpq_append",
     "sim3_bounds",
     "sim6_hier_ivf_assign",
+    # ---- behind the 50-slot window boundary ----
+    # (sim7 and the sim8 rows-only/bounds pair displaced by the
+    # round-12c additions — the pair travels together — then 3 r8-era
+    # rows displaced by the round-12b additions, then the 16 remaining
+    # r8-era rows — all queued for r13)
     "sim7_quantize",
     "sim8_bounds",
     "sim8_kmeans_ml",
-    # ---- behind the 50-slot window boundary ----
-    # (3 r8-era rows displaced by the round-12b additions, then the
-    # 16 remaining r8-era rows — all queued for r13)
     "sim9_pq_encode",
     "sp7_zorder_layout",
     "st10_interval_join_outer_stream",

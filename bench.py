@@ -224,6 +224,27 @@ LLM_EXTENSION = [
     "t16_bm25_materialized",
     "t17_bm25_append",
     "dd20_personalized_pagerank",
+    # round 12. t17b/t18: the lexical write path's upsert + compaction
+    # (each gate includes its base build by construction; steady-state
+    # economics live in BENCH_INCREMENTAL's lexical_index block).
+    # dd21/dd22/dd23 ride sim5's kNN machinery like dd20; their own
+    # refresh/propagation stages are subgraph-bounded. ct7 is ct1's
+    # broadcast gram probe + the bounded island window. st18/t19 are
+    # streaming -> excluded like st1-st17 (ingest cost in
+    # BENCH_STREAM_INGEST); w19 is a write gate like w1-w18.
+    "t17b_bm25_upsert",
+    "t18_bm25_compaction",
+    "dd21_ppr_refresh",
+    "dd22_label_propagation",
+    "dd23_lp_refresh",
+    "ct7_contamination_spans",
+    # round 12c. sim17/sim18: the dense index's upsert + compaction —
+    # sim12's encode shape over the batch plus sim11's serve (each
+    # gate includes its base build by construction). t20: one
+    # positional tokenize + term-filtered legs chained on equi-joins.
+    "sim17_ivfpq_upsert",
+    "sim18_ivfpq_compaction",
+    "t20_phrase_search",
 ]
 
 
@@ -606,6 +627,22 @@ SCALE_QUERIES = [
     # convention (drain cost under --stream-ingest shapes).
     "t17b_bm25_upsert",
     "t18_bm25_compaction",
+    # round 12b. ct7: linear gram stream against the broadcast
+    # benchmark set; the island window reads only MATCHED occurrences.
+    # t19 follows the streaming family's convention (drain cost under
+    # --stream-ingest shapes); dd23 rides sim5's kNN machinery and is
+    # excluded like dd20/dd21/dd22 (refresh economics live in
+    # BENCH_INCREMENTAL's community_index block).
+    "ct7_contamination_spans",
+    # round 12c. sim17: sim12's batch-encode shape (broadcast frozen
+    # quantizer x batch) + sim11's serve with the broadcast tombstone
+    # anti-join; sim18 adds the one-pass list-clustered fold/rewrite.
+    # Both include their base build by construction (sim11's shape).
+    # t20: the positional tokenize grows linearly; the adjacency joins
+    # are bounded by the rarest term's postings.
+    "sim17_ivfpq_upsert",
+    "sim18_ivfpq_compaction",
+    "t20_phrase_search",
 ]
 
 
@@ -1309,6 +1346,63 @@ def main_incremental() -> None:
         ),
     }
 
+    # round 12c: dense-index EDIT economics (sim17/sim18). One upsert
+    # call re-embeds the 10% slice and deletes another 10% — stored
+    # codes never read, the mask+delta land as their own file sets;
+    # ten successive 1% upserts fragment the serve path (broadcast
+    # anti-join + 10-segment delta union), and one sim18 rewrite folds
+    # it all back into a single list-clustered table.
+    _EDIT_VEC = (
+        "transform(embedding, x -> CAST(1.0D - CAST(x AS DOUBLE) AS FLOAT))"
+    )
+    edit_batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.expr(_EDIT_VEC).alias("embedding")
+    )
+    del_ids = emb.filter(F.col("vec_id") % 10 == 5).select("vec_id")
+
+    def land_upsert_fragments():
+        cur = dict(idx)
+        for i in range(10):
+            b = emb.filter(F.col("vec_id") % 100 == 10 * i + 3).select(
+                "vec_id", F.expr(_EDIT_VEC).alias("embedding")
+            )
+            cur = sim.ivfpq_upsert(cur, b)
+            landed = mat(
+                {"tombstones": cur["tombstones"], "delta": cur["delta"]},
+                f"sim18_gen{i}",
+            )
+            cur["tombstones"] = landed["tombstones"]
+            cur["delta"] = landed["delta"]
+        return cur
+
+    dense_frag = land_upsert_fragments()
+    dense_comp: dict = {}
+    results["ann_index"].update(
+        {
+            "steady_state_sim17_upsert_edit_plus_serve": timed(
+                lambda: sim.ivfpq_topk_from_index(
+                    sim.ivfpq_upsert(idx, edit_batch, del_ids), queries
+                ).count(),
+                reps=2,
+            ),
+            "serve_after_10_upserts_fragmented": timed(
+                lambda: sim.ivfpq_topk_from_index(dense_frag, queries).count(),
+                reps=3,
+            ),
+            "sim18_compaction_rewrite": timed(
+                lambda: dense_comp.update(
+                    sim.ivfpq_compact(
+                        spark, dense_frag, os.path.join(base_dir, "sim18_compact")
+                    )
+                )
+            ),
+            "steady_state_serve_after_compaction": timed(
+                lambda: sim.ivfpq_topk_from_index(dense_comp, queries).count(),
+                reps=3,
+            ),
+        }
+    )
+
     # t15 vs t16/t17: lexical (BM25) index — postings/doclen/scalars
     # stored once, queries served from clustered re-reads, batches
     # appended without re-tokenizing the corpus (the merge is exact:
@@ -1583,7 +1677,12 @@ def main_incremental() -> None:
             "knn+ranks; lexical_index round-12 rows: ten 1pct appends "
             "landed as separate file sets (fragmented serve), one t18 "
             "term-clustered rewrite, serve after compaction, and the "
-            "t17b read-modify-write 10pct upsert"
+            "t17b read-modify-write 10pct upsert; ann_index round-12c "
+            "rows: the sim17 one-call edit (re-embed 10pct + delete "
+            "10pct, tombstone mask + delta segment, stored codes never "
+            "read), ten 1pct upserts landed as separate mask/delta "
+            "file sets (fragmented serve), one sim18 list-clustered "
+            "rewrite, and serve after compaction"
         ),
         "families": results,
     }

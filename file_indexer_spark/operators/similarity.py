@@ -931,6 +931,129 @@ def ivfpq_append(
     return merged
 
 
+def ivfpq_upsert(
+    index: dict[str, DataFrame],
+    upserts: DataFrame,
+    delete_ids: DataFrame | None = None,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codewords: int = PQ_CODEWORDS,
+) -> dict[str, DataFrame]:
+    """sim17: READ-FREE index maintenance for UPDATE and DELETE — the
+    dense-retrieval analogue of the lexical t17b (the reference's
+    write path is update-heavy by design: ``UPDATE files SET
+    checksum…``, file_indexer/indexer.py:424-448; a vector index that
+    only adds is the first leg a real user hits).
+
+    Unlike t17b's anti-join rewrite, the stored coded corpus here is
+    NEVER read or rewritten at upsert time — the FAISS/Lucene segment
+    discipline instead:
+
+      * ``tombstones`` — (vec_id) rows masking stored codes: every
+        deleted id plus every upserted id (its stored code row is
+        superseded).  Appended, never merged, at upsert time.
+      * ``delta`` — the batch's fresh codes under the FROZEN quantizer
+        (:func:`ivfpq_encode_batch` — stored centroids, stored
+        codebook, stored assignment regime).  Per-batch cost is two
+        broadcast passes over the BATCH alone.
+
+    The serve path (:func:`ivfpq_topk_from_index`) applies the mask as
+    a broadcast anti-join on the code scan — at 100 TB a bloom-sized
+    id set filtered map-side — and unions the delta; so upsert cost is
+    O(batch) and serve cost is unchanged until fragmentation is folded
+    away by :func:`ivfpq_compact` (the w10 discipline, t18's dense
+    twin).
+
+    Composes over repeated calls: a later batch's ids supersede an
+    earlier delta's rows the same way they supersede stored ones.
+    Contract: ``delete_ids`` is disjoint from ``upserts``'s ids (an id
+    in both would be masked AND re-added — reject at the call site).
+    Upserting the same batch twice is idempotent.
+    """
+    touched = upserts.select("vec_id")
+    if delete_ids is not None:
+        touched = touched.unionByName(delete_ids.select("vec_id"))
+    touched = touched.distinct()
+    new_codes = ivfpq_encode_batch(index, upserts, n_subspaces, n_codewords)
+    delta = index.get("delta")
+    if delta is not None:
+        delta = delta.join(
+            F.broadcast(touched), "vec_id", "left_anti"
+        ).unionByName(new_codes)
+    else:
+        delta = new_codes
+    tombstones = index.get("tombstones")
+    if tombstones is not None:
+        tombstones = tombstones.unionByName(touched).distinct()
+    else:
+        tombstones = touched
+    out = {k: v for k, v in index.items()}
+    out["tombstones"] = tombstones
+    out["delta"] = delta
+    return out
+
+
+def ivfpq_effective_codes(index: dict[str, DataFrame]) -> DataFrame:
+    """The logical coded corpus of a (possibly edited) IVF-PQ index:
+    stored codes minus the tombstone mask, plus the delta segment.
+    For a never-edited index this is exactly ``index["codes"]`` — the
+    serve plan is unchanged unless edits exist."""
+    codes = index["codes"]
+    if "tombstones" in index:
+        codes = codes.join(F.broadcast(index["tombstones"]), "vec_id", "left_anti")
+    if "delta" in index:
+        codes = codes.unionByName(index["delta"].select(*codes.columns))
+    return codes
+
+
+# list-range partition count for the clustered codes layout; at 100 TB
+# this scales with the list count (each range partition should hold a
+# few row groups per inverted list so probe reads prune tightly)
+IVFPQ_CODES_RANGE_PARTITIONS = 8
+
+
+def write_ivfpq_index(
+    spark, index: dict[str, DataFrame], workdir: str
+) -> dict[str, DataFrame]:
+    """Materialize the index tables to parquet with codes CLUSTERED BY
+    LIST (``repartitionByRange("centroid_id")`` + sort-within) — the
+    layout every serve-path docstring in this module assumes: a probe
+    touching nprobe lists reads only those row groups.  Shared by the
+    sim11 build landing and sim18 compaction — one layout discipline,
+    one writer.  Maintenance keys (``tombstones``/``delta``) are
+    written as-is when present so an edited index round-trips."""
+    import os
+
+    out: dict[str, DataFrame] = {}
+    for name, df in index.items():
+        path = os.path.join(workdir, name)
+        if name == "codes":
+            df = df.repartitionByRange(
+                IVFPQ_CODES_RANGE_PARTITIONS, "centroid_id"
+            ).sortWithinPartitions("centroid_id", "vec_id")
+        df.write.mode("overwrite").parquet(path)
+        out[name] = spark.read.parquet(path)
+    return out
+
+
+def ivfpq_compact(
+    spark, index: dict[str, DataFrame], workdir: str
+) -> dict[str, DataFrame]:
+    """sim18: dense-index COMPACTION — fold the tombstone mask and the
+    delta segment into the stored codes and rewrite list-clustered
+    (t18's discipline on the dense leg).  After N upserts the serve
+    scan carries an N-batch union plus an anti-join; compaction
+    restores the single clustered code table — one logical pass over
+    the codes, NO re-encoding (the quantizer is frozen, so codes are
+    already final).  Contents are untouched: the served ranking is
+    bit-identical before and after (the gate hashes both against the
+    same frozen-quantizer oracle)."""
+    folded = {
+        k: v for k, v in index.items() if k not in ("tombstones", "delta")
+    }
+    folded["codes"] = ivfpq_effective_codes(index)
+    return write_ivfpq_index(spark, folded, workdir)
+
+
 def _pq_query_tables(
     embeddings: DataFrame, n_subspaces: int, n_codewords: int
 ) -> DataFrame:
@@ -1080,7 +1203,7 @@ def ivfpq_topk_from_index(
     )
     probe_tabs = probes.join(q_tabs, "query_id")
     scored = (
-        _spread(index["codes"])
+        _spread(ivfpq_effective_codes(index))
         .join(F.broadcast(probe_tabs), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("adc_dist", _adc_dist(n_subspaces, n_codewords))

@@ -878,6 +878,57 @@ def bm25_compact(
     return write_bm25_index(spark, mats, workdir)
 
 
+# the t20 gate phrase: adjacent in ~7% of synthetic docs, with some
+# docs carrying two occurrences (so n_occurrences > 1 is exercised)
+PHRASE_TERMS = ("table", "part")
+
+
+def phrase_search(
+    docs: DataFrame, phrase: tuple[str, ...] = PHRASE_TERMS
+) -> DataFrame:
+    """t20: POSITIONAL phrase search — documents where the query terms
+    appear consecutively, with occurrence counts and the first match
+    position (0-based).  The capability BM25's bag-of-words family
+    (t15–t19) cannot express: "table part" as a phrase, not two
+    independent terms.
+
+    Plan shape: one positional tokenize (``posexplode`` over the
+    family's shared split — token-for-token the t15 tokenizer, with
+    positions), then per-term legs each filtered to ONE phrase term
+    BEFORE any shuffle and normalized to the occurrence's START
+    position (``pos - i``); adjacency is a chain of (doc_id, start)
+    EQUI-joins — no windows, no inequality conditions.  All-integer
+    arithmetic => full hash gate.
+
+    100 TB shape: each leg reads O(postings of one query term) — from
+    a term-clustered positional postings table this is the same
+    row-group-pruned read as t16's serve; the adjacency joins key on
+    (doc_id, start), so every stage after the leg filters is bounded
+    by the RAREST term's postings.  Phrase hits are rarer still, so
+    the per-doc aggregate is tiny.  Never O(corpus).
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p", "term")
+    )
+    legs = [
+        toks.filter(F.col("term") == t).select(
+            "doc_id", (F.col("p") - i).cast("long").alias("start")
+        )
+        for i, t in enumerate(phrase)
+    ]
+    m = legs[0]
+    for leg in legs[1:]:
+        m = m.join(leg, ["doc_id", "start"])
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("start").cast("long").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+    )
+
+
 def bm25_upsert(
     mats: dict[str, DataFrame], batch_docs: DataFrame
 ) -> dict[str, DataFrame]:

@@ -1,0 +1,257 @@
+"""Registered queries — round 12c: the DENSE index gets the update
+and compaction legs the lexical index got in 12a (t17b/t18) — sim17
+upsert/delete with the FAISS/Lucene tombstone-segment discipline,
+sim18 compaction folding the mask back into one list-clustered code
+table.  With these, BOTH retrieval legs carry the full maintenance
+lifecycle: build → serve → append → upsert/delete → compact →
+streaming ingest.
+
+Reference parity: the reference's write path is update-heavy by
+design (``UPDATE files SET checksum…``,
+file_indexer/indexer.py:424-448) and deletes stale rows on every
+cleanup pass (file_indexer/indexer.py:472-500 region); sim17/sim18
+extend that contract to the vector index the LLM pipeline serves.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from file_indexer_spark.operators import similarity as sim
+from file_indexer_spark.operators import text as tx
+from file_indexer_spark.queries.q04_dedup_sim import _DUCK_DOT, _DUCK_NORMS
+from file_indexer_spark.queries.q10_pq_crossmodal import _DUCK_SLICE_D2
+from file_indexer_spark.registry_core import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _stream_workdir,
+    _table,
+    register,
+)
+
+# ------------------------------------------------------- sim17/sim18
+
+# The edit script both gates apply to the embeddings table.  All three
+# slices live in the BASE corpus contract: the index is built on
+# vec_id % 10 != 7 (sim12's base), then one upsert call
+#   * ADDS    vec_id % 10 == 7 (never indexed),
+#   * UPDATES vec_id % 10 == 3 (indexed; every element becomes
+#     float32(1.0 - x) — a deterministic, oracle-replicable edit), and
+#   * DELETES vec_id % 10 == 5.
+# The quantizer stays FROZEN on the pre-edit base (stored centroids /
+# codebook / regime); the search must see exactly the post-edit corpus.
+_EDIT_BASE = "vec_id % 10 != 7"
+_EDIT_ADD = "vec_id % 10 = 7"
+_EDIT_UPDATE = "vec_id % 10 = 3"
+_EDIT_DELETE = "vec_id % 10 = 5"
+# float32 round-trip on both engines: exact IEEE double subtraction,
+# then round-to-nearest-even down to the column's FLOAT element type —
+# bit-identical in Spark and DuckDB.
+_SPARK_EDIT_VEC = "transform(embedding, x -> CAST(1.0D - CAST(x AS DOUBLE) AS FLOAT))"
+_DUCK_EDIT_VEC = (
+    "list_transform(embedding, x -> "
+    "CAST(CAST(1.0 AS DOUBLE) - x::DOUBLE AS FLOAT))"
+)
+
+
+def _ivfpq_edit_oracle() -> str:
+    """The frozen-quantizer IVF-PQ search oracle over the EDITED
+    corpus: quantizer CTEs (centroid label-reps + codebook seeds) read
+    the pre-edit base slice of the ORIGINAL embeddings — exactly what
+    the stored index froze — while assignment and codes run over the
+    post-edit corpus (deletes absent, updates re-embedded, adds
+    present).  Queries stay the full original probe batch.  Everything
+    else is the already-hash-gated sim10/sim12 arithmetic."""
+    return f"""
+    -- sim17/sim18: frozen-quantizer ADC search over the edited corpus.
+    -- A surviving stored code for an updated/deleted id, a lost add,
+    -- or a double-served update would each change the ranking => the
+    -- hash gate proves tombstone+delta (and its compaction) lossless.
+    WITH c AS ({_DUCK_NORMS}),
+    corpus AS (
+        SELECT vec_id,
+               CASE WHEN {_EDIT_UPDATE} THEN {_DUCK_EDIT_VEC}
+                    ELSE embedding END AS embedding
+        FROM embeddings WHERE NOT ({_EDIT_DELETE})),
+    cv AS (
+        SELECT vec_id, embedding,
+               sqrt({_DUCK_DOT.format(a="embedding", b="embedding")}) AS norm
+        FROM corpus),
+    cents AS (SELECT c.vec_id AS centroid_id, c.embedding AS c_emb, c.norm AS c_norm
+              FROM c
+              JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings
+                    WHERE {_EDIT_BASE} GROUP BY label) reps
+                ON c.vec_id = reps.vec_id),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                        {_DUCK_DOT.format(a="v.embedding", b="cents.c_emb")}
+                        / (v.norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM cv v, cents) t
+        WHERE rn = 1),
+    seeds AS (
+        SELECT embedding AS c_emb,
+               row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                   AS code
+        FROM embeddings WHERE {_EDIT_BASE}
+        ORDER BY md5(vec_id::VARCHAR), vec_id
+        LIMIT {sim.PQ_CODEWORDS}),
+    best AS (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, code) AS rn
+        FROM (
+            SELECT v.vec_id, m.m, s.code,
+                   {_DUCK_SLICE_D2.format(m="m.m", v="v.embedding", c="s.c_emb")} AS d2
+            FROM corpus v, range(0, {sim.PQ_SUBSPACES}) m(m), seeds s)),
+    codes AS (
+        SELECT vec_id, list(code ORDER BY m) AS codes
+        FROM best WHERE rn = 1 GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+          FROM c WHERE vec_id < {sim.N_QUERIES}),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cents.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                        {_DUCK_DOT.format(a="q.q_emb", b="cents.c_emb")}
+                        / (q.q_norm * cents.c_norm) DESC, cents.centroid_id) AS rn
+            FROM q, cents) t
+        WHERE rn <= {sim.NPROBE}),
+    qtab AS (
+        SELECT query_id, list(qd2 ORDER BY m, code) AS tab FROM (
+            SELECT q.query_id, m.m, s.code,
+                   {_DUCK_SLICE_D2.format(m="m.m", v="q.q_emb", c="s.c_emb")} AS qd2
+            FROM q, range(0, {sim.PQ_SUBSPACES}) m(m), seeds s)
+        GROUP BY query_id),
+    scored AS (
+        SELECT p.query_id, cd.vec_id AS neighbor_id,
+               list_reduce(list_transform(range(0, {sim.PQ_SUBSPACES}),
+                   m -> t.tab[m * {sim.PQ_CODEWORDS} + cd.codes[m + 1] + 1]),
+                   (x, y) -> x + y) AS adc_dist
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN codes cd ON cd.vec_id = a.vec_id
+        JOIN qtab t ON t.query_id = p.query_id
+        WHERE cd.vec_id != p.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank,
+               adc_dist
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, round(adc_dist, 6) AS adc_dist
+    FROM ranked WHERE rank <= {sim.TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+def _edit_batches(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The upsert batch (adds + re-embedded updates) and the delete-id
+    set of the shared edit script."""
+    adds = emb.filter(F.expr(_EDIT_ADD)).select("vec_id", "embedding")
+    updates = (
+        emb.filter(F.expr(_EDIT_UPDATE))
+        .select("vec_id", F.expr(_SPARK_EDIT_VEC).alias("embedding"))
+    )
+    dels = emb.filter(F.expr(_EDIT_DELETE)).select("vec_id")
+    return adds.unionByName(updates), dels
+
+
+def _sim17_edited_index(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[dict[str, DataFrame], DataFrame, str]:
+    """Shared gate plumbing: materialize the base index (list-clustered
+    parquet, the sim11 landing via the shared writer), apply ONE upsert
+    call carrying the whole edit script, and return (edited index,
+    query batch)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_EDIT_BASE))
+    workdir, _ = _stream_workdir(tag, sf_dir)
+    mats = sim.write_ivfpq_index(
+        spark, sim.ivfpq_index_tables(base), os.path.join(workdir, "base")
+    )
+    batch, dels = _edit_batches(emb)
+    edited = sim.ivfpq_upsert(mats, batch, dels)
+    queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return edited, queries, workdir
+
+
+@register("sim17_ivfpq_upsert", _ivfpq_edit_oracle())
+def sim17_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM17: dense-index UPDATE/DELETE — t17b's read-modify-write
+    contract on the vector leg, via the tombstone-segment discipline
+    (stored codes are immutable; a mask plus a frozen-quantizer delta
+    supersede them).  One upsert call adds, re-embeds, and deletes;
+    the search must see exactly the post-edit corpus — a surviving
+    stored code, a lost add, or a double-served update each break the
+    hash."""
+    edited, queries, _ = _sim17_edited_index(spark, sf_dir, "fis_sim17")
+    return sim.ivfpq_topk_from_index(edited, queries)
+
+
+# sim18 shares sim17's oracle verbatim: compaction is a pure layout
+# fold (tombstones and delta disappear INTO the code table), so the
+# served ranking must be bit-identical before and after.
+@register("sim18_ivfpq_compaction", ORACLES["sim17_ivfpq_upsert"])
+def sim18_ivfpq_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM18: dense-index COMPACTION — after sim17's edits the serve
+    scan carries a tombstone anti-join plus a delta union; folding
+    them back into ONE list-clustered parquet code table (t18's w10
+    discipline on the dense leg) restores the bare sim11 serve shape.
+    Serving from the compacted re-reads must reproduce sim17's ranking
+    exactly."""
+    edited, queries, workdir = _sim17_edited_index(spark, sf_dir, "fis_sim18")
+    compacted = sim.ivfpq_compact(
+        spark, edited, os.path.join(workdir, "compact")
+    )
+    return sim.ivfpq_topk_from_index(compacted, queries)
+
+
+# --------------------------------------------------------------- t20
+
+def _t20_oracle() -> str:
+    """Positional phrase search: zip-unnest tokenization (term +
+    1-based position), each phrase term's leg normalized to a 0-based
+    occurrence START (p - 1 - i), adjacency = equi-joins on
+    (doc_id, start).  All-integer arithmetic."""
+    terms = tx.PHRASE_TERMS
+    ctes = ",\n    ".join(
+        f"t{i} AS (SELECT doc_id, p - 1 - {i} AS start "
+        f"FROM toks WHERE term = '{t}')"
+        for i, t in enumerate(terms)
+    )
+    joins = " ".join(
+        f"JOIN t{i} USING (doc_id, start)" for i in range(1, len(terms))
+    )
+    return f"""
+    -- t20: phrase occurrences = positions where every phrase term
+    -- sits at start + i. Counting and first_pos pin the POSITIONS,
+    -- not just membership.
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+        FROM documents),
+    {ctes}
+    SELECT t0.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(start) AS BIGINT) AS first_pos
+    FROM t0 {joins}
+    GROUP BY t0.doc_id
+    ORDER BY n_occurrences DESC, doc_id
+    """
+
+
+@register("t20_phrase_search", _t20_oracle())
+def t20_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20: positional phrase search over the documents table — the
+    lexical capability the bag-of-words BM25 family cannot express.
+    Per-term legs filter to ONE phrase term before any shuffle;
+    adjacency is a chain of (doc_id, start) equi-joins."""
+    return tx.phrase_search(_table(spark, sf_dir, "documents"))

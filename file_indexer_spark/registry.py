@@ -46,3 +46,4 @@ from file_indexer_spark.queries import q14_round10  # noqa: E402, F401
 from file_indexer_spark.queries import q15_round11  # noqa: E402, F401
 from file_indexer_spark.queries import q16_round12  # noqa: E402, F401
 from file_indexer_spark.queries import q17_round12b  # noqa: E402, F401
+from file_indexer_spark.queries import q18_round12c  # noqa: E402, F401

@@ -1136,6 +1136,114 @@ def test_ivfpq_append_frozen_quantizer(embeddings, tmp_path):
     assert {k: v[0] for k, v in after.items() if k in new_ids} == direct
 
 
+def _sim17_edits(embeddings):
+    """The sim17 gate's edit script in miniature: adds %10==7, updates
+    %10==3 (element-wise float32(1.0 - x)), deletes %10==5."""
+    from pyspark.sql import functions as F
+
+    batch = embeddings.filter(F.col("vec_id") % 10 == 7).select(
+        "vec_id", "embedding"
+    ).unionByName(
+        embeddings.filter(F.col("vec_id") % 10 == 3).select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(1.0D - CAST(x AS DOUBLE) AS FLOAT))"
+            ).alias("embedding"),
+        )
+    )
+    dels = embeddings.filter(F.col("vec_id") % 10 == 5).select("vec_id")
+    return batch, dels
+
+
+def test_ivfpq_upsert_matches_frozen_scratch_and_is_idempotent(
+    embeddings, tmp_path
+):
+    """sim17's contract: after one upsert call (adds + re-embeds +
+    deletes) the served ranking equals encoding the TRUE post-edit
+    corpus against the same frozen quantizer from scratch; stored code
+    rows are never rewritten (the mask+delta supersede them); and
+    re-applying the same upsert is a no-op."""
+    from pyspark.sql import functions as F
+
+    base = embeddings.filter(F.col("vec_id") % 10 != 7)
+    mats = sim.write_ivfpq_index(
+        base.sparkSession, sim.ivfpq_index_tables(base), str(tmp_path / "idx")
+    )
+    batch, dels = _sim17_edits(embeddings)
+    edited = sim.ivfpq_upsert(mats, batch, dels)
+    # stored codes untouched on disk — the upsert is read-free
+    assert [tuple(r) for r in edited["codes"].collect()] == [
+        tuple(r) for r in mats["codes"].collect()
+    ]
+    queries = embeddings.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = [tuple(r) for r in sim.ivfpq_topk_from_index(edited, queries).collect()]
+    # frozen-quantizer scratch over the true post-edit corpus
+    corpus = embeddings.filter(F.col("vec_id") % 10 != 5).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 10 == 3,
+            F.expr(
+                "transform(embedding, x -> CAST(1.0D - CAST(x AS DOUBLE) AS FLOAT))"
+            ),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    scratch = dict(mats)
+    scratch["codes"] = sim.ivfpq_encode_batch(mats, corpus)
+    assert served == [
+        tuple(r) for r in sim.ivfpq_topk_from_index(scratch, queries).collect()
+    ]
+    again = sim.ivfpq_upsert(edited, batch, dels)
+    assert served == [
+        tuple(r) for r in sim.ivfpq_topk_from_index(again, queries).collect()
+    ]
+
+
+def test_ivfpq_compact_folds_mask_and_preserves_ranking(embeddings, tmp_path):
+    """sim18's contract: compaction physically drops masked stored
+    rows and absorbs the delta (no tombstones/delta keys survive, no
+    deleted id survives, every upserted id serves its NEW code), and
+    the served ranking is bit-identical to the fragmented index's."""
+    from pyspark.sql import functions as F
+
+    base = embeddings.filter(F.col("vec_id") % 10 != 7)
+    mats = sim.write_ivfpq_index(
+        base.sparkSession, sim.ivfpq_index_tables(base), str(tmp_path / "idx")
+    )
+    batch, dels = _sim17_edits(embeddings)
+    edited = sim.ivfpq_upsert(mats, batch, dels)
+    queries = embeddings.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = [tuple(r) for r in sim.ivfpq_topk_from_index(edited, queries).collect()]
+    compacted = sim.ivfpq_compact(
+        base.sparkSession, edited, str(tmp_path / "compact")
+    )
+    assert "tombstones" not in compacted and "delta" not in compacted
+    ids = {r["vec_id"] for r in compacted["codes"].select("vec_id").collect()}
+    deleted = {r["vec_id"] for r in dels.collect()}
+    assert not ids & deleted
+    delta_codes = {
+        r["vec_id"]: tuple(r["codes"]) for r in edited["delta"].collect()
+    }
+    kept = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in compacted["codes"].collect()
+        if r["vec_id"] in delta_codes
+    }
+    assert kept == delta_codes
+    after_df = sim.ivfpq_topk_from_index(compacted, queries)
+    # compaction restores the bare sim11 serve shape: no Python eval,
+    # no anti-join left in the plan
+    from file_indexer_spark.plans import inspect as pi
+
+    plan = pi.simple_plan(after_df)
+    assert "EvalPython" not in plan
+    assert "LeftAnti" not in plan
+    assert [tuple(r) for r in after_df.collect()] == before
+
+
 def test_range_search_exact_on_probed_lists(embeddings):
     """sim14's contract: within the probed lists the cut is EXACT —
     the result is precisely the thresholded candidate stream (every
@@ -1761,6 +1869,36 @@ def test_bm25_compaction_preserves_ranking(spark, tmp_path):
     compacted = tx.bm25_compact(spark, mats, str(tmp_path / "c"))
     after = [tuple(r) for r in tx.bm25_topk_from_index(compacted, k=5).collect()]
     assert after == before == [tuple(r) for r in tx.bm25_topk(docs, k=5).collect()]
+
+
+def test_phrase_search_positions_overlaps_and_misses(spark):
+    """t20's contract: occurrences are counted at every start position
+    (overlapping matches of a self-repeating phrase each count), both
+    terms present but never adjacent is NOT a match, and first_pos is
+    the 0-based token index of the earliest occurrence."""
+    from file_indexer_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x table part y table part"),     # two occurrences, first at 1
+            (2, "part table x"),                   # reversed: no match
+            (3, "table x part"),                   # gap: no match
+            (4, "table part"),                     # one at 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in tx.phrase_search(docs).collect()
+    }
+    assert got == {1: (2, 1), 4: (1, 0)}
+    # overlapping self-repeating phrase: "a a a" matches ("a","a") at
+    # starts 0 and 1
+    rep = spark.createDataFrame([(9, "a a a")], "doc_id long, text string")
+    out = tx.phrase_search(rep, phrase=("a", "a")).collect()
+    assert [(r["doc_id"], r["n_occurrences"], r["first_pos"]) for r in out] == [
+        (9, 2, 0)
+    ]
 
 
 def test_bm25_append_empty_batch_is_noop(spark, tmp_path):

@@ -165,6 +165,15 @@ _NESTED_LOOP_OK = {
     # dd23 rides sim5's kNN edge construction TWICE (base + union);
     # the diff/component/propagation joins are all equi-joins.
     "dd23_lp_refresh",
+    # sim17 = sim12's allow-listed batch-encode crosses (batch x
+    # broadcast frozen codebook / centroids) + sim11's serving crosses;
+    # the tombstone mask is a broadcast ANTI equi-join on vec_id and
+    # the delta attaches by unionByName — no new nested loop.
+    "sim17_ivfpq_upsert",
+    # sim18 serves the compacted re-reads through sim11's exact shape
+    # (the same bounded broadcast crosses); the compaction fold itself
+    # is sim17's anti-join + union, then a layout write.
+    "sim18_ivfpq_compaction",
 }
 
 
