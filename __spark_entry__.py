@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = [
     "sim17_ivfpq_upsert",
     "sim18_ivfpq_compaction",
     "t20_phrase_search",
+    "t21_phrase_materialized",
     "dd10_strip_spans",
     "dd11_cluster_consolidation",
     "dd12_incremental_lsh",
@@ -90,12 +91,12 @@ _DRIVER_PRIORITY = [
     "sim11_ivfpq_materialized",
     "sim12_ivfpq_append",
     "sim3_bounds",
-    "sim6_hier_ivf_assign",
     # ---- behind the 50-slot window boundary ----
-    # (sim7 and the sim8 rows-only/bounds pair displaced by the
+    # (sim6/sim7 and the sim8 rows-only/bounds pair displaced by the
     # round-12c additions — the pair travels together — then 3 r8-era
     # rows displaced by the round-12b additions, then the 16 remaining
     # r8-era rows — all queued for r13)
+    "sim6_hier_ivf_assign",
     "sim7_quantize",
     "sim8_bounds",
     "sim8_kmeans_ml",

@@ -241,10 +241,13 @@ LLM_EXTENSION = [
     # round 12c. sim17/sim18: the dense index's upsert + compaction —
     # sim12's encode shape over the batch plus sim11's serve (each
     # gate includes its base build by construction). t20: one
-    # positional tokenize + term-filtered legs chained on equi-joins.
+    # positional tokenize + term-filtered legs chained on equi-joins;
+    # t21 is the same serve over the term-clustered materialization
+    # (the gate includes its build by construction).
     "sim17_ivfpq_upsert",
     "sim18_ivfpq_compaction",
     "t20_phrase_search",
+    "t21_phrase_materialized",
 ]
 
 
@@ -638,11 +641,12 @@ SCALE_QUERIES = [
     # quantizer x batch) + sim11's serve with the broadcast tombstone
     # anti-join; sim18 adds the one-pass list-clustered fold/rewrite.
     # Both include their base build by construction (sim11's shape).
-    # t20: the positional tokenize grows linearly; the adjacency joins
-    # are bounded by the rarest term's postings.
+    # t20/t21: the positional tokenize grows linearly; the adjacency
+    # joins are bounded by the rarest term's postings.
     "sim17_ivfpq_upsert",
     "sim18_ivfpq_compaction",
     "t20_phrase_search",
+    "t21_phrase_materialized",
 ]
 
 

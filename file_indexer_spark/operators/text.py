@@ -907,9 +907,22 @@ def phrase_search(
     by the RAREST term's postings.  Phrase hits are rarer still, so
     the per-doc aggregate is tiny.  Never O(corpus).
     """
-    toks = docs.select(
+    return _phrase_match(_positional_tokens(docs), phrase)
+
+
+def _positional_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, term): the t15 tokenizer with 0-based positions —
+    the single positional tokenize shared by t20's inline pass and
+    t21's index build."""
+    return docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p", "term")
     )
+
+
+def _phrase_match(toks: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
+    """The shared phrase back half over any (doc_id, p, term) source:
+    term-filtered legs normalized to the occurrence start, the
+    adjacency equi-join chain, and the per-doc rollup."""
     legs = [
         toks.filter(F.col("term") == t).select(
             "doc_id", (F.col("p") - i).cast("long").alias("start")
@@ -927,6 +940,48 @@ def phrase_search(
         )
         .orderBy(F.desc("n_occurrences"), "doc_id")
     )
+
+
+def positional_index_tables(docs: DataFrame) -> dict[str, DataFrame]:
+    """t21 build phase: the positional postings table a phrase-serving
+    tier stores once per corpus snapshot — (doc_id, p, term) over the
+    ENTIRE vocabulary (t20 filters to one phrase's terms before its
+    joins; the stored index pays the tokenize cost ONCE and serves
+    ARBITRARY phrases from narrow term-pruned re-reads).  Written
+    term-clustered via :func:`write_positional_index` so each leg's
+    equality predicate prunes row groups at serve time."""
+    return {"postings": _positional_tokens(docs)}
+
+
+def write_positional_index(
+    spark, mats: dict[str, DataFrame], workdir: str
+) -> dict[str, DataFrame]:
+    """Materialize the positional postings term-clustered (the
+    write_bm25_index layout discipline — same range-partition count,
+    same serve-time row-group pruning argument)."""
+    import os
+
+    out: dict[str, DataFrame] = {}
+    for name, df in mats.items():
+        path = os.path.join(workdir, name)
+        if name == "postings":
+            df = df.repartitionByRange(
+                BM25_POSTINGS_RANGE_PARTITIONS, "term"
+            ).sortWithinPartitions("term", "doc_id", "p")
+        df.write.mode("overwrite").parquet(path)
+        out[name] = spark.read.parquet(path)
+    return out
+
+
+def phrase_search_from_index(
+    mats: dict[str, DataFrame], phrase: tuple[str, ...] = PHRASE_TERMS
+) -> DataFrame:
+    """t21 serve phase: answer a phrase query from the stored
+    positional postings only — each leg's term filter lands on the
+    clustered parquet (row-group pruning), the corpus text is never
+    touched, and the ranking is IDENTICAL to t20's inline pass
+    (hash-gated against the same oracle)."""
+    return _phrase_match(mats["postings"], phrase)
 
 
 def bm25_upsert(

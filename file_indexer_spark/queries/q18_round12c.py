@@ -255,3 +255,22 @@ def t20_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-term legs filter to ONE phrase term before any shuffle;
     adjacency is a chain of (doc_id, start) equi-joins."""
     return tx.phrase_search(_table(spark, sf_dir, "documents"))
+
+
+# t21 shares t20's oracle verbatim: serving from the parquet
+# round-trip of the positional postings must produce the IDENTICAL
+# result (the hash gate proves the build/serve split is lossless).
+@register("t21_phrase_materialized", ORACLES["t20_phrase_search"])
+def t21_phrase_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21: t20 via the build-once/serve-many pattern — materialize
+    the positional postings term-clustered to parquet, then answer the
+    phrase query from the re-reads only.  At 100 TB the serve path
+    reads O(postings of the phrase terms) row-group-pruned; the corpus
+    text is tokenized exactly once per snapshot."""
+    base, _ = _stream_workdir("fis_t21", sf_dir)
+    mats = tx.write_positional_index(
+        spark,
+        tx.positional_index_tables(_table(spark, sf_dir, "documents")),
+        base,
+    )
+    return tx.phrase_search_from_index(mats)

@@ -886,6 +886,29 @@ def test_bm25_compaction_keeps_term_pushdown(spark, sf_smoke, tmp_path):
     assert "text" not in cols, cols
 
 
+def test_phrase_serve_term_pushdown(spark, sf_smoke, tmp_path):
+    """t21: every phrase leg's term equality must reach the positional
+    postings parquet scan (row-group pruning over the term-clustered
+    layout) and never read the corpus text; the adjacency chain plans
+    as equi-joins (no nested loop)."""
+    from file_indexer_spark.operators import text as tx
+    from file_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    mats = tx.write_positional_index(
+        spark, tx.positional_index_tables(docs), str(tmp_path / "idx")
+    )
+    served = tx.phrase_search_from_index(mats)
+    pushed = " ".join(pi.pushed_filters(served))
+    for t in tx.PHRASE_TERMS:
+        assert f"EqualTo(term {t})" in pushed or f"EqualTo(term,{t})" in pushed, pushed
+    cols = pi.scan_columns(served)
+    assert "text" not in cols, cols
+    plan = pi.simple_plan(served)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_personalized_pagerank_weighted_seed_proximity(spark):
     """dd20 semantics: teleport mass lands only on seeds; a vertex fed
     by a heavier edge outranks one fed by a lighter edge from the same
