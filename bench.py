@@ -248,6 +248,9 @@ LLM_EXTENSION = [
     "sim18_ivfpq_compaction",
     "t20_phrase_search",
     "t21_phrase_materialized",
+    # sim19: both legs' gate cost + a result-set-algebra fusion over
+    # queries x k rows (corpus-independent once the legs truncate)
+    "sim19_hybrid_rrf",
 ]
 
 
@@ -647,6 +650,9 @@ SCALE_QUERIES = [
     "sim18_ivfpq_compaction",
     "t20_phrase_search",
     "t21_phrase_materialized",
+    # sim19 = sim10's scale shape + t15's, then corpus-independent
+    # result-set algebra — the ratio reads the two legs' growth
+    "sim19_hybrid_rrf",
 ]
 
 
@@ -1224,6 +1230,15 @@ def main_stream_ingest() -> None:
     run("x4_crossmodal_ingest", docs, "doc_id",
         sxm.read_docs_stream, sxm.ingest_crossmodal_stream)
 
+    # t19: the lexical leg — per batch ONE tokenize/aggregate of the
+    # batch itself plus a term-clustered version-dir write; no probe
+    # against stored state at all (BM25 stats are pure counts), so
+    # this is the cheapest fold in the ingest family
+    from file_indexer_spark.streaming import lexical as slex
+
+    run("t19_lexical_ingest", docs.select("doc_id", "text"), "doc_id",
+        slex.read_docs_stream, slex.ingest_lexical_stream)
+
     # st18: the constraint-quarantine MERGE front-end over the w19
     # corrupted feed (classify + cross-batch PK arbitration + bucketed
     # partial upsert + quarantine append per micro-batch)
@@ -1655,6 +1670,56 @@ def main_incremental() -> None:
         ),
     }
 
+    # dd22 vs dd23: the community table under a BATCH INGEST — base
+    # edges and labels stored once; the refresh re-scores the union
+    # kNN (new vectors displace existing top-k lists: dd21's honest
+    # boundary), diffs the edge tables, and re-propagates only the
+    # components containing a changed endpoint.
+    base_emb = emb.filter(F.col("vec_id") % 10 != 7)
+    cmats: dict = {}
+
+    def build_community():
+        knn_base = sim.knn_join(base_emb).localCheckpoint(eager=False)
+        cmats.update(mat({"edges": gr.lp_edges(knn_base)}, "dd23"))
+        cmats.update(
+            mat(
+                {
+                    "labels": gr.label_propagation(
+                        knn_base, base_emb.select("vec_id")
+                    )
+                },
+                "dd23",
+            )
+        )
+
+    results["community_index"] = {
+        "from_scratch_dd22": timed(
+            lambda: gr.label_propagation(
+                sim.knn_join(emb), emb.select("vec_id")
+            ).count()
+        ),
+        "build_once": timed(build_community),
+        "steady_state_dd23_batch_refresh": timed(
+            lambda: gr.label_propagation_refresh(
+                sim.knn_join(emb).localCheckpoint(eager=False),
+                emb.select("vec_id"),
+                cmats["edges"],
+                cmats["labels"],
+            ).count(),
+            reps=2,
+        ),
+    }
+    # the dense-fixture caveat row (dd19/dd21's analogue): a plain
+    # re-propagation of a STORED union kNN graph, no diff machinery —
+    # isolates the kNN re-score cost from the propagation cost
+    umats = mat({"union_knn": sim.knn_join(emb)}, "dd23u")
+    results["community_index"]["propagation_only_from_stored_union_knn"] = timed(
+        lambda: gr.label_propagation(
+            umats["union_knn"], emb.select("vec_id")
+        ).count(),
+        reps=2,
+    )
+
     doc = {
         "metric": "incremental_split_sec",
         "unit": "sec",
@@ -1686,7 +1751,10 @@ def main_incremental() -> None:
             "10pct, tombstone mask + delta segment, stored codes never "
             "read), ten 1pct upserts landed as separate mask/delta "
             "file sets (fragmented serve), one sim18 list-clustered "
-            "rewrite, and serve after compaction"
+            "rewrite, and serve after compaction; community_index = "
+            "dd22 scratch vs dd23's affected-components batch refresh "
+            "over stored edges+labels (the union kNN re-score is the "
+            "honest boundary; the propagation_only row isolates it)"
         ),
         "families": results,
     }

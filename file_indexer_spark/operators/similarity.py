@@ -1054,6 +1054,64 @@ def ivfpq_compact(
     return write_ivfpq_index(spark, folded, workdir)
 
 
+# the standard RRF smoothing constant (Cormack et al., the value
+# every production hybrid-search stack defaults to)
+RRF_K = 60
+
+
+def rrf_fuse(
+    dense: DataFrame,
+    lexical: DataFrame,
+    k: int = RRF_K,
+    topk: int = TOP_K,
+) -> DataFrame:
+    """sim19: RECIPROCAL RANK FUSION — the modern hybrid-retrieval
+    primitive: fuse the dense ANN ranking (sim10's per-query
+    (query_id, neighbor_id, rank)) with the lexical BM25 ranking
+    (t15's (doc_id, rank), one fixed text query shared by every
+    dense query) into one candidate list per query, scored
+    ``sum(1 / (k + rank))`` over the legs that ranked the doc.
+
+    Exactness: each fused score is ONE two-term IEEE addition of two
+    divisions with integer operands — identical left-to-right
+    arithmetic in both engines, so the composed operator hash-gates
+    even though both inputs are float rankings.
+
+    Scale shape: both inputs are already top-k truncated —
+    queries × k rows, corpus-independent.  The lexical list replicates
+    per query via a bounded broadcast cross (n_queries × k rows); the
+    leg merge is a FULL OUTER equi-join on (query_id, doc_id); one
+    per-query window ranks the fused candidates.  Nothing here ever
+    touches the corpus — fusion is pure result-set algebra, which is
+    exactly why hybrid search stays cheap at 100 TB: each leg prunes
+    with its own index and only the top-k lists meet.
+    """
+    d = dense.select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    )
+    lx = lexical.select("doc_id", F.col("rank").alias("r_lex"))
+    lex_per_q = d.select("query_id").distinct().join(F.broadcast(lx))
+    cand = d.join(lex_per_q, ["query_id", "doc_id"], "full_outer")
+    score = F.coalesce(
+        F.expr(f"1.0D / CAST({k} + r_dense AS DOUBLE)"), F.lit(0.0)
+    ) + F.coalesce(F.expr(f"1.0D / CAST({k} + r_lex AS DOUBLE)"), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        cand.select("query_id", "doc_id", score.alias("rrf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _pq_query_tables(
     embeddings: DataFrame, n_subspaces: int, n_codewords: int
 ) -> DataFrame:

@@ -274,3 +274,60 @@ def t21_phrase_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         base,
     )
     return tx.phrase_search_from_index(mats)
+
+
+# -------------------------------------------------------------- sim19
+
+# The fused oracle composes the two legs' ALREADY-HASH-GATED oracles
+# verbatim as derived tables (sim10's ADC ranking, t15's BM25 top-k),
+# then applies the RRF formula: one two-term IEEE addition of two
+# integer-operand divisions per candidate — identical left-to-right
+# arithmetic in both engines, so the composition hash-gates.
+def _sim19_oracle() -> str:
+    return f"""
+    -- sim19: Reciprocal Rank Fusion of the dense and lexical legs.
+    WITH dense AS (
+        SELECT query_id, neighbor_id AS doc_id, rank
+        FROM ({ORACLES["sim10_ivfpq_topk"]})),
+    lex AS (
+        SELECT doc_id, rank FROM ({ORACLES["t15_bm25_topk"]})),
+    qs AS (SELECT DISTINCT query_id FROM dense),
+    lexq AS (SELECT qs.query_id, lex.doc_id, lex.rank AS r_lex
+             FROM qs CROSS JOIN lex),
+    cand AS (
+        SELECT COALESCE(d.query_id, x.query_id) AS query_id,
+               COALESCE(d.doc_id, x.doc_id) AS doc_id,
+               d.rank AS r_dense, x.r_lex
+        FROM dense d FULL OUTER JOIN lexq x
+          ON d.query_id = x.query_id AND d.doc_id = x.doc_id),
+    scored AS (
+        SELECT query_id, doc_id,
+               COALESCE(CAST(1.0 AS DOUBLE)
+                        / CAST({sim.RRF_K} + r_dense AS DOUBLE), 0)
+               + COALESCE(CAST(1.0 AS DOUBLE)
+                          / CAST({sim.RRF_K} + r_lex AS DOUBLE), 0) AS rrf
+        FROM cand),
+    franked AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
+               rrf
+        FROM scored)
+    SELECT query_id, doc_id, rank, ROUND(rrf, 6) AS rrf_score
+    FROM franked WHERE rank <= {sim.TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("sim19_hybrid_rrf", _sim19_oracle())
+def sim19_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM19: HYBRID retrieval — Reciprocal Rank Fusion of the dense
+    leg (sim10's IVF-PQ ADC ranking per query vector) and the lexical
+    leg (t15's BM25 top-k for the fixed text query) over the shared
+    document id space.  Fusion is pure result-set algebra over two
+    already-truncated top-k lists — each leg prunes with its own
+    index, only queries x k rows ever meet."""
+    return sim.rrf_fuse(
+        sim.ivfpq_topk(_table(spark, sf_dir, "embeddings")),
+        tx.bm25_topk(_table(spark, sf_dir, "documents")),
+    )

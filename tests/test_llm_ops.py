@@ -1871,6 +1871,39 @@ def test_bm25_compaction_preserves_ranking(spark, tmp_path):
     assert after == before == [tuple(r) for r in tx.bm25_topk(docs, k=5).collect()]
 
 
+def test_rrf_fuse_semantics(spark):
+    """sim19's contract: a doc ranked by BOTH legs sums both
+    reciprocal terms; a doc ranked by one leg scores that term alone
+    (missing leg contributes exactly 0, not NULL); lexical-only docs
+    appear for EVERY query; ties order by doc_id."""
+    dense = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2), (1, 102, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    lexical = spark.createDataFrame(
+        [(101, 1), (103, 2)], "doc_id long, rank int"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["rrf_score"])
+        for r in sim.rrf_fuse(dense, lexical, k=60, topk=10).collect()
+    }
+    both = round(1 / 62 + 1 / 61, 6)       # q0/doc101: dense rank 2 + lex rank 1
+    d1 = round(1 / 61, 6)                   # dense rank 1 alone
+    l1, l2 = round(1 / 61, 6), round(1 / 62, 6)
+    assert got[(0, 101)][1] == both and got[(0, 101)][0] == 1
+    assert got[(0, 100)] == (2, d1)
+    assert got[(0, 103)] == (3, l2)
+    # query 1 sees the full lexical list too
+    assert got[(1, 102)] == (1, d1) or got[(1, 101)][0] == 1
+    assert (1, 101) in got and got[(1, 101)][1] == l1
+    assert (1, 103) in got and got[(1, 103)][1] == l2
+    # ties (102 dense-rank-1 vs 101 lex-rank-1 both 1/61) order by doc_id
+    q1 = sorted(
+        ((r, d) for (q, d), (r, _) in got.items() if q == 1)
+    )
+    assert [d for _, d in q1][:2] == [101, 102]
+
+
 def test_phrase_search_positions_overlaps_and_misses(spark):
     """t20's contract: occurrences are counted at every start position
     (overlapping matches of a self-repeating phrase each count), both

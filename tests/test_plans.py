@@ -174,6 +174,12 @@ _NESTED_LOOP_OK = {
     # (the same bounded broadcast crosses); the compaction fold itself
     # is sim17's anti-join + union, then a layout write.
     "sim18_ivfpq_compaction",
+    # sim19 composes sim10's allow-listed serving crosses + t15's
+    # 1-row scalar cross, and adds ONE bounded broadcast cross of its
+    # own (n_queries distinct ids x the k-row lexical top-k list);
+    # the leg merge itself is a full-outer EQUI-join on
+    # (query_id, doc_id) over two top-k-truncated inputs.
+    "sim19_hybrid_rrf",
 }
 
 
