@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "t20_phrase_search",
     "t21_phrase_materialized",
     "sim19_hybrid_rrf",
+    "st19_cdc_dense_ingest",
     "dd10_strip_spans",
     "dd11_cluster_consolidation",
     "dd12_incremental_lsh",
@@ -90,12 +91,14 @@ _DRIVER_PRIORITY = [
     "m8b_video_keyframes",
     "sim10_ivfpq_topk",
     "sim11_ivfpq_materialized",
-    "sim12_ivfpq_append",
     # ---- behind the 50-slot window boundary ----
-    # (sim3_bounds/sim6/sim7 and the sim8 rows-only/bounds pair
-    # displaced by the round-12c additions — pairs travel together —
-    # then 3 r8-era rows displaced by the round-12b additions, then
-    # the 16 remaining r8-era rows — all queued for r13)
+    # (sim12/sim3_bounds/sim6/sim7 and the sim8 rows-only/bounds pair
+    # displaced by the round-12c additions — pairs travel together,
+    # and sim12's oracle family is re-exercised this round through
+    # sim17/sim18/st19 — then 3 r8-era rows displaced by the
+    # round-12b additions, then the 16 remaining r8-era rows — all
+    # queued for r13)
+    "sim12_ivfpq_append",
     "sim3_bounds",
     "sim6_hier_ivf_assign",
     "sim7_quantize",

@@ -1254,6 +1254,68 @@ def main_stream_ingest() -> None:
     run("st18_quarantine_ingest", dirty, "path",
         sq.read_files_stream, sq.ingest_quarantine_stream)
 
+    # st19: CDC apply onto the dense index. The feed respects CDC
+    # phase order (bootstrap upserts first, deletes last, no id twice
+    # in one batch), so it lands as explicit arrivals instead of
+    # ntile chunks: [base/2, base/2, adds+re-embeds, deletes].
+    from file_indexer_spark.registry import _land_arrivals
+    from file_indexer_spark.streaming import ann as sann
+
+    _EDIT_VEC_ING = (
+        "transform(embedding, x -> CAST(1.0D - CAST(x AS DOUBLE) AS FLOAT))"
+    )
+    up = F.lit("upsert").alias("op")
+    cdc_base = emb.filter(F.col("vec_id") % 10 != 7).select(
+        "vec_id", up, "embedding", "label"
+    )
+    cdc_edits = (
+        emb.filter(F.col("vec_id") % 10 == 7)
+        .select("vec_id", up, "embedding", "label")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 3).select(
+                "vec_id", up, F.expr(_EDIT_VEC_ING).alias("embedding"), "label"
+            )
+        )
+    )
+    cdc_dels = emb.filter(F.col("vec_id") % 10 == 5).select(
+        "vec_id",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    cdc_src = os.path.join(base, "st19_src")
+    cdc_n = (
+        cdc_base.count() + cdc_edits.count() + cdc_dels.count()
+    )
+    _land_arrivals(
+        cdc_src,
+        [
+            cdc_base.filter(F.col("vec_id") % 2 == 0),
+            cdc_base.filter(F.col("vec_id") % 2 == 1),
+            cdc_edits,
+            cdc_dels,
+        ],
+    )
+    start = time.perf_counter()
+    sann.ingest_cdc_stream(
+        spark,
+        sann.read_cdc_stream(spark, cdc_src, max_files_per_trigger=1),
+        os.path.join(base, "st19_state"),
+        os.path.join(base, "st19_ckpt"),
+    )
+    wall = time.perf_counter() - start
+    results["st19_cdc_dense_ingest"] = {
+        "input_rows": cdc_n,
+        "n_chunks": 4,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(cdc_n / wall, 1) if wall > 0 else None,
+        "note": (
+            "bootstrap quantizer train on batch 1 (base half), then "
+            "per-batch frozen-quantizer encode + one tombstone set; "
+            "deletes are a tombstone-only batch (no encode at all)"
+        ),
+    }
+
     doc = {
         "metric": "stream_ingest_throughput",
         "unit": "rows_per_sec",

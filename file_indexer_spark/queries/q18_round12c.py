@@ -331,3 +331,62 @@ def sim19_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.ivfpq_topk(_table(spark, sf_dir, "embeddings")),
         tx.bm25_topk(_table(spark, sf_dir, "documents")),
     )
+
+
+# -------------------------------------------------------------- st19
+
+# st19 shares sim17's oracle VERBATIM: the CDC stream lands exactly
+# sim17's edit script (arrival 1 bootstraps the base corpus and
+# freezes the quantizer on it — the sim13 contract and the oracle's
+# quantizer slice; arrival 2 upserts the adds + re-embeds; arrival 3
+# deletes), and the mask-folded serve must land exactly where the
+# one-call batch upsert lands. A stale masked row surviving a replay,
+# a tombstone over-masking its own batch's upsert, or a lost delete
+# each hash-mismatch.
+
+
+@register("st19_cdc_dense_ingest", ORACLES["sim17_ivfpq_upsert"])
+def st19_cdc_dense_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST19: streaming CDC APPLY onto the dense index — (vec_id, op,
+    embedding) change rows arrive in micro-batches; each batch encodes
+    its upserts against the frozen quantizer (O(batch)) and lands one
+    delta-code dir plus one tombstone set; last write wins by batch
+    order. Serving mask-folds the live dirs through sim11's unchanged
+    path — mid-ingest or after drain."""
+    from file_indexer_spark.registry_core import _land_arrivals
+    from file_indexer_spark.session import tune_session
+    from file_indexer_spark.streaming import ann as sann
+
+    tune_session(spark)
+    emb = _table(spark, sf_dir, "embeddings")
+    base, _ = _stream_workdir("fis_st19", sf_dir)
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    up = F.lit("upsert").alias("op")
+    a1 = emb.filter(F.expr(_EDIT_BASE)).select("vec_id", up, "embedding", "label")
+    a2 = (
+        emb.filter(F.expr(_EDIT_ADD))
+        .select("vec_id", up, "embedding", "label")
+        .unionByName(
+            emb.filter(F.expr(_EDIT_UPDATE)).select(
+                "vec_id", up, F.expr(_SPARK_EDIT_VEC).alias("embedding"), "label"
+            )
+        )
+    )
+    a3 = emb.filter(F.expr(_EDIT_DELETE)).select(
+        "vec_id",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    _land_arrivals(src, [a1, a2, a3])
+    sann.ingest_cdc_stream(
+        spark,
+        sann.read_cdc_stream(spark, src, max_files_per_trigger=1),
+        state,
+        os.path.join(base, "ckpt"),
+    )
+    queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sann.search_cdc(spark, state, queries)

@@ -227,3 +227,194 @@ def search(
     sim11's serving path over the streamed-in state; valid mid-ingest
     (it sees every committed version) and after drain."""
     return sim.ivfpq_topk_from_index(load_index(spark, state_dir), queries, **kwargs)
+
+
+# ------------------------------------------------------------- st19
+# CDC APPLY onto the dense index — the sim17 tombstone-segment fold
+# run from a change stream. A feed row is (vec_id, op, embedding):
+# op='upsert' re-embeds-or-adds the id, op='delete' retires it.
+# Within one micro-batch ids are unique (upstream CDC log compaction —
+# the standard change-feed contract); across batches LAST WRITE WINS
+# by micro-batch order.
+#
+# State layout (extends the sim13 dirs):
+#   codes/v{n}  — the batch's delta codes, tagged cdc_v = n
+#   tombs/v{n}  — (vec_id, cdc_v=n): ids the batch superseded/deleted
+# Mask rule: a code row (vec_id, cdc_v=v) is DEAD iff some tombstone
+# for vec_id has tv > v — so a batch's own upsert survives its own
+# tombstone (v == tv), older versions die, and a later delete kills
+# everything before it. load_cdc_index folds the rule into sim11's
+# serving dict; compact_cdc_state (sim18's discipline) rewrites the
+# survivors re-tagged at the watermark and drops the mask.
+
+CDC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+
+def read_cdc_stream(
+    spark: SparkSession, src: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(CDC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(src)
+    )
+
+
+def _tomb_versions(state_dir: str) -> list[int]:
+    return _committed(os.path.join(state_dir, "tombs"), "v")
+
+
+def _tombs_path(state_dir: str, version: int) -> str:
+    return os.path.join(state_dir, "tombs", f"v{version}")
+
+
+def _live_tomb_paths(state_dir: str) -> list[str]:
+    m = _compacted_through(state_dir)
+    return [
+        _tombs_path(state_dir, v) for v in _tomb_versions(state_dir) if v > m
+    ]
+
+
+def ingest_cdc_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str, version: int
+) -> None:
+    """Fold ONE change micro-batch. The first batch BOOTSTRAPS (all
+    rows must be upserts: it trains and freezes the quantizer — the
+    sim13 contract); later batches encode their upserts against the
+    frozen tables (sim12's leg, O(batch)) and land one tombstone set
+    covering every touched id. Idempotent per version (monotone
+    replay guard, dir-atomic commits)."""
+    from pyspark.sql import functions as F
+
+    versions = _code_versions(state_dir)
+    last = max(versions[-1] if versions else -1, _compacted_through(state_dir))
+    if version <= last:
+        return  # replayed micro-batch: already committed (or compacted)
+    ups = batch.filter(F.col("op") == "upsert").drop("op")
+    if last < 0:
+        tables = sim.ivfpq_index_tables(ups)
+        for name in _QUANTIZER_TABLES:
+            tables[name].write.mode("overwrite").parquet(
+                os.path.join(state_dir, name)
+            )
+        tables["codes"].withColumn(
+            "cdc_v", F.lit(version).cast("long")
+        ).write.mode("overwrite").parquet(_codes_path(state_dir, version))
+        return
+    stored = {
+        name: spark.read.parquet(os.path.join(state_dir, name))
+        for name in _QUANTIZER_TABLES
+    }
+    touched = batch.select("vec_id").distinct()
+    touched.withColumn("cdc_v", F.lit(version).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(_tombs_path(state_dir, version))
+    sim.ivfpq_encode_batch(stored, ups).withColumn(
+        "cdc_v", F.lit(version).cast("long")
+    ).write.mode("overwrite").parquet(_codes_path(state_dir, version))
+
+
+def ingest_cdc_stream(
+    spark: SparkSession,
+    cdc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Run the CDC apply over a change stream (availableNow: drain-
+    and-stop). Each micro-batch runs :func:`ingest_cdc_batch`."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_cdc_batch(spark, batch, state_dir, int(batch_id))
+
+    query = (
+        cdc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def load_cdc_index(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
+    """The CDC state as a serving-ready index dict: quantizer tables +
+    the mask-folded effective codes (last write wins). sim11's serve
+    path runs on this unchanged — mid-ingest or after drain."""
+    from pyspark.sql import functions as F
+
+    paths = _live_code_paths(state_dir)
+    if not paths:
+        raise ValueError(f"no CDC index state at {state_dir}")
+    index = {
+        name: spark.read.parquet(os.path.join(state_dir, name))
+        for name in _QUANTIZER_TABLES
+    }
+    codes = spark.read.parquet(*paths)
+    tomb_paths = _live_tomb_paths(state_dir)
+    if tomb_paths:
+        tv = (
+            spark.read.parquet(*tomb_paths)
+            .groupBy("vec_id")
+            .agg(F.max("cdc_v").alias("tv"))
+        )
+        codes = (
+            codes.join(F.broadcast(tv), "vec_id", "left")
+            .filter(F.col("tv").isNull() | (F.col("cdc_v") >= F.col("tv")))
+            .drop("tv")
+        )
+    index["codes"] = codes.drop("cdc_v")
+    return index
+
+
+def compact_cdc_state(spark: SparkSession, state_dir: str) -> int:
+    """sim18's fold on the streamed state: rewrite the mask-folded
+    survivors as ONE dir re-tagged at the watermark, then drop the
+    superseded code dirs and the absorbed tombstones. Commit order is
+    loud-failure-safe: the compacted dir lands first (readers see old
+    set or new set); superseded dirs vanish next (a racing reader of a
+    removed dir fails loudly, never silently under-masked); tombstones
+    go last."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    old_m = _compacted_through(state_dir)
+    versions = [v for v in _code_versions(state_dir) if v > old_m]
+    if not versions:
+        return old_m
+    new_m = versions[-1]
+    effective = load_cdc_index(spark, state_dir)["codes"].withColumn(
+        "cdc_v", F.lit(new_m).cast("long")
+    )
+    root = os.path.join(state_dir, "codes")
+    effective.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, f"c{new_m}")
+    )
+    for v in versions:
+        shutil.rmtree(_codes_path(state_dir, v), ignore_errors=True)
+    if old_m >= 0:
+        shutil.rmtree(os.path.join(root, f"c{old_m}"), ignore_errors=True)
+    for v in _tomb_versions(state_dir):
+        if v <= new_m:
+            shutil.rmtree(_tombs_path(state_dir, v), ignore_errors=True)
+    return new_m
+
+
+def search_cdc(
+    spark: SparkSession, state_dir: str, queries: DataFrame, **kwargs
+) -> DataFrame:
+    """Answer a (query_id, embedding) batch from the CDC state —
+    sim11's serving path over the mask-folded index."""
+    return sim.ivfpq_topk_from_index(
+        load_cdc_index(spark, state_dir), queries, **kwargs
+    )

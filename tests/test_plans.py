@@ -180,6 +180,11 @@ _NESTED_LOOP_OK = {
     # the leg merge itself is a full-outer EQUI-join on
     # (query_id, doc_id) over two top-k-truncated inputs.
     "sim19_hybrid_rrf",
+    # st19 serves sim11's exact shape over the mask-folded CDC state
+    # (the same bounded broadcast crosses); per-batch ingest work ran
+    # inside foreachBatch and is sim12's allow-listed encode shape;
+    # the tombstone mask is a broadcast LEFT equi-join on vec_id.
+    "st19_cdc_dense_ingest",
 }
 
 

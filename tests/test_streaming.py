@@ -1124,3 +1124,93 @@ def test_lexical_state_compaction_preserves_serving(spark, sf_smoke, tmp_path):
     assert slex.load_lexical_index(spark, state)["postings"].count() == n
     # a second compaction with nothing new is a watermark no-op
     assert slex.compact_lexical_state(spark, state) == 1
+
+
+def test_cdc_dense_ingest_last_write_wins_and_compacts(spark, sf_smoke, tmp_path):
+    """st19: the drained CDC state equals the one-call batch upsert
+    (last write wins: re-embedded ids serve their NEW codes, deleted
+    ids vanish), replays are no-ops, and compaction folds the mask
+    away without changing the served ranking."""
+    import os
+
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.streaming import ann as sann
+    from file_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    edit_vec = "transform(embedding, x -> CAST(1.0D - CAST(x AS DOUBLE) AS FLOAT))"
+    adds = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id", "embedding")
+    updates = emb.filter(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.expr(edit_vec).alias("embedding")
+    )
+    dels = emb.filter(F.col("vec_id") % 10 == 5).select("vec_id")
+    state = str(tmp_path / "state")
+
+    up = F.lit("upsert").alias("op")
+    sann.ingest_cdc_batch(
+        spark, base.select("vec_id", up, "embedding", "label"), state, 0
+    )
+    sann.ingest_cdc_batch(
+        spark,
+        adds.withColumn("op", F.lit("upsert"))
+        .withColumn("label", F.lit(None).cast("int"))
+        .unionByName(
+            updates.withColumn("op", F.lit("upsert")).withColumn(
+                "label", F.lit(None).cast("int")
+            )
+        )
+        .select("vec_id", "op", "embedding", "label"),
+        state,
+        1,
+    )
+    sann.ingest_cdc_batch(
+        spark,
+        dels.select(
+            "vec_id",
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit(None).cast("int").alias("label"),
+        ),
+        state,
+        2,
+    )
+    queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = [tuple(r) for r in sann.search_cdc(spark, state, queries).collect()]
+
+    # reference: the batch-path upsert over the same base index
+    bmats = sim.write_ivfpq_index(
+        spark, sim.ivfpq_index_tables(base), str(tmp_path / "bidx")
+    )
+    edited = sim.ivfpq_upsert(bmats, adds.unionByName(updates), dels)
+    assert served == [
+        tuple(r) for r in sim.ivfpq_topk_from_index(edited, queries).collect()
+    ]
+
+    # replays (current and stale versions) are no-ops
+    n_codes = sann.load_cdc_index(spark, state)["codes"].count()
+    sann.ingest_cdc_batch(
+        spark, base.select("vec_id", up, "embedding", "label"), state, 2
+    )
+    sann.ingest_cdc_batch(
+        spark, base.select("vec_id", up, "embedding", "label"), state, 0
+    )
+    assert sann.load_cdc_index(spark, state)["codes"].count() == n_codes
+
+    # compaction: same ranking, mask and version dirs folded away
+    wm = sann.compact_cdc_state(spark, state)
+    assert wm == 2
+    assert sorted(os.listdir(os.path.join(state, "codes"))) == ["c2"]
+    assert sann._live_tomb_paths(state) == []
+    assert served == [
+        tuple(r) for r in sann.search_cdc(spark, state, queries).collect()
+    ]
+    # deleted ids are physically gone after the fold
+    gone = {r["vec_id"] for r in dels.collect()}
+    left = {
+        r["vec_id"]
+        for r in sann.load_cdc_index(spark, state)["codes"].collect()
+    }
+    assert not gone & left
