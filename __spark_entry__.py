@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "t21_phrase_materialized",
     "sim19_hybrid_rrf",
     "st19_cdc_dense_ingest",
+    "inf3_roc_auc",
     "dd10_strip_spans",
     "dd11_cluster_consolidation",
     "dd12_incremental_lsh",
@@ -90,14 +91,14 @@ _DRIVER_PRIORITY = [
     "m8_video_shot_cuts",
     "m8b_video_keyframes",
     "sim10_ivfpq_topk",
-    "sim11_ivfpq_materialized",
     # ---- behind the 50-slot window boundary ----
-    # (sim12/sim3_bounds/sim6/sim7 and the sim8 rows-only/bounds pair
-    # displaced by the round-12c additions — pairs travel together,
-    # and sim12's oracle family is re-exercised this round through
-    # sim17/sim18/st19 — then 3 r8-era rows displaced by the
-    # round-12b additions, then the 16 remaining r8-era rows — all
-    # queued for r13)
+    # (sim11/sim12/sim3_bounds/sim6/sim7 and the sim8 rows-only/bounds
+    # pair displaced by the round-12c additions — pairs travel
+    # together, and the sim11/sim12 oracle family is re-exercised
+    # this round through sim17/sim18/st19 — then 3 r8-era rows
+    # displaced by the round-12b additions, then the 16 remaining
+    # r8-era rows — all queued for r13)
+    "sim11_ivfpq_materialized",
     "sim12_ivfpq_append",
     "sim3_bounds",
     "sim6_hier_ivf_assign",

@@ -251,6 +251,8 @@ LLM_EXTENSION = [
     # sim19: both legs' gate cost + a result-set-algebra fusion over
     # queries x k rows (corpus-independent once the legs truncate)
     "sim19_hybrid_rrf",
+    # inf3: one scan + bounded (1e6-key) rank window — scan-bound
+    "inf3_roc_auc",
 ]
 
 
@@ -653,6 +655,8 @@ SCALE_QUERIES = [
     # sim19 = sim10's scale shape + t15's, then corpus-independent
     # result-set algebra — the ratio reads the two legs' growth
     "sim19_hybrid_rrf",
+    # inf3: scan-bound scoring into the bounded rank table
+    "inf3_roc_auc",
 ]
 
 
@@ -1258,6 +1262,8 @@ def main_stream_ingest() -> None:
     # phase order (bootstrap upserts first, deletes last, no id twice
     # in one batch), so it lands as explicit arrivals instead of
     # ntile chunks: [base/2, base/2, adds+re-embeds, deletes].
+    from pyspark.sql import functions as F
+
     from file_indexer_spark.registry import _land_arrivals
     from file_indexer_spark.streaming import ann as sann
 
@@ -1398,6 +1404,7 @@ def main_incremental() -> None:
 
     # x1 vs x2: cross-modal dup report
     fp: dict = {}
+    print(f"[incr] starting crossmodal_report", flush=True)
     results["crossmodal_report"] = {
         "from_scratch_x1": timed(lambda: xm.duplicate_assets(docs).count()),
         "build_once": timed(
@@ -1414,6 +1421,7 @@ def main_incremental() -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     new_vecs = emb.filter(F.col("vec_id") % 10 == 7)
+    print(f"[incr] starting ann_index", flush=True)
     results["ann_index"] = {
         "from_scratch_sim10": timed(lambda: sim.ivfpq_topk(emb).count()),
         "build_once": timed(
@@ -1538,6 +1546,7 @@ def main_incremental() -> None:
     t15_scratch = timed(lambda: tx.bm25_topk(docs).count())
     t16_build = timed(build_lexical)  # populates lidx
     frag = land_fragmented()
+    print(f"[incr] starting lexical_index", flush=True)
     results["lexical_index"] = {
         "from_scratch_t15": t15_scratch,
         "build_once": t16_build,
@@ -1578,6 +1587,7 @@ def main_incremental() -> None:
             dmats["assignments"], pairs, new_docs
         ).count()
 
+    print(f"[incr] starting dedup_index", flush=True)
     results["dedup_index"] = {
         "from_scratch_dd7": timed(
             lambda: dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs)).count()
@@ -1610,6 +1620,7 @@ def main_incremental() -> None:
             dmats["ranks"], dmats["pairs"], union_assign, pairs, new_docs
         ).count()
 
+    print(f"[incr] starting centrality_index", flush=True)
     results["centrality_index"] = {
         "from_scratch_dd18": timed(
             lambda: gr.pagerank(docs, dd.minhash_lsh_pairs(docs)).count()
@@ -1652,6 +1663,7 @@ def main_incremental() -> None:
             dd.incremental_cluster_refresh(rm["assignments"], pairs, rn).count()
 
         realistic[f"steady_state_dd13_refresh_{tag}_batch"] = timed(rrefresh, reps=2)
+    print(f"[incr] starting dedup_index_realistic", flush=True)
     results["dedup_index_realistic"] = realistic
 
     # centrality family on the same realistic-density corpus — the
@@ -1693,6 +1705,7 @@ def main_incremental() -> None:
             ).count()
 
         rc[f"steady_state_dd19_rerank_{tag}_batch"] = timed(rrerank, reps=2)
+    print(f"[incr] starting centrality_index_realistic", flush=True)
     results["centrality_index_realistic"] = rc
 
     # dd20 vs dd21: personalized centrality under a SEED-SET EDIT —
@@ -1700,16 +1713,23 @@ def main_incremental() -> None:
     # the refresh re-walks only the components containing an edited
     # seed (Kiveris labeling over the positive-weight pair subgraph)
     # and passes every other stored row through with one anti-join.
+    # FACTOR 1 on purpose (recorded in the row): sim5's within-list
+    # pair scoring is quadratic in list size on the dense synthetic
+    # fixture (the same corpus artifact that excludes dd20–dd23 from
+    # the --scale sweep), so the graph-family economics are measured
+    # at the base sf — the refresh-vs-scratch RATIO is the product,
+    # not the absolute wall.
+    emb1 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     pmats: dict = {}
 
     def build_personalized():
-        pmats.update(mat({"knn": sim.knn_join(emb)}, "dd21"))
+        pmats.update(mat({"knn": sim.knn_join(emb1)}, "dd21"))
         pmats.update(
             mat(
                 {
                     "ranks": gr.personalized_pagerank(
                         pmats["knn"],
-                        emb.select("vec_id"),
+                        emb1.select("vec_id"),
                         seed_max=gr.PPR_SEED_MAX_OLD,
                     )
                 },
@@ -1717,16 +1737,24 @@ def main_incremental() -> None:
             )
         )
 
+    print(f"[incr] starting personalized_centrality", flush=True)
     results["personalized_centrality"] = {
+        "factor": 1,
         "from_scratch_dd20": timed(
             lambda: gr.personalized_pagerank(
-                sim.knn_join(emb), emb.select("vec_id")
+                sim.knn_join(emb1), emb1.select("vec_id")
             ).count()
         ),
         "build_once": timed(build_personalized),
         "steady_state_dd21_seed_edit_refresh": timed(
             lambda: gr.personalized_pagerank_refresh(
-                pmats["knn"], emb.select("vec_id"), pmats["ranks"]
+                pmats["knn"], emb1.select("vec_id"), pmats["ranks"]
+            ).count(),
+            reps=2,
+        ),
+        "walk_only_from_stored_knn": timed(
+            lambda: gr.personalized_pagerank(
+                pmats["knn"], emb1.select("vec_id")
             ).count(),
             reps=2,
         ),
@@ -1737,7 +1765,7 @@ def main_incremental() -> None:
     # kNN (new vectors displace existing top-k lists: dd21's honest
     # boundary), diffs the edge tables, and re-propagates only the
     # components containing a changed endpoint.
-    base_emb = emb.filter(F.col("vec_id") % 10 != 7)
+    base_emb = emb1.filter(F.col("vec_id") % 10 != 7)
     cmats: dict = {}
 
     def build_community():
@@ -1754,17 +1782,19 @@ def main_incremental() -> None:
             )
         )
 
+    print(f"[incr] starting community_index", flush=True)
     results["community_index"] = {
+        "factor": 1,
         "from_scratch_dd22": timed(
             lambda: gr.label_propagation(
-                sim.knn_join(emb), emb.select("vec_id")
+                sim.knn_join(emb1), emb1.select("vec_id")
             ).count()
         ),
         "build_once": timed(build_community),
         "steady_state_dd23_batch_refresh": timed(
             lambda: gr.label_propagation_refresh(
-                sim.knn_join(emb).localCheckpoint(eager=False),
-                emb.select("vec_id"),
+                sim.knn_join(emb1).localCheckpoint(eager=False),
+                emb1.select("vec_id"),
                 cmats["edges"],
                 cmats["labels"],
             ).count(),
@@ -1774,10 +1804,10 @@ def main_incremental() -> None:
     # the dense-fixture caveat row (dd19/dd21's analogue): a plain
     # re-propagation of a STORED union kNN graph, no diff machinery —
     # isolates the kNN re-score cost from the propagation cost
-    umats = mat({"union_knn": sim.knn_join(emb)}, "dd23u")
+    umats = mat({"union_knn": sim.knn_join(emb1)}, "dd23u")
     results["community_index"]["propagation_only_from_stored_union_knn"] = timed(
         lambda: gr.label_propagation(
-            umats["union_knn"], emb.select("vec_id")
+            umats["union_knn"], emb1.select("vec_id")
         ).count(),
         reps=2,
     )

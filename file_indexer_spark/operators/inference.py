@@ -146,3 +146,66 @@ def calibration_bins(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def roc_auc(embeddings: DataFrame) -> DataFrame:
+    """inf3: EXACT ROC-AUC of the quality classifier against the
+    label-parity ground truth (inf2's rule) — the eval number every
+    threshold decision (inf1's keep slice, ct5's gate) should quote
+    beside the calibration table.  Computed as the Mann-Whitney U
+    rank statistic with MIDRANK tie handling, in exact integer
+    arithmetic end to end:
+
+        AUC = (2*R_pos - P*(P+1)) / (2*P*N)
+
+    where 2*R_pos = sum over positive rows of (min_rank + max_rank)
+    of the row's score group — doubled midranks stay integers, so the
+    numerator and denominator are exact BIGINTs and only the final
+    single division rounds (to 6, the repo's float contract).
+
+    Scale shape: scores snap to integer micro-units (inf1's shared
+    expression), so the rank pass groups onto AT MOST 1e6+1 distinct
+    keys REGARDLESS of corpus size — the cumulative window runs over
+    a bounded, metadata-sized table, never the corpus.  One scan +
+    one bounded hash aggregate + one bounded window: scan-bound like
+    inf1 itself.
+    """
+    scored = embeddings.select(
+        _score_e6().alias("s"),
+        (F.col("label") % 2 == 0).cast("long").alias("pos"),
+    )
+    return _auc_from_scored(scored)
+
+
+def _auc_from_scored(scored: DataFrame) -> DataFrame:
+    """The rank-statistic back half over any (s, pos) row set —
+    split out so the property test can drive it with arbitrary
+    score/label mixes."""
+    from pyspark.sql.window import Window
+
+    by_s = scored.groupBy("s").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_s.withColumn(
+        "below", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum(F.col("np") * (2 * F.col("below") + F.col("n") + 1))
+        .cast("long")
+        .alias("two_rank_sum"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    num = (F.col("two_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+        "long"
+    )
+    den = (2 * F.col("n_pos") * (F.col("n_total") - F.col("n_pos"))).cast("long")
+    return agg.select(
+        "n_pos",
+        (F.col("n_total") - F.col("n_pos")).cast("long").alias("n_neg"),
+        num.alias("auc_num"),
+        den.alias("auc_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("auc"),
+    )

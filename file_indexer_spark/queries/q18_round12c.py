@@ -9,8 +9,10 @@ streaming ingest.
 Reference parity: the reference's write path is update-heavy by
 design (``UPDATE files SET checksum…``,
 file_indexer/indexer.py:424-448) and deletes stale rows on every
-cleanup pass (file_indexer/indexer.py:472-500 region); sim17/sim18
-extend that contract to the vector index the LLM pipeline serves.
+cleanup pass (``cleanup_deleted_files``,
+file_indexer/indexer.py:1028 with its ``DELETE FROM files`` at
+:1436); sim17/sim18 extend that contract to the vector index the
+LLM pipeline serves.
 """
 
 from __future__ import annotations
@@ -390,3 +392,52 @@ def st19_cdc_dense_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sann.search_cdc(spark, state, queries)
+
+
+# -------------------------------------------------------------- inf3
+
+from file_indexer_spark.operators import inference as inf  # noqa: E402
+from file_indexer_spark.queries.q14_round10 import _INF2_SCORE_E6  # noqa: E402
+
+
+@register(
+    "inf3_roc_auc",
+    f"""
+    -- Exact ROC-AUC (Mann-Whitney with midrank ties) of inf1's
+    -- classifier vs the label-parity ground truth. Doubled midranks
+    -- keep every intermediate an exact BIGINT; micro-unit scores
+    -- bound the rank table at 1e6+1 keys regardless of corpus size.
+    WITH scored AS (
+        SELECT {_INF2_SCORE_E6} AS s,
+               CAST(label % 2 = 0 AS BIGINT) AS pos
+        FROM embeddings),
+    by_s AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS np
+        FROM scored GROUP BY s),
+    cum AS (
+        SELECT np, n,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS below
+        FROM by_s),
+    agg AS (
+        SELECT CAST(SUM(np * (2 * below + n + 1)) AS BIGINT) AS two_rank_sum,
+               CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(n) AS BIGINT) AS n_total
+        FROM cum)
+    SELECT n_pos,
+           CAST(n_total - n_pos AS BIGINT) AS n_neg,
+           CAST(two_rank_sum - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+           CAST(2 * n_pos * (n_total - n_pos) AS BIGINT) AS auc_den,
+           ROUND(CAST(two_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * (n_total - n_pos) AS DOUBLE), 6) AS auc
+    FROM agg
+    """,
+)
+def inf3_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INF3: exact ROC-AUC of the quality classifier — the ranking-
+    quality number beside inf2's calibration table.  Midrank rank
+    statistic in exact integer arithmetic; the rank pass is bounded
+    by the micro-unit score domain, never the corpus."""
+    return inf.roc_auc(_table(spark, sf_dir, "embeddings"))

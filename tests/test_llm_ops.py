@@ -2197,3 +2197,32 @@ def test_decayed_engagement_quarter_staircase(spark):
     out = {r["user_id"]: r for r in evo.decayed_engagement(ev).collect()}
     assert out[2]["decayed_count_e6"] == round(math.sqrt(math.sqrt(0.5)) * 1e6)
     assert out[3]["decayed_count_e6"] == 0
+
+
+def test_roc_auc_matches_pairwise_reference(spark):
+    """inf3: the midrank rank-statistic equals the pairwise AUC
+    definition (wins + half-ties over pos x neg pairs) exactly — tie
+    groups, all-tied blocks, and skewed class balance included."""
+    from fractions import Fraction
+
+    from file_indexer_spark.operators.inference import _auc_from_scored
+
+    cases = [
+        [(5, 1), (3, 0), (5, 0), (1, 0), (7, 1), (5, 1), (3, 1), (3, 0)],
+        [(2, 1), (2, 0), (2, 1), (2, 0)],          # everything tied
+        [(1, 0), (2, 0), (3, 1)],                   # perfect separation
+        [(9, 1), (8, 1), (1, 0), (0, 0), (9, 0)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "s long, pos long")
+        got = _auc_from_scored(df).first()
+        pos = [s for s, p in rows if p]
+        neg = [s for s, p in rows if not p]
+        want = sum(
+            Fraction(1) if sp > sn else Fraction(1, 2) if sp == sn else 0
+            for sp in pos
+            for sn in neg
+        ) / (len(pos) * len(neg))
+        assert Fraction(got["auc_num"], got["auc_den"]) == want, rows
+        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+        assert got["auc"] == round(float(want), 6)

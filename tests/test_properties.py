@@ -858,3 +858,148 @@ def test_lp_refresh_equals_scratch(spark, case):
         for r in gr.label_propagation(knn_union, corpus).collect()
     }
     assert refreshed == scratch
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.tuples(
+        # per later batch: an action per vec_id — 0 none, 1 upsert
+        # (batch-salted re-embed), 2 delete
+        st.lists(
+            st.lists(st.integers(0, 2), min_size=24, max_size=24),
+            min_size=1,
+            max_size=2,
+        ),
+        # maintenance op after each later batch: 0 none, 1 replay, 2 compact
+        st.lists(st.integers(0, 2), min_size=2, max_size=2),
+        st.randoms(use_true_random=False),
+    )
+)
+def test_cdc_random_ops_equal_batch_upserts(spark, tmp_path_factory, case):
+    """st19 under random CDC schedules: arbitrary per-id upsert/delete
+    mixes across batches, with replays and compactions interleaved —
+    the mask-folded state must equal composing sim17's batch-path
+    ivfpq_upsert calls in the same order (last write wins, deletes of
+    absent ids harmless, re-upserts override)."""
+    from pyspark.sql import functions as F
+
+    from file_indexer_spark.operators import similarity as sim
+    from file_indexer_spark.streaming import ann as sann
+
+    batches, maint, rng = case
+
+    def vec(i: int, salt: int) -> list[float]:
+        return [float(((i * 7 + d * 3 + salt * 5) % 13) - 6) for d in range(64)]
+
+    rows = [(i, vec(i, 0), i % 4) for i in range(24)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    state = str(tmp_path_factory.mktemp("cdc_state"))
+    up = F.lit("upsert").alias("op")
+    base_feed = emb.select("vec_id", up, "embedding", "label")
+    sann.ingest_cdc_batch(spark, base_feed, state, 0)
+
+    ref = sim.ivfpq_index_tables(emb)
+    for k, actions in enumerate(batches, start=1):
+        ups_rows = [
+            (i, "upsert", vec(i, k), None)
+            for i, a in enumerate(actions)
+            if a == 1
+        ]
+        del_rows = [
+            (i, "delete", None, None) for i, a in enumerate(actions) if a == 2
+        ]
+        if not ups_rows and not del_rows:
+            ups_rows = [(0, "upsert", vec(0, k), None)]  # keep versions dense
+        feed = spark.createDataFrame(
+            ups_rows + del_rows,
+            "vec_id long, op string, embedding array<float>, label int",
+        )
+        sann.ingest_cdc_batch(spark, feed, state, k)
+        m = maint[k - 1] if k - 1 < len(maint) else 0
+        if m == 1:
+            j = rng.randrange(1, k + 1)
+            # replays re-present the CURRENT batch's feed under an old
+            # version id — the monotone guard must drop it
+            sann.ingest_cdc_batch(spark, feed, state, j - 1)
+        elif m == 2:
+            sann.compact_cdc_state(spark, state)
+        ups_df = spark.createDataFrame(
+            [(i, e) for i, _, e, _ in ups_rows],
+            "vec_id long, embedding array<float>",
+        )
+        dels_df = spark.createDataFrame(
+            [(i,) for i, *_ in del_rows] or [], "vec_id long"
+        )
+        ref = sim.ivfpq_upsert(ref, ups_df, dels_df if del_rows else None)
+
+    got = {
+        r["vec_id"]: (tuple(r["codes"]), r["centroid_id"])
+        for r in sann.load_cdc_index(spark, state)["codes"].collect()
+    }
+    want = {
+        r["vec_id"]: (tuple(r["codes"]), r["centroid_id"])
+        for r in sim.ivfpq_effective_codes(ref).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    # dense leg: per query (up to 3), a permutation-ranked candidate
+    # list over doc ids 0..11; lexical leg: one ranked list
+    st.tuples(
+        st.lists(
+            st.lists(st.integers(0, 11), min_size=0, max_size=6, unique=True),
+            min_size=1,
+            max_size=3,
+        ),
+        st.lists(st.integers(0, 11), min_size=0, max_size=6, unique=True),
+    )
+)
+def test_rrf_fuse_matches_reference(spark, case):
+    """sim19 against a pure-Python RRF reference over random rank
+    lists: fused scores, per-query ordering, doc_id tie-breaks, and
+    the missing-leg-contributes-zero rule."""
+    from file_indexer_spark.operators import similarity as sim
+
+    dense_lists, lex_list = case
+    dense_rows = [
+        (q, d, r + 1)
+        for q, lst in enumerate(dense_lists)
+        for r, d in enumerate(lst)
+    ]
+    if not dense_rows:
+        return  # rrf needs at least one dense query row
+    lex_rows = [(d, r + 1) for r, d in enumerate(lex_list)]
+    dense = spark.createDataFrame(
+        dense_rows, "query_id long, neighbor_id long, rank int"
+    )
+    lex = spark.createDataFrame(
+        lex_rows or [], "doc_id long, rank int"
+    )
+    got = [
+        (r["query_id"], r["doc_id"], r["rank"], r["rrf_score"])
+        for r in sim.rrf_fuse(dense, lex, k=60, topk=5).collect()
+    ]
+    # pure-Python reference
+    want = []
+    qids = sorted({q for q, *_ in dense_rows})
+    dmap = {(q, d): r for q, d, r in dense_rows}
+    lmap = dict(lex_rows)
+    for q in qids:
+        cands = {d for (qq, d) in dmap if qq == q} | set(lmap)
+        scored = sorted(
+            (
+                -(
+                    (1.0 / (60 + dmap[(q, d)]) if (q, d) in dmap else 0.0)
+                    + (1.0 / (60 + lmap[d]) if d in lmap else 0.0)
+                ),
+                d,
+            )
+            for d in cands
+        )
+        for rank, (neg, d) in enumerate(scored[:5], start=1):
+            want.append((q, d, rank, round(-neg, 6)))
+    assert got == want
