@@ -67,6 +67,8 @@ _DRIVER_PRIORITY = [
     "sim19_hybrid_rrf",
     "st19_cdc_dense_ingest",
     "inf3_roc_auc",
+    "t22_phrase_upsert",
+    "t23_phrase_compaction",
     "dd10_strip_spans",
     "dd11_cluster_consolidation",
     "dd12_incremental_lsh",
@@ -89,15 +91,15 @@ _DRIVER_PRIORITY = [
     "m7b_silence_spans",
     "m7c_audio_dup_groups",
     "m8_video_shot_cuts",
+    # ---- behind the 50-slot window boundary ----
+    # (m8b/sim10/sim11/sim12/sim3_bounds/sim6/sim7 and the sim8
+    # rows-only/bounds pair displaced by the round-12c additions —
+    # pairs travel together, and the sim10/sim11/sim12 oracle family
+    # is re-exercised this round through sim17/sim18/sim19/st19 —
+    # then 3 r8-era rows displaced by the round-12b additions, then
+    # the 16 remaining r8-era rows — all queued for r13)
     "m8b_video_keyframes",
     "sim10_ivfpq_topk",
-    # ---- behind the 50-slot window boundary ----
-    # (sim11/sim12/sim3_bounds/sim6/sim7 and the sim8 rows-only/bounds
-    # pair displaced by the round-12c additions — pairs travel
-    # together, and the sim11/sim12 oracle family is re-exercised
-    # this round through sim17/sim18/st19 — then 3 r8-era rows
-    # displaced by the round-12b additions, then the 16 remaining
-    # r8-era rows — all queued for r13)
     "sim11_ivfpq_materialized",
     "sim12_ivfpq_append",
     "sim3_bounds",

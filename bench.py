@@ -253,6 +253,11 @@ LLM_EXTENSION = [
     "sim19_hybrid_rrf",
     # inf3: one scan + bounded (1e6-key) rank window — scan-bound
     "inf3_roc_auc",
+    # t22/t23: the phrase leg's maintenance (anti-join + batch
+    # tokenize; append + clustered rewrite) — each gate includes its
+    # base build by construction
+    "t22_phrase_upsert",
+    "t23_phrase_compaction",
 ]
 
 
@@ -657,6 +662,9 @@ SCALE_QUERIES = [
     "sim19_hybrid_rrf",
     # inf3: scan-bound scoring into the bounded rank table
     "inf3_roc_auc",
+    # t22/t23: linear tokenize + anti-join/rewrite over the postings
+    "t22_phrase_upsert",
+    "t23_phrase_compaction",
 ]
 
 

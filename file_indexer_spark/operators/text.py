@@ -973,6 +973,25 @@ def write_positional_index(
     return out
 
 
+def positional_upsert(
+    mats: dict[str, DataFrame], batch_docs: DataFrame
+) -> dict[str, DataFrame]:
+    """t22: READ-MODIFY-WRITE maintenance for the positional index —
+    t17b's contract on the phrase leg, and the SIMPLEST fold in the
+    maintenance family because positions carry no corpus-level
+    statistics (no scalars to shrink, no quantizer to freeze): one
+    broadcast anti-join displaces the batch ids' stored postings, one
+    positional tokenize of the BATCH alone appends the new rows.
+    Mixed insert+update batches take one code path; re-upserting the
+    same batch is idempotent.  At 100 TB the anti-join is one pass
+    over the stored postings; a production table amortizes it with
+    tombstones folded at compaction (:func:`write_positional_index`
+    — t23's rewrite)."""
+    ids = batch_docs.select("doc_id").distinct()
+    kept = mats["postings"].join(F.broadcast(ids), "doc_id", "left_anti")
+    return {"postings": kept.unionByName(_positional_tokens(batch_docs))}
+
+
 def phrase_search_from_index(
     mats: dict[str, DataFrame], phrase: tuple[str, ...] = PHRASE_TERMS
 ) -> DataFrame:

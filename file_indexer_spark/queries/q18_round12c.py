@@ -441,3 +441,64 @@ def inf3_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic in exact integer arithmetic; the rank pass is bounded
     by the micro-unit score domain, never the corpus."""
     return inf.roc_auc(_table(spark, sf_dir, "embeddings"))
+
+
+# t22/t23 share t20's oracle verbatim (the t17b/t18 discipline on the
+# phrase leg): the upsert must land exactly the true corpus's phrase
+# result, and compaction is a pure layout rewrite.
+
+
+@register("t22_phrase_upsert", ORACLES["t20_phrase_search"])
+def t22_phrase_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22: positional-index UPSERT — a mixed insert+update batch
+    (doc_id % 10 == 3: new docs; % 10 == 7: REPLACES a stale indexed
+    version whose extra tokens would shift every later position)
+    applied read-modify-write: one broadcast anti-join displaces the
+    stale postings, the batch tokenizes itself, and the phrase query
+    over the merged index must equal t20 from scratch over the true
+    corpus — a surviving stale position row breaks the hash."""
+    docs = _table(spark, sf_dir, "documents")
+    slot = F.col("doc_id") % 10
+    stale = docs.filter(slot != 3).withColumn(
+        "text",
+        F.when(
+            slot == 7, F.concat(F.lit("stalemark stalemark "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    batch = docs.filter(slot.isin(3, 7))
+    workdir, _ = _stream_workdir("fis_t22", sf_dir)
+    mats = tx.write_positional_index(
+        spark, tx.positional_index_tables(stale), workdir
+    )
+    return tx.phrase_search_from_index(tx.positional_upsert(mats, batch))
+
+
+@register("t23_phrase_compaction", ORACLES["t20_phrase_search"])
+def t23_phrase_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23: positional-index COMPACTION — three appends land their
+    postings as separate file sets (every term's positional rows
+    spread further; the serve legs' row-group pruning degrades), then
+    the shared term-clustered writer rewrites the index in one pass
+    and the phrase query serves from the compacted layout."""
+    docs = _table(spark, sf_dir, "documents")
+    slot = F.col("doc_id") % 10
+    workdir, _ = _stream_workdir("fis_t23", sf_dir)
+    mats = tx.write_positional_index(
+        spark,
+        tx.positional_index_tables(docs.filter(~slot.isin(7, 8, 9))),
+        os.path.join(workdir, "base"),
+    )
+    posts = [mats["postings"]]
+    for s in (7, 8, 9):
+        p = os.path.join(workdir, f"gen{s}")
+        tx.positional_index_tables(docs.filter(slot == s))[
+            "postings"
+        ].write.parquet(p)
+        posts.append(spark.read.parquet(p))
+    frag = posts[0]
+    for x in posts[1:]:
+        frag = frag.unionByName(x)
+    compacted = tx.write_positional_index(
+        spark, {"postings": frag}, os.path.join(workdir, "compact")
+    )
+    return tx.phrase_search_from_index(compacted)

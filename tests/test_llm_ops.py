@@ -2226,3 +2226,38 @@ def test_roc_auc_matches_pairwise_reference(spark):
         assert Fraction(got["auc_num"], got["auc_den"]) == want, rows
         assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
         assert got["auc"] == round(float(want), 6)
+
+
+def test_positional_upsert_updates_and_is_idempotent(spark, tmp_path):
+    """t22: a batch that UPDATES an indexed doc displaces its stale
+    position rows completely (the merged index answers phrases like a
+    from-scratch build over the true corpus), and re-ingesting the
+    same batch is a no-op."""
+    from file_indexer_spark.operators import text as tx
+
+    truth = spark.createDataFrame(
+        [
+            (1, "x table part y"),
+            (2, "table part table part"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    # stored: doc 2 STALE (leading tokens shift every position), no doc 3
+    stale = spark.createDataFrame(
+        [(1, "x table part y"), (2, "pad pad table part table part")],
+        "doc_id long, text string",
+    )
+    batch = truth.filter("doc_id IN (2, 3)")
+    mats = tx.write_positional_index(
+        spark, tx.positional_index_tables(stale), str(tmp_path / "idx")
+    )
+    merged = tx.positional_upsert(mats, batch)
+    want = [tuple(r) for r in tx.phrase_search(truth).collect()]
+    assert [tuple(r) for r in tx.phrase_search_from_index(merged).collect()] == want
+    again = tx.positional_upsert(merged, batch)
+    assert [tuple(r) for r in tx.phrase_search_from_index(again).collect()] == want
+    # the displaced stale rows are really gone (counts match truth)
+    assert merged["postings"].count() == sum(
+        len(r["text"].split(" ")) for r in truth.collect()
+    )
