@@ -702,7 +702,7 @@ def _dd20_serving_regime(spark, sf_dir: str):
     tune_session(spark)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
-    knn = sim.knn_join(emb, n_centroids=max(64, math.isqrt(n)))
+    knn = sim.knn_join(emb, n_centroids=max(64, math.isqrt(n)), ordered=False)
     return gr.personalized_pagerank(knn, emb.select("vec_id"))
 
 
@@ -1731,7 +1731,7 @@ def main_incremental() -> None:
     pmats: dict = {}
 
     def build_personalized():
-        pmats.update(mat({"knn": sim.knn_join(emb1)}, "dd21"))
+        pmats.update(mat({"knn": sim.knn_join(emb1, ordered=False)}, "dd21"))
         pmats.update(
             mat(
                 {
@@ -1750,7 +1750,7 @@ def main_incremental() -> None:
         "factor": 1,
         "from_scratch_dd20": timed(
             lambda: gr.personalized_pagerank(
-                sim.knn_join(emb1), emb1.select("vec_id")
+                sim.knn_join(emb1, ordered=False), emb1.select("vec_id")
             ).count()
         ),
         "build_once": timed(build_personalized),
@@ -1777,7 +1777,7 @@ def main_incremental() -> None:
     cmats: dict = {}
 
     def build_community():
-        knn_base = sim.knn_join(base_emb).localCheckpoint(eager=False)
+        knn_base = sim.knn_join(base_emb, ordered=False).localCheckpoint(eager=False)
         cmats.update(mat({"edges": gr.lp_edges(knn_base)}, "dd23"))
         cmats.update(
             mat(
@@ -1795,13 +1795,13 @@ def main_incremental() -> None:
         "factor": 1,
         "from_scratch_dd22": timed(
             lambda: gr.label_propagation(
-                sim.knn_join(emb1), emb1.select("vec_id")
+                sim.knn_join(emb1, ordered=False), emb1.select("vec_id")
             ).count()
         ),
         "build_once": timed(build_community),
         "steady_state_dd23_batch_refresh": timed(
             lambda: gr.label_propagation_refresh(
-                sim.knn_join(emb1).localCheckpoint(eager=False),
+                sim.knn_join(emb1, ordered=False).localCheckpoint(eager=False),
                 emb1.select("vec_id"),
                 cmats["edges"],
                 cmats["labels"],
@@ -1812,7 +1812,7 @@ def main_incremental() -> None:
     # the dense-fixture caveat row (dd19/dd21's analogue): a plain
     # re-propagation of a STORED union kNN graph, no diff machinery —
     # isolates the kNN re-score cost from the propagation cost
-    umats = mat({"union_knn": sim.knn_join(emb1)}, "dd23u")
+    umats = mat({"union_knn": sim.knn_join(emb1, ordered=False)}, "dd23u")
     results["community_index"]["propagation_only_from_stored_union_knn"] = timed(
         lambda: gr.label_propagation(
             umats["union_knn"], emb1.select("vec_id")

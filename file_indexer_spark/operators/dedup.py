@@ -551,9 +551,14 @@ def _connected_components(
     min-label propagation needs 10^6.
 
     Each round is two grouped min-joins over the current edge set plus
-    one exact set-difference convergence probe (``exceptAll`` both ways,
-    ``limit(1)``) — no fingerprint shortcuts, so early exit can never
-    mis-cluster. Lineage is cut per round; with ``durable_checkpoint``
+    an exact convergence probe — no fingerprint shortcuts, so early
+    exit can never mis-cluster. The probe is count-gated (round-12
+    optimization, guide §2.4): both edge sets are DISTINCT by
+    construction, so differing cardinalities prove non-convergence
+    from the (already-materialized) checkpoint row counts alone, and
+    the ``exceptAll`` set-difference scan runs only when the counts
+    tie — with equal-size finite sets, one-sided emptiness is
+    equality. Lineage is cut per round; with ``durable_checkpoint``
     the cut is a reliable-storage ``checkpoint()`` (caller must have set
     ``sparkContext.setCheckpointDir``) so a preempted executor replays
     from storage instead of recomputing the whole prefix.
@@ -577,6 +582,7 @@ def _connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    n_edges = edges.count()
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -606,14 +612,18 @@ def _connected_components(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
+        # count() doubles as the checkpoint materialization action;
+        # the exceptAll scan only runs on a cardinality tie (both
+        # sides are distinct sets, so |small| != |edges| alone proves
+        # a change, and |small| == |edges| with small \ edges empty
+        # proves set equality — one-sided difference suffices)
+        n_small = small.count()
         changed = (
-            small.exceptAll(edges)
-            .unionByName(edges.exceptAll(small))
-            .limit(1)
-            .count()
+            n_small != n_edges
+            or small.exceptAll(edges).limit(1).count() > 0
         )
-        edges = small
-        if changed == 0:
+        edges, n_edges = small, n_small
+        if not changed:
             break
     # fixed point is a star forest: every non-center points straight at
     # its component min. groupBy-min is belt-and-braces for the

@@ -609,6 +609,7 @@ def knn_join(
     k: int = KNN_K,
     n_assign: int = KNN_ASSIGN,
     n_centroids: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """sim5: approximate k-NN GRAPH — top-k neighbors for EVERY corpus
     vector (not just a query slice): the build step for SemDeDup-style
@@ -638,11 +639,28 @@ def knn_join(
 
     ``n_centroids`` ~sqrt(corpus) keeps within-list pair work ~linear
     in the corpus (see :func:`_centroids`).
+
+    ``ordered=False`` skips the final presentation sort — the graph
+    family (dd20–dd23) consumes these edges through joins/aggregates
+    that destroy ordering anyway, and the global sort costs a range
+    exchange plus its sampling pass per gate (round-12 optimization,
+    guide §2.4; the registered sim5 output keeps the sort).
+
+    Round-12 optimization (guide §4.1 "fewer per-row ops"): each side's
+    float embedding is cast to array<double> ONCE map-side before the
+    pair join; the per-pair fold then multiplies doubles directly
+    instead of re-casting 2 x 64 elements per scored pair. float →
+    double widening is exact, so the arithmetic (and the oracle hash)
+    is bit-identical.
     """
     assign = ivf_assignments(embeddings, n_assign=n_assign, n_centroids=n_centroids)
     vecs = (
         _with_norm(_spread(embeddings))
-        .select("vec_id", F.col("embedding").alias("emb"), F.col("norm").alias("nrm"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            F.col("norm").alias("nrm"),
+        )
         .join(assign, "vec_id")
     )
     s = NEARDUP_SALTS
@@ -653,7 +671,10 @@ def knn_join(
         .alias("a")
     )
     b = vecs.withColumn("salt", F.col("vec_id") % s).alias("b")
-    cos = _cosine("a.emb", "a.nrm", "b.emb", "b.nrm")
+    cos = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        " / (a.nrm * b.nrm)"
+    )
     # score each unordered pair ONCE (a < b): cosine is bit-symmetric
     # (zip_with multiplies the same element pairs in the same fold
     # order), so the reverse direction is a projection, not a second
@@ -682,12 +703,12 @@ def knn_join(
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
+    out = (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
-        .orderBy("vec_id", "rank")
     )
+    return out.orderBy("vec_id", "rank") if ordered else out
 
 
 QUANT_BITS_MAX = 127  # int8 symmetric range

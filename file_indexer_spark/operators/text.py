@@ -597,15 +597,23 @@ def bigram_surprisal(docs: DataFrame, shift: int = SURPRISAL_SHIFT) -> DataFrame
     final division (mean bits per bigram) is a single exact-rounded
     IEEE double op on identical operands in both engines.
 
-    Scale shape for 100 TB:
-      * the model is two hash aggregates over the bigram stream —
-        ``(w1, w2)`` and ``w1`` context counts — each with map-side
-        partial combine, output O(distinct bigrams) / O(vocab);
-      * scoring re-joins the stream against both count tables ON THE
-        AGGREGATION KEYS, so Catalyst reuses the same hash
-        partitioning (no extra exchange for the c12 join), and AQE
-        broadcasts the counts when the vocabulary is bounded;
-      * V (distinct continuations) is a one-row broadcast scalar;
+    Scale shape for 100 TB (round-12 optimization, guide §2.3/§2.4 —
+    measured 6.3 s → see OPTIMIZATION_r12.md):
+      * the exploded bigram stream is consumed by EXACTLY ONE hash
+        aggregate — per-(doc, bigram) occurrence counts, map-side
+        partial combine — and is never re-scanned: the previous shape
+        re-derived the tokenize+explode subtree four times (c12, c1,
+        V, and the scoring re-join each re-ran the dominant map cost);
+      * the model tables all derive from that pre-aggregation's
+        O(distinct (doc, bigram)) output: ``c12`` is a second-level
+        sum, ``c1`` a third-level sum over c12, and V (distinct
+        continuations) a one-row broadcast scalar off c12 — each
+        shuffles model-sized rows, never the token stream;
+      * scoring joins the per-doc distinct-bigram table (not the raw
+        stream) against the counts ON THE AGGREGATION KEYS and weights
+        each surprise by its occurrence count — per-doc totals are
+        identical to per-occurrence summation, occurrence for
+        occurrence;
       * overflow headroom: (C12+1) * 2^20 stays under BIGINT for up to
         ~8.8e12 occurrences of a single bigram — beyond that, raise
         the model's count dtype to DECIMAL(38,0), same plan. The
@@ -629,9 +637,18 @@ def bigram_surprisal(docs: DataFrame, shift: int = SURPRISAL_SHIFT) -> DataFrame
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
-    v = bg.select(F.count_distinct("w2").cast("long").alias("v"))
+    # ONE aggregate over the exploded stream; everything downstream is
+    # model-sized. Checkpointed because two consumers read it (the c12
+    # derivation and the scoring join) — without the cut each would
+    # re-run the tokenize+explode map stage.
+    dbg = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = dbg.groupBy("w1", "w2").agg(F.sum("cnt").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    v = c12.select(F.count_distinct("w2").cast("long").alias("v"))
     surprise = F.expr(
         f"CAST({shift} - (length(bin(greatest(1L, "
         f"ifnull(try_multiply(c12 + 1, {1 << shift}L), "
@@ -640,16 +657,16 @@ def bigram_surprisal(docs: DataFrame, shift: int = SURPRISAL_SHIFT) -> DataFrame
         f"DIV (c1 + v)))) - 1) AS BIGINT)"
     )
     scored = (
-        bg.join(c12, ["w1", "w2"])
+        dbg.join(c12, ["w1", "w2"])
         .join(c1, ["w1"])
         .join(F.broadcast(v))
-        .select("doc_id", surprise.alias("surprise_bits"))
+        .select("doc_id", "cnt", surprise.alias("surprise_bits"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum("surprise_bits").cast("long").alias("nll_bits"),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("surprise_bits")).cast("long").alias("nll_bits"),
         )
         .select(
             "doc_id",

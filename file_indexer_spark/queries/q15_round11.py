@@ -350,4 +350,4 @@ def dd20_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     emb = _table(spark, sf_dir, "embeddings")
-    return gr.personalized_pagerank(sim.knn_join(emb), emb.select("vec_id"))
+    return gr.personalized_pagerank(sim.knn_join(emb, ordered=False), emb.select("vec_id"))

@@ -98,18 +98,42 @@ def t18_bm25_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     mats = tx.write_bm25_index(
         spark, tx.bm25_index_tables(base), os.path.join(workdir, "base")
     )
+    # land each append the way a steady-state writer does: ONLY the
+    # batch's file set is written, sitting beside the older ones
+    # (fragmented) — the round-12 optimization fixed the previous shape
+    # here, which rewrote the FULL union per generation (three
+    # corpus-sized writes standing in for three batch-sized ones; same
+    # rows served, ~3x the write volume — OPTIMIZATION_r12.md)
+    paths = {
+        name: [os.path.join(workdir, "base", name)]
+        for name in ("postings", "doclen")
+    }
     for i in (7, 8, 9):
-        appended = tx.bm25_append(mats, docs.filter(slot == i))
-        # land each append the way a steady-state writer does: the
-        # union's new file set sits beside the old ones (fragmented)
+        batch_tables = tx.bm25_index_tables(docs.filter(slot == i))
         for name in ("postings", "doclen"):
             p = os.path.join(workdir, f"gen{i}", name)
-            appended[name].write.mode("overwrite").parquet(p)
-            appended[name] = spark.read.parquet(p)
+            batch_tables[name].write.mode("overwrite").parquet(p)
+            paths[name].append(p)
+        # the scalars fold is incremental (stored + batch counts) and
+        # one row — land the merged row per generation as before
+        merged_scalars = mats["scalars"].join(
+            F.broadcast(
+                batch_tables["scalars"].select(
+                    F.col("n_docs").alias("b_docs"),
+                    F.col("tot_tokens").alias("b_tokens"),
+                )
+            )
+        ).select(
+            (F.col("n_docs") + F.col("b_docs")).cast("long").alias("n_docs"),
+            (F.col("tot_tokens") + F.col("b_tokens")).cast("long").alias("tot_tokens"),
+        )
         sp = os.path.join(workdir, f"gen{i}", "scalars")
-        appended["scalars"].write.mode("overwrite").parquet(sp)
-        appended["scalars"] = spark.read.parquet(sp)
-        mats = appended
+        merged_scalars.write.mode("overwrite").parquet(sp)
+        mats = {
+            "postings": spark.read.parquet(*paths["postings"]),
+            "doclen": spark.read.parquet(*paths["doclen"]),
+            "scalars": spark.read.parquet(sp),
+        }
     compacted = tx.bm25_compact(spark, mats, os.path.join(workdir, "compact"))
     return tx.bm25_topk_from_index(compacted)
 
@@ -141,7 +165,7 @@ def dd21_ppr_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = _table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id")
-    knn = sim.knn_join(emb).localCheckpoint(eager=False)
+    knn = sim.knn_join(emb, ordered=False).localCheckpoint(eager=False)
     workdir, _ = _stream_workdir("fis_dd21", sf_dir)
     stored_path = os.path.join(workdir, "ranks")
     gr.personalized_pagerank(
@@ -290,4 +314,4 @@ def dd22_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     emb = _table(spark, sf_dir, "embeddings")
-    return gr.label_propagation(sim.knn_join(emb), emb.select("vec_id"))
+    return gr.label_propagation(sim.knn_join(emb, ordered=False), emb.select("vec_id"))

@@ -99,14 +99,14 @@ def dd23_lp_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     base_emb = emb.filter(F.col("vec_id") % 10 != 7)
     workdir, _ = _stream_workdir("fis_dd23", sf_dir)
-    knn_base = sim.knn_join(base_emb).localCheckpoint(eager=False)
+    knn_base = sim.knn_join(base_emb, ordered=False).localCheckpoint(eager=False)
     edges_path = os.path.join(workdir, "edges")
     labels_path = os.path.join(workdir, "labels")
     gr.lp_edges(knn_base).write.mode("overwrite").parquet(edges_path)
     gr.label_propagation(
         knn_base, base_emb.select("vec_id")
     ).write.mode("overwrite").parquet(labels_path)
-    knn_union = sim.knn_join(emb).localCheckpoint(eager=False)
+    knn_union = sim.knn_join(emb, ordered=False).localCheckpoint(eager=False)
     return gr.label_propagation_refresh(
         knn_union,
         emb.select("vec_id"),
