@@ -291,6 +291,47 @@ def lsh_index_tables(docs: DataFrame) -> dict[str, DataFrame]:
     return {"bands": _minhash_bands(sets), "shingle_sets": sets}
 
 
+def lsh_pairs_from_tables(
+    tables: dict[str, DataFrame], threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """dd3's pair list derived from ALREADY-MATERIALIZED index tables
+    (:func:`lsh_index_tables` frames or their parquet re-reads) instead
+    of re-signing the corpus text — the round-12 optimization for the
+    dd13/dd19 gate builds, which previously ran the shingle+minhash
+    machinery a second time to get the very pair list the stored bands
+    and shingle sets already determine.  Row-for-row equal to
+    :func:`minhash_lsh_pairs` by construction: candidates are the band
+    self-join over the stored band table, verification the exact
+    Jaccard over the stored shingle sets."""
+    bands = tables["bands"]
+    sets = tables["shingle_sets"]
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def incremental_lsh_pairs(
     index: dict[str, DataFrame],
     new_docs: DataFrame,
@@ -592,6 +633,10 @@ def _connected_components(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         lmin = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        # NOT distinct-ed: the small-star mins are duplicate-blind and
+        # the round's final distinct dedups the output — dropping the
+        # intermediate exchange+aggregate here saves one full shuffle
+        # of the round's largest frame per round (round-12, guide §2.4)
         large = (
             sym.join(lmin, "src")
             .filter(F.col("dst") > F.col("src"))
@@ -600,7 +645,6 @@ def _connected_components(
                 F.least("src", "mn").alias("dst"),
             )
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
         # small-star on the hi→lo edges: each node u connects its
         # smaller neighbors AND itself to m = min(N⁻(u) ∪ {u}).
@@ -633,7 +677,8 @@ def _connected_components(
         .agg(F.min("dst").alias("label"))
         .select(F.col("src").alias("doc_id"), "label")
         .unionByName(
-            edges.select(F.col("dst").alias("doc_id"), F.col("dst").alias("label")).distinct()
+            # no pre-distinct: the final min-aggregate dedups centers
+            edges.select(F.col("dst").alias("doc_id"), F.col("dst").alias("label"))
         )
         .groupBy("doc_id")
         .agg(F.min("label").alias("label"))

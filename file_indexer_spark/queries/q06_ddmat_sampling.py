@@ -161,13 +161,19 @@ def dd13_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 10 == 7)
     base = docs.filter(F.col("doc_id") % 10 != 7)
     workdir, _ = _stream_workdir("fis_dd13", sf_dir)
-    stored = dict(dd.lsh_index_tables(base))
-    stored["assignments"] = dd.dedup_clusters(base, dd.minhash_lsh_pairs(base))
     mats: dict[str, DataFrame] = {}
-    for name, df in stored.items():
+    for name, df in dd.lsh_index_tables(base).items():
         path = os.path.join(workdir, name)
         df.write.mode("overwrite").parquet(path)
         mats[name] = spark.read.parquet(path)
+    # round-12 optimization: the base pair list (and hence the stored
+    # assignment) derives from the just-materialized band/shingle
+    # tables instead of re-running the signing machinery over the
+    # corpus text a second time — row-for-row the same pairs
+    assignments = dd.dedup_clusters(base, dd.lsh_pairs_from_tables(mats))
+    path = os.path.join(workdir, "assignments")
+    assignments.write.mode("overwrite").parquet(path)
+    mats["assignments"] = spark.read.parquet(path)
     new_pairs = dd.incremental_lsh_pairs(mats, new)
     return dd.incremental_cluster_refresh(mats["assignments"], new_pairs, new)
 

@@ -441,9 +441,11 @@ def dd19_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir, _ = _stream_workdir("fis_dd19", sf_dir)
 
     # compute-once discipline INSIDE the build too: materialize the
-    # pair list first, then derive assignment and ranks from the
-    # RE-READ pairs — the dd3 signing machinery runs twice (index
-    # tables + pairs), not four times
+    # index tables first, then derive the pair list from the RE-READ
+    # bands/shingle sets (round-12 optimization: the dd3 signing
+    # machinery runs ONCE — previously the pair list re-signed the
+    # corpus a second time for rows the stored tables already
+    # determine), and assignment/ranks from the re-read pairs
     mats: dict[str, DataFrame] = {}
 
     def mat(name: str, df: DataFrame) -> DataFrame:
@@ -454,7 +456,7 @@ def dd19_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for name, df in dd.lsh_index_tables(base).items():
         mat(name, df)
-    mat("pairs", dd.minhash_lsh_pairs(base))
+    mat("pairs", dd.lsh_pairs_from_tables(mats))
     mat("assignments", dd.dedup_clusters(base, mats["pairs"]))
     mat("ranks", gr.pagerank(base, mats["pairs"]))
     new_pairs = dd.incremental_lsh_pairs(mats, new)
