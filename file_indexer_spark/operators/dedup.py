@@ -743,6 +743,13 @@ def incremental_cluster_refresh(
     anti-join passthrough. A 100 TB corpus with a 1 GB ingest refreshes
     in batch-sized time.
     """
+    # the pair list feeds FOUR consumers below (pair_ids, star edges via
+    # the affected set, the contraction input, and — through sub_docs —
+    # both the corpus join and the passthrough anti-join); without a cut
+    # each consumer replays the dd12 probe lineage (band joins + exact
+    # Jaccard verification) from scratch — guide §2.4/§5, round-12
+    # optimization, same rule as pagerank_refresh's entry cut
+    new_pairs = new_pairs.localCheckpoint(eager=False)
     pair_ids = (
         new_pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
@@ -758,11 +765,14 @@ def incremental_cluster_refresh(
         F.least("doc_id", "cluster_id").alias("doc_a"),
         F.greatest("doc_id", "cluster_id").alias("doc_b"),
     )
+    # consumed by the contraction's corpus join AND the untouched
+    # anti-join — cut once instead of replaying the affected-set joins
     sub_docs = (
         affected.select("doc_id")
         .unionByName(new_docs.select("doc_id"))
         .unionByName(pair_ids)
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sub_pairs = star_edges.unionByName(new_pairs.select("doc_a", "doc_b")).distinct()
     refreshed = dedup_clusters(sub_docs, sub_pairs, max_iter=max_iter).select(

@@ -258,6 +258,9 @@ def pagerank_refresh(
     # iteration from scratch (measured 2x slowdown on the realistic
     # incremental bench before the cut)
     new_pairs = new_pairs.localCheckpoint(eager=False)
+    # the refreshed assignment feeds two semi-joins (label set + member
+    # set); uncut, each replays the dd13 refresh's join chain
+    union_assign = union_assign.localCheckpoint(eager=False)
     pair_ids = (
         new_pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
@@ -526,10 +529,21 @@ def label_propagation_refresh(
 
     union_edges = lp_edges(knn).localCheckpoint(eager=False)
     # endpoints of the edge symmetric difference: every vertex whose
-    # incident edge set the ingest changed (weight changes included)
+    # incident edge set the ingest changed (weight changes included).
+    # Both edge tables are SETS by construction (kNN top-k links are
+    # unique per (src, dst)), so the symmetric difference is computed
+    # with ONE union + ONE aggregate — a single shuffle of both sides —
+    # instead of two exceptAll legs (each of which exchanges both
+    # inputs; 4 exchanges total — guide §2.4, round-12 optimization).
     changed = (
-        union_edges.exceptAll(stored_edges)
-        .unionByName(stored_edges.exceptAll(union_edges))
+        union_edges.select("src", "dst", "w_e6", F.lit(1).alias("side"))
+        .unionByName(
+            stored_edges.select("src", "dst", "w_e6", F.lit(-1).alias("side"))
+        )
+        .groupBy("src", "dst", "w_e6")
+        .agg(F.sum("side").alias("imbalance"))
+        .filter(F.col("imbalance") != 0)
+        .select("src", "dst")
         .localCheckpoint(eager=False)
     )
     changed_ids = (
@@ -537,10 +551,13 @@ def label_propagation_refresh(
         .unionByName(changed.select(F.col("dst").alias("vec_id")))
         .distinct()
     )
+    # no distinct here: _connected_components canonicalizes and
+    # dedups its input edges itself — the extra exchange+aggregate over
+    # the round's largest frame bought nothing (guide §2.4)
     pairs = union_edges.select(
         F.least("src", "dst").alias("doc_a"),
         F.greatest("src", "dst").alias("doc_b"),
-    ).distinct()
+    )
     labels, _ = _connected_components(pairs)
     labels = labels.select(F.col("doc_id").alias("vec_id"), "label")
     aff_labels = (

@@ -18,6 +18,19 @@ from pyspark.sql import SparkSession
 # number, so err high on clusters. For local[32] tests, 32 is right.
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Garbage collector for the batch engine (guide §5: memory pressure is
+# a first-class performance input). JDK 17's default G1 optimizes for
+# pause latency and, measured on this workload, stalls every task
+# thread for seconds at a time under allocation-heavy stages (32
+# concurrent tasks, HOF-generated short-lived arrays): sim5's scoring
+# stage ran 10.9 s wall with 0.4 s CPU per task under G1/16g vs 3.9 s
+# with the throughput collector at the SAME heap (OPTIMIZATION_r12.md,
+# "GC pathology"). Batch analytics wants throughput, not pause
+# latency, so Parallel GC is the right default on driver AND executors;
+# override with SPARK_GRAFT_GC_OPTS (e.g. "-XX:+UseZGC", measured
+# equivalent) or "" to keep the JVM default.
+GC_OPTS = os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC")
+
 
 def get_spark(app_name: str = "file_indexer_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -35,6 +48,10 @@ def get_spark(app_name: str = "file_indexer_spark", shuffle_partitions: int | No
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if GC_OPTS:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", GC_OPTS
+        ).config("spark.executor.extraJavaOptions", GC_OPTS)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

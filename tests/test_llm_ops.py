@@ -2261,3 +2261,37 @@ def test_positional_upsert_updates_and_is_idempotent(spark, tmp_path):
     assert merged["postings"].count() == sum(
         len(r["text"].split(" ")) for r in truth.collect()
     )
+
+
+def test_lp_refresh_single_pass_edge_diff_catches_weight_changes(spark):
+    """dd23's edge diff (round-12 optimization: one union+aggregate
+    instead of two exceptAll legs) must flag an edge whose WEIGHT alone
+    changed — the subtle symmetric-difference case — and must not flag
+    identical rows. A reweighted edge redirects the propagation vote,
+    so missing it would pass a stale community through."""
+    from file_indexer_spark.operators import graph as gr
+
+    knn_schema = "vec_id long, neighbor_id long, rank int, cosine double"
+    # base: 0->1 (w .9), 2->3 (w .5); union: 0->1 REWEIGHTED to .2
+    # (now losing to 4->1 at .8), 2->3 identical, 4->1 new
+    knn_base = spark.createDataFrame(
+        [(0, 1, 1, 0.9), (2, 3, 1, 0.5)], knn_schema
+    )
+    knn_union = spark.createDataFrame(
+        [(0, 1, 1, 0.2), (2, 3, 1, 0.5), (4, 1, 1, 0.8)], knn_schema
+    )
+    corpus = spark.createDataFrame([(i,) for i in range(5)], "vec_id long")
+    stored = gr.label_propagation(knn_base, spark.createDataFrame(
+        [(i,) for i in range(4)], "vec_id long"
+    ))
+    refreshed = {
+        r["vec_id"]: r["community"]
+        for r in gr.label_propagation_refresh(
+            knn_union, corpus, gr.lp_edges(knn_base), stored
+        ).collect()
+    }
+    scratch = {
+        r["vec_id"]: r["community"]
+        for r in gr.label_propagation(knn_union, corpus).collect()
+    }
+    assert refreshed == scratch
