@@ -423,6 +423,17 @@ def main() -> None:
     # single JSON line outgrew its buffer once the benched set passed 60
     # queries. The last line stays small: headline queries only (the
     # round-over-round comparable set), subtotals, canary.
+    # SCALING_HEAVIES (round-13 addition, additive only — the driver's
+    # low-core scaling block reads this line's queries map, and the 11
+    # headline queries are overhead-bound at sf0.1 with every 8c/32c
+    # ratio <= 1; these three llm_extension heavies measure scaling
+    # where parallel work actually exists): timed in the normal sweep
+    # above, NOT part of "value"/r1_headline (which stay the r01 set).
+    scaling_heavies = [
+        "dd23_lp_refresh",
+        "t14_bigram_surprisal",
+        "sim18_ivfpq_compaction",
+    ]
     print(
         json.dumps(
             {
@@ -433,7 +444,11 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": headline_total,
                 "unit": "sec",
-                "queries": {n: timings[n] for n in HEADLINE if n in timings},
+                "queries": {
+                    n: timings[n]
+                    for n in HEADLINE + scaling_heavies
+                    if n in timings
+                },
                 "sf": sf,
                 "cpu_canary_sec": canary,
                 "subtotals": {

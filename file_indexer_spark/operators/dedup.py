@@ -760,7 +760,11 @@ def incremental_cluster_refresh(
         .select("cluster_id")
         .distinct()
     )
-    affected = old_assign.join(affected_labels, "cluster_id", "left_semi")
+    # two consumers (star edges + sub_docs) — cut once or each replays
+    # the two-semi-join affected-set derivation (guide §5, round-13)
+    affected = old_assign.join(
+        affected_labels, "cluster_id", "left_semi"
+    ).localCheckpoint(eager=False)
     star_edges = affected.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.least("doc_id", "cluster_id").alias("doc_a"),
         F.greatest("doc_id", "cluster_id").alias("doc_b"),

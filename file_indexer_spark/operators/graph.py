@@ -82,6 +82,11 @@ def pagerank(
         .repartition("src")
         .localCheckpoint(eager=False)
     )
+    # NOT checkpointed: the distinct leaves `sub` hash-partitioned on
+    # doc_id and Spark reuses that exchange across rounds (ReusedExchange);
+    # a localCheckpoint here would ERASE the partitioning metadata
+    # (ExistingRDD => UnknownPartitioning) and force a fresh exchange
+    # every round — measured 1.6x slower on dd20's twin (round-13 A/B).
     sub = edges_d.select(F.col("src").alias("doc_id")).distinct()
     ranks = sub.withColumn("rank_e6", F.lit(R0_E6).cast("long"))
     for _ in range(iterations):
@@ -178,6 +183,9 @@ def personalized_pagerank(
         .localCheckpoint(eager=False)
     )
     seeds = corpus_ids.filter(F.col("vec_id") < seed_max).select("vec_id")
+    # NOT checkpointed (same ReusedExchange argument as pagerank's
+    # `sub`: a cut erases the distinct's hash partitioning and costs an
+    # exchange per round — measured 5.66 -> 8.94 s on dd20, round-13 A/B)
     nodes = (
         edges_w.select(F.col("src").alias("vec_id"))
         .unionByName(edges_w.select(F.col("dst").alias("vec_id")))
@@ -357,6 +365,10 @@ def personalized_pagerank_refresh(
         .select("doc_a", "doc_b")
     )
     labels, _ = _connected_components(pairs)
+    # NOT checkpointed despite two consumers: the CC labels end at a
+    # hash aggregate whose exchange Spark reuses between them, and the
+    # final CC edge table is already a materialized checkpoint — a cut
+    # here erases the partitioning instead (the dd20 A/B, round-13)
     labels = labels.select(F.col("doc_id").alias("vec_id"), "label")
     aff_labels = (
         labels.join(edited, "vec_id", "left_semi").select("label").distinct()
@@ -445,11 +457,6 @@ def label_propagation(
         .localCheckpoint(eager=False)
     )
     labels = nodes.select("vec_id", F.col("vec_id").alias("lbl"))
-    from pyspark.sql import Window
-
-    w_best = Window.partitionBy("vec_id").orderBy(
-        F.col("wsum").desc(), F.col("lbl").asc()
-    )
     for _ in range(iterations):
         votes = (
             edges_w.join(labels, edges_w["src"] == labels["vec_id"])
@@ -457,11 +464,14 @@ def label_propagation(
             .groupBy("dst", "lbl")
             .agg(F.sum("w_e6").cast("long").alias("wsum"))
         )
-        best = (
-            votes.select(F.col("dst").alias("vec_id"), "lbl", "wsum")
-            .withColumn("rn", F.row_number().over(w_best))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("lbl").alias("new_lbl"))
+        # argmax via max_by — a hash aggregate with map-side partials
+        # instead of the previous row_number window (which sorted every
+        # (dst, lbl) vote row per round — guide §2.4, round-13). The
+        # tie rule is IDENTICAL: maximize (wsum, -lbl) = largest weight
+        # sum, ties to the MIN label (pinned by the dd22/dd23 oracles
+        # and the LP property suites).
+        best = votes.groupBy(F.col("dst").alias("vec_id")).agg(
+            F.expr("max_by(lbl, struct(wsum, -lbl))").alias("new_lbl")
         )
         labels = (
             labels.join(best, "vec_id", "left")
@@ -530,11 +540,15 @@ def label_propagation_refresh(
     union_edges = lp_edges(knn).localCheckpoint(eager=False)
     # endpoints of the edge symmetric difference: every vertex whose
     # incident edge set the ingest changed (weight changes included).
-    # Both edge tables are SETS by construction (kNN top-k links are
-    # unique per (src, dst)), so the symmetric difference is computed
-    # with ONE union + ONE aggregate — a single shuffle of both sides —
-    # instead of two exceptAll legs (each of which exchanges both
-    # inputs; 4 exchanges total — guide §2.4, round-12 optimization).
+    # Computed with ONE union + ONE aggregate — a single shuffle of both
+    # sides — instead of two exceptAll legs (each of which exchanges
+    # both inputs; 4 exchanges total — guide §2.4, round-12
+    # optimization). The ±1 side-count imbalance equals exceptAll's
+    # MULTISET symmetric difference regardless of duplicates (a nonzero
+    # imbalance ⇔ differing multiplicities), so correctness does not
+    # rest on the inputs being sets; that both edge tables ARE sets by
+    # construction (kNN top-k links unique per (src, dst)) only bounds
+    # the aggregate's size (ADVICE r12).
     changed = (
         union_edges.select("src", "dst", "w_e6", F.lit(1).alias("side"))
         .unionByName(
@@ -559,6 +573,10 @@ def label_propagation_refresh(
         F.greatest("src", "dst").alias("doc_b"),
     )
     labels, _ = _connected_components(pairs)
+    # NOT checkpointed despite two consumers: the CC labels end at a
+    # hash aggregate whose exchange Spark reuses between them, and the
+    # final CC edge table is already a materialized checkpoint — a cut
+    # here erases the partitioning instead (the dd20 A/B, round-13)
     labels = labels.select(F.col("doc_id").alias("vec_id"), "label")
     aff_labels = (
         labels.join(changed_ids, "vec_id", "left_semi").select("label").distinct()

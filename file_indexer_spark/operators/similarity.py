@@ -711,6 +711,132 @@ def knn_join(
     return out.orderBy("vec_id", "rank") if ordered else out
 
 
+def _knn_topk_tail(half: DataFrame, k: int) -> DataFrame:
+    """knn_join's ranking tail over an UNORDERED half-pair stream
+    (vec_id < neighbor_id, cosine): mirror both directions, window
+    top-k per vector — identical rows to knn_join's own tail."""
+    pairs = half.unionByName(
+        half.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def knn_join_two_sets(
+    embeddings: DataFrame,
+    base_embeddings: DataFrame,
+    k: int = KNN_K,
+    n_assign: int = KNN_ASSIGN,
+    n_centroids: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Round-13 optimization (guide §2.3/§5): ``(knn_join(base),
+    knn_join(union))`` computed with ONE within-list scoring pass
+    instead of two.
+
+    The incremental graph gates (dd23's batch-ingest refresh) build the
+    kNN graph TWICE per gate — once over the pre-ingest base corpus to
+    materialize the stored edge/label tables, once over the union to
+    refresh — and the 64-dim pair scoring join dominates both. The two
+    candidate-pair sets overlap almost entirely (a pair leaves/enters
+    only where the batch changed list membership or a label's
+    representative), and a pair's cosine is the same deterministic fold
+    in both, so scoring each pair once and TAGGING which side(s) it
+    belongs to halves the dominant stage.
+
+    Exactness: a pair (a, b) is a base candidate iff some centroid list
+    contains both under the BASE assignment, and a union candidate iff
+    some list contains both under the UNION assignment. Each side's
+    assignment is computed exactly as :func:`knn_join` computes it
+    (same centroid rule over that side's corpus); the pair join runs
+    over the union of the two assignment row-sets and keeps per-pair
+    flags ``max(a.in_X and b.in_X)`` across shared lists — precisely
+    the exists-a-shared-list predicate each standalone knn_join
+    evaluates. Cosines are the identical widened-double fold, and the
+    ranking tail is knn_join's verbatim, so both returned frames are
+    row-for-row equal to their standalone counterparts (pinned by
+    ``tests/test_llm_ops.py::test_knn_join_two_sets_matches_standalone``
+    and by dd23's full-hash oracle).
+
+    Returns ``(base_knn, union_knn)``, both unordered (the graph family
+    consumes edges through joins/aggregates that destroy order).
+    """
+    assign_u = ivf_assignments(
+        embeddings, n_assign=n_assign, n_centroids=n_centroids
+    ).withColumn("in_u", F.lit(1))
+    assign_b = ivf_assignments(
+        base_embeddings, n_assign=n_assign, n_centroids=n_centroids
+    ).withColumn("in_b", F.lit(1))
+    tagged = (
+        assign_u.join(assign_b, ["vec_id", "centroid_id"], "full_outer")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce("in_u", F.lit(0)).alias("in_u"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    vecs = (
+        _with_norm(_spread(embeddings))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            F.col("norm").alias("nrm"),
+        )
+        .join(tagged, "vec_id")
+    )
+    s = NEARDUP_SALTS
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = (
+        vecs.withColumn("salt", F.explode(F.expr(f"sequence(0L, {s - 1}L)")))
+        .repartition(par, "centroid_id", "salt")
+        .alias("a")
+    )
+    b = vecs.withColumn("salt", F.col("vec_id") % s).alias("b")
+    cos = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        " / (a.nrm * b.nrm)"
+    )
+    half = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+            (F.col("a.in_b") * F.col("b.in_b")).alias("both_b"),
+            (F.col("a.in_u") * F.col("b.in_u")).alias("both_u"),
+        )
+        # the group-by replaces knn_join's `.distinct()`: a pair met in
+        # several shared lists (multi-assignment) scores identically in
+        # each; max-ing the flags keeps "co-listed on that side in ANY
+        # shared list"
+        .groupBy("vec_id", "neighbor_id", "cosine")
+        .agg(F.max("both_b").alias("in_b"), F.max("both_u").alias("in_u"))
+        # both ranking tails consume this one scored frame — cut it, or
+        # each side replays the pair join (guide §5)
+        .localCheckpoint(eager=False)
+    )
+    base_knn = _knn_topk_tail(
+        half.filter(F.col("in_b") == 1).select("vec_id", "neighbor_id", "cosine"), k
+    )
+    union_knn = _knn_topk_tail(
+        half.filter(F.col("in_u") == 1).select("vec_id", "neighbor_id", "cosine"), k
+    )
+    return base_knn, union_knn
+
+
 QUANT_BITS_MAX = 127  # int8 symmetric range
 
 
@@ -1041,19 +1167,29 @@ def write_ivfpq_index(
     touching nprobe lists reads only those row groups.  Shared by the
     sim11 build landing and sim18 compaction — one layout discipline,
     one writer.  Maintenance keys (``tombstones``/``delta``) are
-    written as-is when present so an edited index round-trips."""
+    written as-is when present so an edited index round-trips.
+
+    The tables are independent (no shared checkpoint in any lineage),
+    so the writes run as OVERLAPPED driver-thread jobs (guide §2.6,
+    round-13) — the broadcast-sized centroid/codebook/meta writes
+    back-fill the cores the clustered code write leaves idle in its
+    tail."""
     import os
 
-    out: dict[str, DataFrame] = {}
-    for name, df in index.items():
+    from file_indexer_spark.parallel import run_parallel
+
+    def write_one(item):
+        name, df = item
         path = os.path.join(workdir, name)
         if name == "codes":
             df = df.repartitionByRange(
                 IVFPQ_CODES_RANGE_PARTITIONS, "centroid_id"
             ).sortWithinPartitions("centroid_id", "vec_id")
         df.write.mode("overwrite").parquet(path)
-        out[name] = spark.read.parquet(path)
-    return out
+        return name, spark.read.parquet(path)
+
+    items = list(index.items())
+    return dict(run_parallel([lambda it=it: write_one(it) for it in items]))
 
 
 def ivfpq_compact(

@@ -864,19 +864,28 @@ def write_bm25_index(
     BY TERM (``repartitionByRange`` + sort-within-partitions), so a
     query's IN predicate prunes row groups at serve time.  Shared by
     the t16 build, the t17 append landing, and t18 compaction — one
-    layout discipline, one writer."""
+    layout discipline, one writer.
+
+    The tables are independent (postings/doclen/scalars share no
+    checkpoint), so the writes run as OVERLAPPED driver-thread jobs
+    (guide §2.6, round-13): each job's task tail back-fills the cores
+    the others free instead of serializing three wall-clocks."""
     import os
 
-    out: dict[str, DataFrame] = {}
-    for name, df in mats.items():
+    from file_indexer_spark.parallel import run_parallel
+
+    def write_one(item):
+        name, df = item
         path = os.path.join(workdir, name)
         if name == "postings":
             df = df.repartitionByRange(
                 BM25_POSTINGS_RANGE_PARTITIONS, "term"
             ).sortWithinPartitions("term", "doc_id")
         df.write.mode("overwrite").parquet(path)
-        out[name] = spark.read.parquet(path)
-    return out
+        return name, spark.read.parquet(path)
+
+    items = list(mats.items())
+    return dict(run_parallel([lambda it=it: write_one(it) for it in items]))
 
 
 def bm25_compact(

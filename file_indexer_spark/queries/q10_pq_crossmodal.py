@@ -28,6 +28,7 @@ from file_indexer_spark.registry_core import (  # noqa: F401
     _events,
     _files,
     _land_arrivals,
+    _mat_tables,
     _stream_workdir,
     _table,
     register,
@@ -340,11 +341,9 @@ def sim11_ivfpq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     base, _ = _stream_workdir("fis_sim11", sf_dir)
-    mats: dict[str, DataFrame] = {}
-    for name, df in sim.ivfpq_index_tables(emb).items():
-        path = os.path.join(base, name)
-        df.write.mode("overwrite").parquet(path)
-        mats[name] = spark.read.parquet(path)
+    # round-13: the four index tables share no checkpoint — land them
+    # as overlapped driver-thread jobs (guide §2.6)
+    mats = _mat_tables(spark, sim.ivfpq_index_tables(emb), base)
     queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -371,11 +370,8 @@ def sim12_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.filter(F.col("vec_id") % 10 == 7)
     base = emb.filter(F.col("vec_id") % 10 != 7)
     workdir, _ = _stream_workdir("fis_sim12", sf_dir)
-    mats: dict[str, DataFrame] = {}
-    for name, df in sim.ivfpq_index_tables(base).items():
-        path = os.path.join(workdir, name)
-        df.write.mode("overwrite").parquet(path)
-        mats[name] = spark.read.parquet(path)
+    # round-13: overlapped independent-table landing (guide §2.6)
+    mats = _mat_tables(spark, sim.ivfpq_index_tables(base), workdir)
     merged = sim.ivfpq_append(mats, new)
     queries = emb.filter(F.col("vec_id") < sim.N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -398,11 +394,10 @@ def x2_dup_assets_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     base, _ = _stream_workdir("fis_x2", sf_dir)
-    mats: dict[str, DataFrame] = {}
-    for name, df in xm.fingerprint_tables(docs).items():
-        path = os.path.join(base, name)
-        df.write.mode("overwrite").parquet(path)
-        mats[name] = spark.read.parquet(path)
+    # round-13: the four modality member tables are independent decode
+    # lineages (the text branch's internal checkpoints are private to
+    # it) — land them as overlapped driver-thread jobs (guide §2.6)
+    mats = _mat_tables(spark, xm.fingerprint_tables(docs), base)
     return xm.duplicate_assets_from_tables(mats)
 
 

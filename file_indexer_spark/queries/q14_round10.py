@@ -457,9 +457,25 @@ def dd19_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in dd.lsh_index_tables(base).items():
         mat(name, df)
     mat("pairs", dd.lsh_pairs_from_tables(mats))
-    mat("assignments", dd.dedup_clusters(base, mats["pairs"]))
-    mat("ranks", gr.pagerank(base, mats["pairs"]))
-    new_pairs = dd.incremental_lsh_pairs(mats, new)
+    # round-13 (guide §2.6): assignment and rank builds both read ONLY
+    # the just-landed pairs parquet — independent multi-round programs,
+    # so their jobs overlap from driver threads instead of serializing
+    # two iteration tails
+    from file_indexer_spark.parallel import run_parallel
+
+    run_parallel(
+        [
+            lambda: mat("assignments", dd.dedup_clusters(base, mats["pairs"])),
+            lambda: mat("ranks", gr.pagerank(base, mats["pairs"])),
+        ]
+    )
+    # round-13 (guide §5): the dd12 probe feeds BOTH the cluster
+    # refresh and the rank refresh; each cuts its new_pairs argument
+    # internally, but those are two separate checkpoints of the SAME
+    # uncut lineage — the band probe + Jaccard verify previously ran
+    # twice. One gate-level cut makes the interior cuts cheap
+    # re-materializations of already-cached blocks.
+    new_pairs = dd.incremental_lsh_pairs(mats, new).localCheckpoint(eager=False)
     union_assign = dd.incremental_cluster_refresh(
         mats["assignments"], new_pairs, new
     )

@@ -99,14 +99,21 @@ def dd23_lp_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     base_emb = emb.filter(F.col("vec_id") % 10 != 7)
     workdir, _ = _stream_workdir("fis_dd23", sf_dir)
-    knn_base = sim.knn_join(base_emb, ordered=False).localCheckpoint(eager=False)
+    # round-13 optimization (guide §2.3/§5): the gate builds the kNN
+    # graph twice (base for the stored tables, union for the refresh);
+    # knn_join_two_sets scores the shared within-list pairs ONCE and
+    # tags side membership — row-for-row equal to the two standalone
+    # knn_join calls (see its docstring), pinned by the gate's
+    # full-hash oracle
+    knn_base, knn_union = sim.knn_join_two_sets(emb, base_emb)
+    knn_base = knn_base.localCheckpoint(eager=False)
+    knn_union = knn_union.localCheckpoint(eager=False)
     edges_path = os.path.join(workdir, "edges")
     labels_path = os.path.join(workdir, "labels")
     gr.lp_edges(knn_base).write.mode("overwrite").parquet(edges_path)
     gr.label_propagation(
         knn_base, base_emb.select("vec_id")
     ).write.mode("overwrite").parquet(labels_path)
-    knn_union = sim.knn_join(emb, ordered=False).localCheckpoint(eager=False)
     return gr.label_propagation_refresh(
         knn_union,
         emb.select("vec_id"),

@@ -32,8 +32,18 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 GC_OPTS = os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC")
 
 
-def get_spark(app_name: str = "file_indexer_spark", shuffle_partitions: int | None = None) -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+def get_spark(
+    app_name: str = "file_indexer_spark",
+    shuffle_partitions: int | None = None,
+    cpus: int | str | None = None,
+) -> SparkSession:
+    """``cpus`` overrides the ``local[N]`` core count (default: the
+    driver contract's $SPARK_GRAFT_CPUS). The pytest session passes a
+    smaller value: at test scale (sf0.001/sf0.01) 32-way task fan-out
+    is pure scheduling overhead — the r13 suite profile measured 24 min
+    of SYSTEM time on a 56-min run, collapsing when the test session
+    runs local[8] (OPTIMIZATION_r13.md)."""
+    cpus = str(cpus) if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -54,6 +64,25 @@ def get_spark(app_name: str = "file_indexer_spark", shuffle_partitions: int | No
         ).config("spark.executor.extraJavaOptions", GC_OPTS)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if GC_OPTS:
+        # driver extraJavaOptions only take effect when THIS process
+        # launched the JVM; if getOrCreate returned an already-running
+        # session the collector flag was silently ignored — make that
+        # visible instead of benchmarking under the wrong collector
+        # (ADVICE r12).
+        try:
+            active = spark.conf.get("spark.driver.extraJavaOptions", "")
+        except Exception:
+            active = ""
+        if GC_OPTS not in (active or ""):
+            import warnings
+
+            warnings.warn(
+                f"GC opts {GC_OPTS!r} not present in the active session's "
+                f"spark.driver.extraJavaOptions ({active!r}) — the JVM was "
+                "created elsewhere; collector default NOT applied",
+                stacklevel=2,
+            )
     return spark
 
 

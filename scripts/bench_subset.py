@@ -29,8 +29,13 @@ def main() -> None:
     args = sys.argv[1:]
     reps = 2
     if args and args[0] == "-n":
+        if len(args) < 2:
+            sys.exit("usage: bench_subset.py [-n REPS] query [query ...]")
         reps = int(args[1])
         args = args[2:]
+    unknown = [n for n in args if n not in registry.QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries (not in registry): {unknown}")
     names = args
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([\d.]+)", sf_dir)
@@ -52,7 +57,10 @@ def main() -> None:
             if t is not None and (best is None or t < best):
                 best = t
             _reap(spark)
-        if best is not None:
+        if best is not None and name not in errors:
+            # a query that succeeded in warm-up but failed mid-measurement
+            # belongs in errors ONLY — recording its earlier best too would
+            # make the JSON ambiguous
             timings[name] = round(best, 4)
     out = {"queries": timings, "sf": sf, "reps": reps}
     if errors:

@@ -1,11 +1,12 @@
 """Capture .explain("formatted") for a set of registered queries into
-plans/r12/<query>_<tag>.txt (tag = before|after).
+plans/<round>/<query>_<tag>.txt (tag = before|after; round from
+$SPARK_GRAFT_PLANS_ROUND, default r13).
 
 Usage:
     python scripts/capture_plans.py <tag> [query ...]
 
-With no query names, captures the default round-12 optimization target
-set. Gate functions that materialize intermediates during CONSTRUCTION
+With no query names, captures the default optimization target set.
+Gate functions that materialize intermediates during CONSTRUCTION
 (dd12/dd13/x2/...) execute those writes here too — the captured plan is
 the plan of the RETURNED DataFrame, which is what the bench times.
 """
@@ -40,8 +41,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
     out_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r12"
+        os.path.dirname(os.path.abspath(__file__)), "..", "plans", rnd
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("file_indexer_spark_plans")

@@ -598,6 +598,25 @@ def test_knn_join_recall_and_within_list_exactness(embeddings):
     assert bad == 0
 
 
+def test_knn_join_two_sets_matches_standalone(embeddings):
+    """Round-13 optimization gate: the shared-scoring-pass
+    ``knn_join_two_sets(union, base)`` must be row-for-row equal to the
+    two standalone ``knn_join`` calls it replaces (dd23's gate shape:
+    base = the pre-ingest slice, union = the full corpus)."""
+    from pyspark.sql import functions as F
+
+    base = embeddings.filter(F.col("vec_id") % 10 != 7)
+    got_base, got_union = sim.knn_join_two_sets(embeddings, base)
+    want_base = sim.knn_join(base, ordered=False)
+    want_union = sim.knn_join(embeddings, ordered=False)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(got_base) == rows(want_base)
+    assert rows(got_union) == rows(want_union)
+
+
 def test_daily_uniques_approx_matches_exact_within_rsd(spark, sf_oracle):
     """e13a's HLL++ estimate must sit within a few standard errors of
     exact e13 for every day, and the non-sketch columns must be

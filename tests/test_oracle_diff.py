@@ -13,9 +13,8 @@ NAMES = sorted(registry.QUERIES)
 
 
 @pytest.mark.parametrize("name", NAMES)
-def test_query_matches_oracle(spark, sf_smoke, name):
-    fn = registry.QUERIES[name]
-    df = fn(spark, sf_smoke)
+def test_query_matches_oracle(spark, sf_smoke, query_df, name):
+    df = query_df(name)
     if name not in registry.ORACLES:
         # rows-only check, like the driver's weaker gate
         assert df.count() >= 0

@@ -188,16 +188,21 @@ _NESTED_LOOP_OK = {
 }
 
 
-def test_no_accidental_cartesian_products(spark, sf_smoke):
+def test_no_accidental_cartesian_products(spark, sf_smoke, query_df):
     """Every registered query must plan without a CartesianProduct or an
     unlisted BroadcastNestedLoopJoin. A missing equi-join key silently
     degrades to a nested loop — correct at sf0.01, quadratic at scale —
-    so any new occurrence must be added to the whitelist with a reason."""
+    so any new occurrence must be added to the whitelist with a reason.
+
+    Gate construction is shared with the oracle diff via the
+    session-scoped ``query_df`` cache (round-13 suite-runtime fix) —
+    this test previously re-constructed all 224 gates (including their
+    parquet materializations) for 417 s of plan-only work."""
     from file_indexer_spark.registry import QUERIES
 
     offenders: dict[str, list[str]] = {}
-    for name, fn in QUERIES.items():
-        plan = pi.simple_plan(fn(spark, sf_smoke))
+    for name in QUERIES:
+        plan = pi.simple_plan(query_df(name))
         hits = [t for t in ("CartesianProduct", "BroadcastNestedLoopJoin") if t in plan]
         if hits and name not in _NESTED_LOOP_OK:
             offenders[name] = hits

@@ -8,8 +8,22 @@ not volume.
 
 from __future__ import annotations
 
+import math
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# Round-13 suite-runtime fix (VERDICT r12 item 1): each example is
+# several Spark round-trips, and the driver's pytest budget is the
+# binding constraint. SPARK_GRAFT_HYP_SCALE scales every suite's
+# example count (default 0.5 = half, floor 2 — random TOPOLOGY is the
+# value here, not volume); set it to 1 for the thorough profile.
+_HYP_SCALE = float(os.environ.get("SPARK_GRAFT_HYP_SCALE", "0.5"))
+
+
+def _scaled(n: int) -> int:
+    return max(2, math.ceil(n * _HYP_SCALE))
 
 
 def _cc_reference(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -31,7 +45,7 @@ def _cc_reference(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
     return {i: find(i) for i in range(n_nodes)}
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=2, max_value=14).flatmap(
         lambda n: st.tuples(
@@ -130,7 +144,7 @@ def test_sessionize_skew_safe_matches_plain_on_giant_user(spark):
         assert p == s, (p, s)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=30))
 def test_sequence_pack_matches_serial_packer(spark, sizes):
     """Random token-size mixes: every packer stream's layout must equal
@@ -173,7 +187,7 @@ def _asof_reference(rows):
     return out
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
         st.tuples(
@@ -208,7 +222,7 @@ def test_asof_join_matches_bruteforce(spark, raw):
     assert got == _asof_reference(rows)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
         st.tuples(
@@ -251,7 +265,7 @@ def test_preceding_window_counts_match_bruteforce(spark, raw):
     assert got == expected
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=3, max_value=14).flatmap(
         lambda n: st.tuples(
@@ -298,7 +312,7 @@ def test_incremental_refresh_matches_union_find(spark, case):
     assert got == _cc_reference(n, list(norm))
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=2, max_value=4).flatmap(
         lambda nb: st.tuples(
@@ -369,7 +383,7 @@ def test_ann_ingest_random_replay_compact_equals_rebuild(spark, tmp_path_factory
     assert got == want and len(got) == 24
 
 
-@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(4), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     # per commit: for each of 8 PKs an action — 0 keep, 1 upsert with a
     # new value, 2 upsert unchanged (no-op), 3 delete (if present),
@@ -492,7 +506,7 @@ def _pagerank_reference(n_nodes: int, edges: list[tuple[int, int]]):
     }
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=2, max_value=12).flatmap(
         lambda n: st.tuples(
@@ -562,7 +576,7 @@ def _ppr_reference(n_nodes: int, edges: list[tuple[int, int, float]]):
     return {i: ranks.get(i, 0) for i in range(n_nodes)}
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=2, max_value=14).flatmap(
         lambda n: st.tuples(
@@ -600,7 +614,7 @@ def test_personalized_pagerank_matches_reference(spark, case):
     assert got == _ppr_reference(n, edges)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=2, max_value=12).flatmap(
         lambda n: st.tuples(
@@ -675,7 +689,7 @@ def _lp_reference(n_nodes: int, edges: list[tuple[int, int, float]], rounds: int
     return {i: lbl.get(i, i) for i in range(n_nodes)}
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=2, max_value=14).flatmap(
         lambda n: st.tuples(
@@ -713,7 +727,7 @@ def test_label_propagation_matches_reference(spark, case):
     assert got == _lp_reference(n, edges, gr.LP_ITERATIONS)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(st.integers(min_value=0, max_value=6), min_size=5, max_size=60),
     st.integers(min_value=2, max_value=6),
@@ -741,7 +755,7 @@ def test_heavy_hitters_matches_bruteforce(spark, users, t):
     assert got == want
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.integers(0, 359), min_size=6, max_size=12, unique=True))
 def test_mmr_matches_bruteforce_greedy(spark, angles):
     """sim16 on random 2-D unit vectors: the Arrow-batch greedy equals
@@ -798,7 +812,7 @@ def test_mmr_matches_bruteforce_greedy(spark, angles):
     assert got == sel
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=2, max_value=12).flatmap(
         lambda n: st.tuples(
@@ -860,7 +874,7 @@ def test_lp_refresh_equals_scratch(spark, case):
     assert refreshed == scratch
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.tuples(
         # per later batch: an action per vec_id — 0 none, 1 upsert
@@ -945,7 +959,7 @@ def test_cdc_random_ops_equal_batch_upserts(spark, tmp_path_factory, case):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_scaled(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     # dense leg: per query (up to 3), a permutation-ranked candidate
     # list over doc ids 0..11; lexical leg: one ranked list
