@@ -1793,6 +1793,9 @@ def main_incremental() -> None:
 
     def build_community():
         knn_base = sim.knn_join(base_emb, ordered=False).localCheckpoint(eager=False)
+        # round-13: the raw base kNN edges are part of the stored state
+        # (knn_join_refresh reuses them for untouched vectors)
+        cmats.update(mat({"knn": knn_base}, "dd23"))
         cmats.update(mat({"edges": gr.lp_edges(knn_base)}, "dd23"))
         cmats.update(
             mat(
@@ -1824,6 +1827,96 @@ def main_incremental() -> None:
             reps=2,
         ),
     }
+    # round-13 (VERDICT item 4): the INCREMENTAL kNN maintenance row —
+    # the union graph via knn_join_refresh (re-score only dirty lists,
+    # stored edges reused for untouched vectors) instead of a full
+    # re-score. On THIS dense fixture a 10% batch touches every list,
+    # so touched == corpus and the row measures the machinery's
+    # worst-case overhead against the full re-score above; the
+    # realistic-fixture row below it is where the reuse pays.
+    results["community_index"]["steady_state_dd23_refresh_incremental_knn"] = timed(
+        lambda: gr.label_propagation_refresh(
+            sim.knn_join_refresh(
+                emb1, base_emb, cmats["knn"]
+            ).localCheckpoint(eager=False),
+            emb1.select("vec_id"),
+            cmats["edges"],
+            cmats["labels"],
+        ).count(),
+        reps=2,
+    )
+
+    # realistic-density regime for the incremental kNN: the 50k-vocab
+    # planted-group embeddings (the --scale-neardup fixture family),
+    # n_centroids = n/LIST_SIZE so lists stay ~50 vectors, batch = the
+    # top-10%-of-ids slice (new arrivals land in their OWN planted
+    # groups' lists). Measures from-scratch vs incremental union kNN
+    # and the touched fraction that explains the gap.
+    nd_vecs_path = f"/tmp/spark_graft_nd_vecs_v{_ND_VOCAB}w{_ND_WORDS}d{_ND_DIM}_{nd_n}.parquet"
+    if os.path.isfile(os.path.join(nd_vecs_path, "_DONE")):
+        ndv = spark.read.parquet(nd_vecs_path)
+    else:
+        ndv = _synth_embeddings(spark, nd_n).localCheckpoint()
+    nd_k = max(nd_n // NEARDUP_LIST_SIZE, 1)
+    # the serving regime (sim12 contract): the index STORES its
+    # quantizer AND its assignment table — the (vec_id, centroid_id)
+    # rows ARE the IVF index — and a refresh assigns ONLY the batch
+    # against the frozen quantizer, so dirty lists = the batch's own
+    # lists and cost tracks batch x n_assign lists of pair work.
+    # Batch-size sweep: with L lists a batch of b dirties
+    # ~min(2b, L) of them — 10% of n=50k over L=1000 dirties ALL
+    # lists (the honest worst case, kept), 0.2% dirties ~20%.
+    results["knn_incremental_realistic"] = {"n": nd_n, "n_centroids": nd_k}
+    for tag, frac in (("10pct", 0.9), ("0p2pct", 0.998)):
+        nd_base = ndv.filter(F.col("vec_id") < int(nd_n * frac))
+        kmats = mat(
+            {"cents": sim.seed_centroid_frame(nd_base, nd_k)}, f"knn_nd_q_{tag}"
+        )
+        frozen = {"centroids": kmats["cents"], "hier": True}
+        kmats.update(
+            mat(
+                {
+                    "knn": sim.knn_join(nd_base, ordered=False, **frozen),
+                    "assign": sim.ivf_assignments(
+                        nd_base, n_assign=sim.KNN_ASSIGN, **frozen
+                    ),
+                },
+                f"knn_nd_{tag}",
+            )
+        )
+        results["knn_incremental_realistic"][f"from_scratch_union_knn_{tag}"] = timed(
+            lambda: sim.knn_join(ndv, ordered=False, **frozen).count(),
+            reps=2,
+        )
+        results["knn_incremental_realistic"][f"incremental_union_knn_{tag}"] = timed(
+            lambda: sim.knn_join_refresh(
+                ndv,
+                nd_base,
+                kmats["knn"],
+                **frozen,
+                stored_assignments=kmats["assign"],
+            ).count(),
+            reps=2,
+        )
+    nd_base = ndv.filter(F.col("vec_id") < int(nd_n * 0.9))
+    # the caveat rows: UNFROZEN corpus-derived seeds — a 10% ingest
+    # displaces ~10% of the md5-ranked seed set, assignments drift
+    # corpus-wide, most lists go dirty, and the refresh degrades to a
+    # full re-score PLUS the diff overhead (still exact; measured and
+    # kept here as the regime the serving path must avoid)
+    dmats = mat(
+        {"knn": sim.knn_join(nd_base, n_centroids=nd_k, ordered=False)},
+        "knn_nd_drift",
+    )
+    results["knn_incremental_realistic"]["from_scratch_union_knn_seed_drift"] = timed(
+        lambda: sim.knn_join(ndv, n_centroids=nd_k, ordered=False).count()
+    )
+    results["knn_incremental_realistic"]["incremental_union_knn_seed_drift"] = timed(
+        lambda: sim.knn_join_refresh(
+            ndv, nd_base, dmats["knn"], n_centroids=nd_k
+        ).count()
+    )
+
     # the dense-fixture caveat row (dd19/dd21's analogue): a plain
     # re-propagation of a STORED union kNN graph, no diff machinery —
     # isolates the kNN re-score cost from the propagation cost
@@ -1869,7 +1962,26 @@ def main_incremental() -> None:
             "rewrite, and serve after compaction; community_index = "
             "dd22 scratch vs dd23's affected-components batch refresh "
             "over stored edges+labels (the union kNN re-score is the "
-            "honest boundary; the propagation_only row isolates it)"
+            "honest boundary; the propagation_only row isolates it); "
+            "round-13 rows: refresh_incremental_knn = the same dd23 "
+            "refresh but the union kNN maintained via knn_join_refresh "
+            "(re-score only IVF lists whose membership the batch "
+            "changed, stored edges reused elsewhere — on the dense "
+            "fixture every list is dirty, so this row is the "
+            "machinery's worst-case overhead), and "
+            "knn_incremental_realistic = from-scratch vs incremental "
+            "union kNN on the 50k-vocab planted-group embeddings at "
+            "n/50 lists under the index's FROZEN stored quantizer AND "
+            "stored assignment table (the sim12 contract: only the "
+            "batch is assigned, dirty lists = the batch's own lists), "
+            "swept over batch size — a 10% batch x n_assign=2 lands "
+            "in ALL ~1000 lists (the honest worst case: refresh "
+            "degrades to scratch + overhead), a 0.2% batch in ~20% "
+            "of them (the steady-state regime the refresh exists "
+            "for); the *_seed_drift rows re-measure the 10% split "
+            "under UNFROZEN corpus-derived seeds, where a 10% ingest "
+            "displaces ~10% of the seed set and even the untouched "
+            "corpus re-assigns"
         ),
         "families": results,
     }

@@ -221,6 +221,24 @@ def kmeans_centroid_frame(
     )
 
 
+def seed_centroid_frame(
+    embeddings: DataFrame, n_centroids: int | None = None
+) -> DataFrame:
+    """The deterministic hash-seed centroid set as an EXPLICIT
+    ``(centroid_id, embedding)`` frame (round 13) — what an index build
+    stores as its FROZEN quantizer so later appends/refreshes assign
+    against the same centroids regardless of corpus growth (the sim12
+    contract; :func:`knn_join_refresh`'s dirty-list diff needs it:
+    corpus-derived seeds drift under a batch — a 10% ingest displaces
+    ~10% of the md5-ranked seed set — marking most lists dirty even
+    when arrivals cluster). Same rows as the implicit seed set
+    :func:`_centroids` derives, reusable via every IVF consumer's
+    ``centroids=`` parameter."""
+    return _centroids(embeddings, n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+
 def _centroid_frame(
     embeddings: DataFrame,
     n_centroids: int | None,
@@ -293,10 +311,14 @@ def ivf_assignments(
     vecs = _with_norm(_spread(embeddings)).select(
         "vec_id", F.col("embedding").alias("v_emb"), F.col("norm").alias("v_norm")
     )
-    k_eff = centroids.count() if centroids is not None else n_centroids
-    use_hier = (
-        hier if hier is not None else (k_eff is not None and k_eff > _HIER_THRESHOLD)
-    )
+    if hier is None:
+        # count() on an explicit frame is a (tiny) job — only pay it
+        # when the caller did not pin the regime (round 13, §5)
+        k_eff = centroids.count() if centroids is not None else n_centroids
+        use_hier = k_eff is not None and k_eff > _HIER_THRESHOLD
+    else:
+        k_eff = n_centroids
+        use_hier = hier
     if use_hier:
         scored = _hier_scored(vecs, cents, k_eff if k_eff is not None else cents.count())
     else:
@@ -610,6 +632,8 @@ def knn_join(
     n_assign: int = KNN_ASSIGN,
     n_centroids: int | None = None,
     ordered: bool = True,
+    centroids: DataFrame | None = None,
+    hier: bool | None = None,
 ) -> DataFrame:
     """sim5: approximate k-NN GRAPH — top-k neighbors for EVERY corpus
     vector (not just a query slice): the build step for SemDeDup-style
@@ -652,8 +676,23 @@ def knn_join(
     instead of re-casting 2 x 64 elements per scored pair. float →
     double widening is exact, so the arithmetic (and the oracle hash)
     is bit-identical.
+
+    ``centroids`` / ``hier`` pass through to :func:`ivf_assignments`
+    (round 13): a serving path maintaining a STORED graph pins the
+    index's frozen quantizer frame and its routing regime so list
+    membership depends only on each vector, never on corpus
+    composition — the sim12 contract, required for
+    :func:`knn_join_refresh` to see few dirty lists under a batch.
+    Defaults leave every existing caller's plan unchanged (the
+    registered sim5 uses the deterministic corpus-derived seeds).
     """
-    assign = ivf_assignments(embeddings, n_assign=n_assign, n_centroids=n_centroids)
+    assign = ivf_assignments(
+        embeddings,
+        n_assign=n_assign,
+        n_centroids=n_centroids,
+        centroids=centroids,
+        hier=hier,
+    )
     vecs = (
         _with_norm(_spread(embeddings))
         .select(
@@ -835,6 +874,197 @@ def knn_join_two_sets(
         half.filter(F.col("in_u") == 1).select("vec_id", "neighbor_id", "cosine"), k
     )
     return base_knn, union_knn
+
+
+def knn_join_refresh(
+    embeddings: DataFrame,
+    base_embeddings: DataFrame,
+    stored_knn: DataFrame,
+    k: int = KNN_K,
+    n_assign: int = KNN_ASSIGN,
+    n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
+    hier: bool | None = None,
+    stored_assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Round-13 (VERDICT r12 item 4): INCREMENTAL maintenance of the
+    kNN graph under a batch ingest — re-score only the IVF lists the
+    batch changed, reuse the stored top-k edges everywhere else.
+    Returns exactly ``knn_join(embeddings, ordered=False)``'s rows
+    (same ``centroids``/``hier``/``n_centroids`` arguments on both).
+
+    Inputs: the union corpus, the pre-ingest base slice (base ⊆ union,
+    additions only), and the STORED base kNN edge table
+    (``knn_join(base)``'s rows under the same quantizer arguments, any
+    order).
+
+    Quantizer regime (the part that decides whether the reuse PAYS):
+    with corpus-derived seeds (``n_centroids=k``, the default
+    hash-sampled set) a 10% ingest displaces ~10% of the md5-ranked
+    seed set, so assignments drift corpus-wide and most lists go dirty
+    — exactness holds (the diff sees every drifted row) but the
+    machinery degrades to a full re-score plus overhead
+    (BENCH_INCREMENTAL's ``seed_drift`` row measures it). A serving
+    path therefore passes the index's FROZEN quantizer
+    (``centroids=`` the stored :func:`seed_centroid_frame`, ``hier``
+    pinned to the build regime — the sim12 contract): membership then
+    depends only on each vector, dirty lists = exactly the lists the
+    batch landed in, and untouched vectors' stored edges pass through
+    without any re-scoring.
+
+    ``stored_assignments`` is the serving FAST PATH on top of that
+    contract: the (vec_id, centroid_id) table IS the IVF index, so a
+    real index stores it — pass it (with the frozen ``centroids``,
+    required) and the refresh computes assignments only for the BATCH
+    (union \\ base, one anti-join): under a frozen quantizer an old
+    vector's assignment is immutable, so the union's assignment table
+    is exactly ``stored ∪ assign(batch)`` and the dirty lists are
+    directly the batch's own lists — no full-corpus assignment pass,
+    no membership diff. Cost then tracks ``batch × n_assign`` lists of
+    work. Batch-size physics, measured (BENCH_INCREMENTAL
+    ``knn_incremental_realistic``): with L lists a batch of b vectors
+    dirties ~min(b·n_assign, L) of them, so the reuse pays when
+    ``b·n_assign ≪ L`` (the steady-state small-ingest regime the
+    operator exists for) and degrades toward from-scratch-plus-
+    overhead as b·n_assign approaches L (the 10% worst-case row).
+
+    Exactness argument: a vector's top-k depends only on its candidate
+    set — the members of the lists it is assigned to (and their
+    embeddings, which are per-vec_id immutable). Both sides'
+    assignments are recomputed exactly (cheap broadcast map-side
+    passes); a list is DIRTY iff its (vec_id, centroid_id) membership
+    differs between base and union (computed as one union + one
+    side-count aggregate — the dd23 edge-diff shape; this covers
+    centroid-set drift too, since a drifted representative changes
+    membership rows on both sides). A vector is TOUCHED iff it has a
+    union assignment row in a dirty list — this includes every vector
+    whose own assignment changed (the lists it left/joined are dirty
+    by construction). An untouched vector therefore has the identical
+    candidate set and identical cosines as in the base build, so its
+    stored rows ARE its union rows; every touched vector's full
+    candidate pair set has >= 1 touched endpoint (itself), so scoring
+    pairs with a touched endpoint and ranking only touched vectors
+    reconstructs their rows exactly. Pinned by
+    ``tests/test_llm_ops.py::test_knn_join_refresh_matches_scratch``.
+
+    Scale shape: the re-score join's A side is the TOUCHED membership
+    only; on a corpus where a batch lands in few lists the pair work
+    tracks the touched lists, not the corpus. Honest boundary (the
+    dd21/dd23 caveat): on the dense synthetic gate fixture a 10% batch
+    touches EVERY list, so touched == corpus and this degrades to the
+    from-scratch join plus a metadata-sized diff — the win appears
+    exactly when the graph shatters (BENCH_INCREMENTAL measures both
+    regimes).
+    """
+    if stored_assignments is not None:
+        if centroids is None:
+            raise ValueError(
+                "stored_assignments requires the index's frozen "
+                "centroids= frame — corpus-derived seeds drift, which "
+                "would invalidate the stored rows"
+            )
+        batch = embeddings.join(
+            base_embeddings.select("vec_id"), "vec_id", "left_anti"
+        )
+        assign_new = ivf_assignments(
+            batch, n_assign=n_assign, centroids=centroids, hier=hier
+        )
+        assign_u = stored_assignments.select("vec_id", "centroid_id").unionByName(
+            assign_new.select("vec_id", "centroid_id")
+        )
+        dirty = assign_new.select("centroid_id").distinct()
+    else:
+        assign_u = ivf_assignments(
+            embeddings,
+            n_assign=n_assign,
+            n_centroids=n_centroids,
+            centroids=centroids,
+            hier=hier,
+        )
+        assign_b = ivf_assignments(
+            base_embeddings,
+            n_assign=n_assign,
+            n_centroids=n_centroids,
+            centroids=centroids,
+            hier=hier,
+        )
+        dirty = (
+            assign_u.select("vec_id", "centroid_id", F.lit(1).alias("side"))
+            .unionByName(
+                assign_b.select("vec_id", "centroid_id", F.lit(-1).alias("side"))
+            )
+            .groupBy("vec_id", "centroid_id")
+            .agg(F.sum("side").alias("imbalance"))
+            .filter(F.col("imbalance") != 0)
+            .select("centroid_id")
+            .distinct()
+        )
+    touched = (
+        assign_u.join(F.broadcast(dirty), "centroid_id", "left_semi")
+        .select("vec_id")
+        .distinct()
+        # three consumers across SEPARATE materialization points (the
+        # A-side semi-join, the B-side flag, the passthrough anti-join)
+        .localCheckpoint(eager=False)
+    )
+    vecs = (
+        _with_norm(_spread(embeddings))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            F.col("norm").alias("nrm"),
+        )
+        .join(assign_u, "vec_id")
+    )
+    s = NEARDUP_SALTS
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = (
+        vecs.join(touched, "vec_id", "left_semi")
+        .withColumn("salt", F.explode(F.expr(f"sequence(0L, {s - 1}L)")))
+        .repartition(par, "centroid_id", "salt")
+        .alias("a")
+    )
+    b = (
+        vecs.join(
+            F.broadcast(touched.withColumn("t", F.lit(1))), "vec_id", "left"
+        )
+        .withColumn("salt", F.col("vec_id") % s)
+        .alias("b")
+    )
+    cos = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        " / (a.nrm * b.nrm)"
+    )
+    # pair orientation: touched-touched pairs score once (a < b);
+    # a touched vector also needs its pairs with LARGER-id untouched
+    # co-members — allowed only when b is untouched, so nothing scores
+    # twice. On the all-touched fixture this reduces to exactly the
+    # from-scratch a < b pair set.
+    half = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (
+                (F.col("a.vec_id") < F.col("b.vec_id"))
+                | (
+                    (F.col("a.vec_id") > F.col("b.vec_id"))
+                    & F.col("b.t").isNull()
+                )
+            ),
+        )
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_id"),
+            F.greatest("a.vec_id", "b.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .distinct()
+    )
+    rescored = _knn_topk_tail(half, k).join(touched, "vec_id", "left_semi")
+    untouched = stored_knn.select(
+        "vec_id", "neighbor_id", "rank", "cosine"
+    ).join(touched, "vec_id", "left_anti")
+    return untouched.unionByName(rescored)
 
 
 QUANT_BITS_MAX = 127  # int8 symmetric range

@@ -25,10 +25,13 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # concurrent tasks, HOF-generated short-lived arrays): sim5's scoring
 # stage ran 10.9 s wall with 0.4 s CPU per task under G1/16g vs 3.9 s
 # with the throughput collector at the SAME heap (OPTIMIZATION_r12.md,
-# "GC pathology"). Batch analytics wants throughput, not pause
-# latency, so Parallel GC is the right default on driver AND executors;
-# override with SPARK_GRAFT_GC_OPTS (e.g. "-XX:+UseZGC", measured
-# equivalent) or "" to keep the JVM default.
+# "GC pathology"). The round-13 controlled A/B (full bench per
+# collector, same host, matched canaries 0.41-0.42 — BENCH_GC_AB_r13
+# .json) settled the r12 open question: ParallelGC wins BOTH halves
+# (headline 3.77 s vs G1 6.09 / ZGC 5.44; all_queries 252.8 s vs G1
+# 302.6 / ZGC 268.9). Batch analytics wants throughput, not pause
+# latency; override with SPARK_GRAFT_GC_OPTS (e.g. "-XX:+UseZGC") or
+# "" to keep the JVM default.
 GC_OPTS = os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC")
 
 

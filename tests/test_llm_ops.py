@@ -617,6 +617,59 @@ def test_knn_join_two_sets_matches_standalone(embeddings):
     assert rows(got_union) == rows(want_union)
 
 
+def test_knn_join_refresh_matches_scratch(embeddings):
+    """Round-13 incremental kNN maintenance (VERDICT item 4): for any
+    base ⊆ union split, refreshing the stored base graph must equal
+    knn_join over the union from scratch — stored rows pass through
+    only where the batch provably changed no list membership."""
+    from pyspark.sql import functions as F
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for pred in (F.col("vec_id") % 10 != 7, F.col("vec_id") % 3 != 0):
+        base = embeddings.filter(pred)
+        stored = sim.knn_join(base, ordered=False).localCheckpoint()
+        got = sim.knn_join_refresh(embeddings, base, stored)
+        want = sim.knn_join(embeddings, ordered=False)
+        assert rows(got) == rows(want)
+
+    # the serving regime: a FROZEN stored quantizer (sim12 contract) —
+    # refresh must equal from-scratch under the same centroid frame,
+    # in both routing regimes, with and without the stored-assignments
+    # fast path (assignments reused from the index, batch-only assign)
+    base = embeddings.filter(F.col("vec_id") % 10 != 7)
+    cents = sim.seed_centroid_frame(base, 8).localCheckpoint()
+    for hier in (False, True):
+        stored = sim.knn_join(
+            base, ordered=False, centroids=cents, hier=hier
+        ).localCheckpoint()
+        want = sim.knn_join(embeddings, ordered=False, centroids=cents, hier=hier)
+        got = sim.knn_join_refresh(
+            embeddings, base, stored, centroids=cents, hier=hier
+        )
+        assert rows(got) == rows(want), f"hier={hier}"
+        stored_assign = sim.ivf_assignments(
+            base, n_assign=sim.KNN_ASSIGN, centroids=cents, hier=hier
+        ).localCheckpoint()
+        got_fast = sim.knn_join_refresh(
+            embeddings,
+            base,
+            stored,
+            centroids=cents,
+            hier=hier,
+            stored_assignments=stored_assign,
+        )
+        assert rows(got_fast) == rows(want), f"fast path, hier={hier}"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sim.knn_join_refresh(
+            embeddings, base, stored, stored_assignments=stored_assign
+        )
+
+
 def test_daily_uniques_approx_matches_exact_within_rsd(spark, sf_oracle):
     """e13a's HLL++ estimate must sit within a few standard errors of
     exact e13 for every day, and the non-sketch columns must be

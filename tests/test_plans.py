@@ -201,12 +201,18 @@ def test_no_accidental_cartesian_products(spark, sf_smoke, query_df):
     from file_indexer_spark.registry import QUERIES
 
     offenders: dict[str, list[str]] = {}
+    py_offenders: list[str] = []
     for name in QUERIES:
         plan = pi.simple_plan(query_df(name))
         hits = [t for t in ("CartesianProduct", "BroadcastNestedLoopJoin") if t in plan]
         if hits and name not in _NESTED_LOOP_OK:
             offenders[name] = hits
+        # round 13: no registered query may cross the JVM↔Python
+        # boundary (guide §4) — no whitelist, no exceptions
+        if "EvalPython" in plan:
+            py_offenders.append(name)
     assert not offenders, offenders
+    assert not py_offenders, py_offenders
 
 
 def test_sampling_operators_prune_text_and_stay_lean(spark, sf_smoke):
